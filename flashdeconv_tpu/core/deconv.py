@@ -1,0 +1,366 @@
+"""FlashDeconv orchestrator — the primary array-level API.
+
+Runs the six-stage pipeline (reference ``flashdeconv/core/deconv.py:237-405``):
+gene selection -> preprocessing -> CountSketch -> spatial graph -> lambda
+auto-tune -> BCD solve. Stages 1-5 are O(nnz)/O(N log N) host passes; stage 6
+is the TPU-resident while-loop solve. Constructor parameters, validation
+behavior, and fitted attributes (`beta_`, `proportions_`, `gene_idx_`,
+`info_`, `lambda_used_`, `adjacency_`) match the reference contract.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple, Union
+
+import numpy as np
+from scipy import sparse
+
+ArrayLike = Union[np.ndarray, sparse.spmatrix]
+
+_PREPROCESS_METHODS = ("log_cpm", "pearson", "raw")
+
+
+def preprocess_data(
+    Y: ArrayLike,
+    X: np.ndarray,
+    method: str = "log_cpm",
+) -> Tuple[ArrayLike, np.ndarray]:
+    """Normalize spatial counts Y and signatures X.
+
+    Methods
+    -------
+    log_cpm : log1p(counts-per-10k). Sparse Y is rescaled in place on its
+        ``.data`` buffer (log1p(0)=0 preserves sparsity).
+    pearson : uncentered Pearson residuals y / sigma with the NB variance
+        model sigma^2 = mu + mu^2/theta (theta=100); keeps values >= 0.
+    raw : float cast only.
+    """
+    if method == "log_cpm":
+        if sparse.issparse(Y):
+            Ycsr = Y.tocsr(copy=True)
+            lib = np.asarray(Ycsr.sum(axis=1)).ravel()
+            lib[lib == 0] = 1.0
+            Y_norm = sparse.diags(1e4 / lib) @ Ycsr
+            Y_norm.data = np.log1p(Y_norm.data)
+        else:
+            Yd = np.asarray(Y, dtype=np.float64)
+            Y_norm = np.log1p(Yd / (Yd.sum(axis=1, keepdims=True) + 1e-10) * 1e4)
+        Xd = np.asarray(X, dtype=np.float64)
+        X_norm = np.log1p(Xd / (Xd.sum(axis=1, keepdims=True) + 1e-10) * 1e4)
+        return Y_norm, X_norm
+
+    if method == "pearson":
+        theta = 100.0
+        if sparse.issparse(Y):
+            mu = np.asarray(Y.mean(axis=0)).ravel() + 1e-6
+            sigma = np.sqrt(mu + mu**2 / theta)
+            Y_norm = Y.multiply(1.0 / sigma).tocsr()
+        else:
+            Yd = np.asarray(Y, dtype=np.float64)
+            mu = Yd.mean(axis=0, keepdims=True) + 1e-6
+            Y_norm = Yd / np.sqrt(mu + mu**2 / theta)
+        Xd = np.asarray(X, dtype=np.float64)
+        mu_x = Xd.mean(axis=0, keepdims=True) + 1e-6
+        X_norm = Xd / np.sqrt(mu_x + mu_x**2 / theta)
+        return Y_norm, X_norm
+
+    if method == "raw":
+        return Y.astype(np.float64, copy=False), X.astype(np.float64, copy=False)
+
+    raise ValueError(
+        f"Unknown preprocess method: {method}. "
+        f"Choose from 'log_cpm', 'pearson', or 'raw'."
+    )
+
+
+class FlashDeconv:
+    """Fast spatial-transcriptomics deconvolution with spatial regularization.
+
+    Estimates per-spot cell-type proportions from a spatial count matrix and
+    a reference signature matrix by solving a graph-regularized non-negative
+    least-squares problem in a CountSketch-compressed gene space.
+
+    Parameters
+    ----------
+    sketch_dim : int, default 512
+        Dimension of the sketched gene space.
+    lambda_spatial : float or "auto", default "auto"
+        Spatial smoothing strength; "auto" scales to the data
+        (see :func:`flashdeconv_tpu.core.spatial.auto_tune_lambda`).
+    rho_sparsity : float, default 0.01
+        Dimensionless L1 penalty (rescaled by mean(diag(XtX)) internally).
+    n_hvg : int, default 2000
+        Highly variable genes to select from the spatial data.
+    n_markers_per_type : int, default 50
+        Marker genes per cell type from the reference.
+    spatial_method : {"knn", "radius", "grid"}, default "knn"
+    k_neighbors : int, default 6
+        Neighbors for the kNN graph.
+    radius : float, optional
+        Required when ``spatial_method="radius"``.
+    max_iter : int, default 100
+    tol : float, default 1e-4
+    preprocess : {"log_cpm", "pearson", "raw"}, default "log_cpm"
+    random_state : int, optional, default 0
+    verbose : bool, default False
+    solver_dtype : numpy dtype, default float32
+        Device compute precision for the BCD solve.
+
+    Attributes (after fit)
+    ----------------------
+    beta_ : (n_spots, n_cell_types) raw abundances
+    proportions_ : row-normalized proportions
+    gene_idx_ : selected gene indices
+    info_ : solver convergence info
+    lambda_used_ : resolved spatial regularization value
+    adjacency_ : scipy CSR spatial graph
+    """
+
+    def __init__(
+        self,
+        sketch_dim: int = 512,
+        lambda_spatial: Union[float, str] = "auto",
+        rho_sparsity: float = 0.01,
+        n_hvg: int = 2000,
+        n_markers_per_type: int = 50,
+        spatial_method: str = "knn",
+        k_neighbors: int = 6,
+        radius: Optional[float] = None,
+        max_iter: int = 100,
+        tol: float = 1e-4,
+        preprocess: str = "log_cpm",
+        random_state: Optional[int] = 0,
+        verbose: bool = False,
+        solver_dtype=np.float32,
+    ):
+        if sketch_dim <= 0:
+            raise ValueError(f"sketch_dim must be positive, got {sketch_dim}")
+        if k_neighbors < 0:
+            raise ValueError(f"k_neighbors must be non-negative, got {k_neighbors}")
+        if max_iter < 0:
+            raise ValueError(f"max_iter must be non-negative, got {max_iter}")
+        if tol <= 0:
+            raise ValueError(f"tol must be positive, got {tol}")
+        if isinstance(lambda_spatial, (int, float)) and lambda_spatial < 0:
+            raise ValueError(
+                f"lambda_spatial must be non-negative, got {lambda_spatial}"
+            )
+        if rho_sparsity < 0:
+            raise ValueError(f"rho_sparsity must be non-negative, got {rho_sparsity}")
+        if n_hvg < 0:
+            raise ValueError(f"n_hvg must be non-negative, got {n_hvg}")
+        if n_markers_per_type < 0:
+            raise ValueError(
+                f"n_markers_per_type must be non-negative, got {n_markers_per_type}"
+            )
+        if spatial_method == "radius" and radius is None:
+            raise ValueError("radius must be specified when spatial_method='radius'")
+        if radius is not None and radius <= 0:
+            raise ValueError(f"radius must be positive, got {radius}")
+        if preprocess not in _PREPROCESS_METHODS:
+            raise ValueError(
+                f"Unknown preprocess method: {preprocess}. "
+                f"Choose from {_PREPROCESS_METHODS}."
+            )
+
+        self.sketch_dim = sketch_dim
+        self.lambda_spatial = lambda_spatial
+        self.rho_sparsity = rho_sparsity
+        self.n_hvg = n_hvg
+        self.n_markers_per_type = n_markers_per_type
+        self.spatial_method = spatial_method
+        self.k_neighbors = k_neighbors
+        self.radius = radius
+        self.max_iter = max_iter
+        self.tol = tol
+        self.preprocess = preprocess
+        self.random_state = random_state
+        self.verbose = verbose
+        self.solver_dtype = solver_dtype
+
+        self.beta_ = None
+        self.proportions_ = None
+        self.gene_idx_ = None
+        self.info_ = None
+        self._fitted = False
+
+    # Kept as a method for API familiarity; delegates to the module function.
+    def _preprocess_data(self, Y, X, method):
+        return preprocess_data(Y, X, method)
+
+    def fit(
+        self,
+        Y: ArrayLike,
+        X: np.ndarray,
+        coords: np.ndarray,
+        cell_type_names: Optional[np.ndarray] = None,
+    ) -> "FlashDeconv":
+        """Run the full pipeline; stores results on the instance."""
+        from flashdeconv_tpu.core.sketching import sketch_data
+        from flashdeconv_tpu.core.spatial import auto_tune_lambda
+        from flashdeconv_tpu.core.solver import bcd_solve, normalize_proportions
+        from flashdeconv_tpu.utils.genes import select_informative_genes
+        from flashdeconv_tpu.utils.graph import coords_to_adjacency
+
+        if Y.shape[1] != X.shape[1]:
+            raise ValueError(
+                f"Gene dimension mismatch: Y has {Y.shape[1]} genes but "
+                f"X has {X.shape[1]} genes. They must share the same gene "
+                f"space (align before calling fit)."
+            )
+        if coords.shape[0] != Y.shape[0]:
+            raise ValueError(
+                f"Spot count mismatch: Y has {Y.shape[0]} spots but "
+                f"coords has {coords.shape[0]} rows. Each spot needs "
+                f"exactly one coordinate."
+            )
+        if X.shape[0] == 0:
+            raise ValueError(
+                "Reference matrix X must contain at least one cell type "
+                "(X.shape[0] > 0). Check your reference filtering and "
+                "cell_type_key mapping."
+            )
+        if cell_type_names is not None and len(cell_type_names) != X.shape[0]:
+            raise ValueError(
+                f"cell_type_names length ({len(cell_type_names)}) does not "
+                f"match number of cell types in X ({X.shape[0]})."
+            )
+
+        self._log("FlashDeconv-TPU: starting deconvolution...")
+        self._log(f"  Spatial data: {Y.shape[0]} spots x {Y.shape[1]} genes")
+        self._log(f"  Reference: {X.shape[0]} cell types x {X.shape[1]} genes")
+
+        self.n_spots_ = Y.shape[0]
+        self.n_genes_ = Y.shape[1]
+        self.n_cell_types_ = X.shape[0]
+        self.cell_type_names_ = cell_type_names
+
+        # [1] informative genes + leverage
+        self._log("Step 1: selecting informative genes...")
+        gene_idx, leverage_scores = select_informative_genes(
+            Y, X, n_hvg=self.n_hvg, n_markers_per_type=self.n_markers_per_type
+        )
+        self.gene_idx_ = gene_idx
+        self._log(f"  Selected {len(gene_idx)} genes (HVG + markers)")
+
+        Y_subset = Y[:, gene_idx]
+        if sparse.issparse(Y_subset) and not sparse.isspmatrix_csr(Y_subset):
+            Y_subset = Y_subset.tocsr()
+        X_subset = X[:, gene_idx]
+
+        # [2] normalization
+        self._log(f"Step 2: preprocessing with method='{self.preprocess}'...")
+        Y_tilde, X_tilde = preprocess_data(Y_subset, X_subset, self.preprocess)
+
+        # [3] sketch G_sel -> d
+        self._log(f"Step 3: sketching to {self.sketch_dim} dimensions...")
+        Y_sketch, X_sketch, _ = sketch_data(
+            Y_tilde,
+            X_tilde,
+            sketch_dim=self.sketch_dim,
+            leverage_scores=leverage_scores,
+            random_state=self.random_state,
+        )
+
+        # [4] spatial graph
+        self._log("Step 4: building spatial graph...")
+        A = coords_to_adjacency(
+            coords, method=self.spatial_method, k=self.k_neighbors,
+            radius=self.radius,
+        )
+        self.adjacency_ = A
+        avg_nbrs = float(np.mean(np.asarray(A.sum(axis=1)).ravel()))
+        self._log(f"  Average neighbors per spot: {avg_nbrs:.1f}")
+
+        # [5] lambda
+        if self.lambda_spatial == "auto":
+            lambda_ = auto_tune_lambda(Y_sketch, X_sketch, A)
+            self._log(f"Step 5: auto-tuned lambda = {lambda_:.4f}")
+        else:
+            lambda_ = float(self.lambda_spatial)
+            self._log(f"Step 5: using lambda = {lambda_:.4f}")
+        self.lambda_used_ = lambda_
+
+        # [6] solve
+        self._log("Step 6: solving via Block Coordinate Descent on device...")
+        beta, info = bcd_solve(
+            Y_sketch,
+            X_sketch,
+            A,
+            lambda_=lambda_,
+            rho=self.rho_sparsity,
+            max_iter=self.max_iter,
+            tol=self.tol,
+            verbose=self.verbose,
+            dtype=self.solver_dtype,
+        )
+
+        self.beta_ = beta
+        self.proportions_ = normalize_proportions(beta)
+        self.info_ = info
+        self._fitted = True
+
+        self._log(f"  Converged: {info['converged']}")
+        self._log(f"  Iterations: {info['n_iterations']}")
+        self._log("FlashDeconv-TPU: done!")
+        return self
+
+    def fit_transform(
+        self,
+        Y: ArrayLike,
+        X: np.ndarray,
+        coords: np.ndarray,
+        **kwargs,
+    ) -> np.ndarray:
+        """Fit and return the (n_spots, n_cell_types) proportion matrix."""
+        self.fit(Y, X, coords, **kwargs)
+        return self.proportions_
+
+    def get_cell_type_proportions(self) -> np.ndarray:
+        """Normalized proportions; raises if not fitted."""
+        self._check_fitted()
+        return self.proportions_
+
+    def get_abundances(self) -> np.ndarray:
+        """Raw (unnormalized) abundances; raises if not fitted."""
+        self._check_fitted()
+        return self.beta_
+
+    def get_dominant_cell_type(self) -> np.ndarray:
+        """Index of the highest-proportion cell type per spot."""
+        self._check_fitted()
+        return np.argmax(self.proportions_, axis=1)
+
+    def summary(self) -> Dict[str, Any]:
+        """Dictionary summary of parameters and fit statistics."""
+        if not self._fitted:
+            return {"fitted": False}
+        return {
+            "fitted": True,
+            "n_spots": self.n_spots_,
+            "n_cell_types": self.n_cell_types_,
+            "n_genes_used": len(self.gene_idx_),
+            "sketch_dim": self.sketch_dim,
+            "lambda_spatial": self.lambda_used_,
+            "rho_sparsity": self.rho_sparsity,
+            "preprocess_method": self.preprocess,
+            "converged": self.info_["converged"],
+            "n_iterations": self.info_["n_iterations"],
+            "final_objective": self.info_["final_objective"],
+        }
+
+    def _check_fitted(self):
+        if not self._fitted:
+            raise RuntimeError("Model has not been fitted. Call fit() first.")
+
+    def _log(self, msg: str):
+        if self.verbose:
+            print(msg)
+
+    def __repr__(self) -> str:
+        status = "fitted" if self._fitted else "not fitted"
+        return (
+            f"FlashDeconv(sketch_dim={self.sketch_dim}, "
+            f"lambda_spatial={self.lambda_spatial}, "
+            f"status={status})"
+        )

@@ -1,0 +1,194 @@
+"""Host-facing BCD solver driver around the device sweep kernels.
+
+API parity with the reference solver (reference
+``flashdeconv/core/solver.py:287-452``): same signature, same ``info`` dict
+contract, same rho rescaling and convergence rule — but the hot loop is a
+single compiled XLA while-loop on the accelerator
+(:func:`flashdeconv_tpu.ops.bcd.bcd_iterate`) instead of Numba threads.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+from scipy import sparse
+
+from flashdeconv_tpu.utils.graph import adjacency_to_padded
+
+
+def soft_threshold(x: float, threshold: float) -> float:
+    """Scalar soft-thresholding prox (host convenience / parity helper)."""
+    if x > threshold:
+        return x - threshold
+    if x < -threshold:
+        return x + threshold
+    return 0.0
+
+
+def precompute_gram_matrix(X_sketch: np.ndarray) -> np.ndarray:
+    """Gram matrix XtX = X_sketch @ X_sketch.T, shape (K, K)."""
+    return X_sketch @ X_sketch.T
+
+
+def precompute_XtY(X_sketch: np.ndarray, Y_sketch: np.ndarray) -> np.ndarray:
+    """H = X_sketch @ Y_sketch.T, shape (K, N) — computed once per solve."""
+    return X_sketch @ Y_sketch.T
+
+
+def compute_objective(
+    beta: np.ndarray,
+    H: np.ndarray,
+    XtX: np.ndarray,
+    YtY: float,
+    L: sparse.spmatrix,
+    lambda_: float,
+    rho: float,
+) -> float:
+    """Objective via the algebraic expansion (host/numpy reference form).
+
+    0.5*(YtY - 2 Tr(Y^T beta X) + Tr(beta^T beta XtX))
+    + 0.5*lambda*Tr(beta^T L beta) + rho*||beta||_1
+
+    The 0.5 on the Laplacian term matches the coordinate-update convention
+    used by :func:`bcd_solve` (lambda enters the denominator undoubled).
+    """
+    cross = float(np.sum(beta * H.T))
+    quad = float(np.sum((beta.T @ beta) * XtX))
+    fidelity = 0.5 * (YtY - 2.0 * cross + quad)
+    spatial = 0.5 * lambda_ * float(np.sum(beta * (L @ beta)))
+    sparsity = rho * float(np.sum(np.abs(beta)))
+    return fidelity + spatial + sparsity
+
+
+def bcd_solve(
+    Y_sketch: np.ndarray,
+    X_sketch: np.ndarray,
+    A: sparse.spmatrix,
+    lambda_: float = 0.1,
+    rho: float = 0.01,
+    max_iter: int = 100,
+    tol: float = 1e-4,
+    verbose: bool = False,
+    dtype=np.float32,
+) -> Tuple[np.ndarray, dict]:
+    """Solve min 0.5||Y - beta X||^2 + 0.5*lambda Tr(beta^T L beta) + rho||beta||_1, beta >= 0.
+
+    Parameters
+    ----------
+    Y_sketch : (n_spots, sketch_dim) sketched spatial data
+    X_sketch : (n_cell_types, sketch_dim) sketched signatures
+    A : (n_spots, n_spots) sparse adjacency
+    lambda_ : spatial regularization strength
+    rho : dimensionless L1 strength; internally scaled by mean(diag(XtX))
+    max_iter, tol : sweep budget and relative-change stopping rule
+    verbose : print objective every 10 sweeps (runs sweeps one-by-one so the
+        trajectory is observable; the non-verbose path fuses the entire solve
+        into one device while-loop)
+    dtype : device compute dtype (float32 on TPU; float64 needs x64 on CPU)
+
+    Returns
+    -------
+    beta : (n_spots, n_cell_types) float64 abundances
+    info : {"converged", "n_iterations", "final_objective", "objectives",
+            "final_change"}
+    """
+    import jax.numpy as jnp
+
+    from flashdeconv_tpu.ops.bcd import bcd_iterate, bcd_sweep, objective_terms
+
+    n_spots = Y_sketch.shape[0]
+    n_types = X_sketch.shape[0]
+
+    if n_spots == 0 or n_types == 0 or max_iter == 0:
+        beta = np.full((n_spots, n_types), 1.0 / max(n_types, 1), dtype=np.float64)
+        if n_spots == 0 or n_types == 0:
+            beta = np.empty((n_spots, n_types), dtype=np.float64)
+        return beta, {
+            "converged": n_spots == 0 or n_types == 0,
+            "n_iterations": 0,
+            "final_objective": 0.0,
+            "objectives": [],
+            "final_change": 0.0,
+        }
+
+    XtX = precompute_gram_matrix(np.asarray(X_sketch, dtype=np.float64))
+    YtY = float(np.sum(np.asarray(Y_sketch, dtype=np.float64) ** 2))
+
+    # rho is user-facing dimensionless: rescale by the Gram diagonal so the
+    # soft threshold is commensurate with the partial residual magnitude.
+    rho_eff = float(rho) * float(np.mean(np.diag(XtX)))
+
+    nbr_idx, n_nbrs = adjacency_to_padded(A)
+
+    # Device operands
+    Xty_d = jnp.asarray(Y_sketch @ X_sketch.T, dtype=dtype)  # (N, K)
+    XtX_d = jnp.asarray(XtX, dtype=dtype)
+    nbr_d = jnp.asarray(nbr_idx)
+    nnb_d = jnp.asarray(n_nbrs, dtype=dtype)
+    lam_d = jnp.asarray(lambda_, dtype=dtype)
+    rho_d = jnp.asarray(rho_eff, dtype=dtype)
+    tol_d = jnp.asarray(tol, dtype=dtype)
+    beta0 = jnp.full((n_spots, n_types), 1.0 / n_types, dtype=dtype)
+
+    objectives: list = []
+    if verbose:
+        import jax
+
+        sweep = jax.jit(bcd_sweep)
+        obj_fn = jax.jit(objective_terms)
+        beta_d = beta0
+        converged = False
+        rel_change = 0.0
+        n_iter = 0
+        for iteration in range(max_iter):
+            beta_d, max_diff, max_abs = sweep(
+                beta_d, Xty_d, XtX_d, nbr_d, nnb_d, lam_d, rho_d
+            )
+            rel_change = float(max_diff) / (float(max_abs) + 1e-10)
+            n_iter = iteration + 1
+            if iteration % 10 == 0 or iteration == max_iter - 1:
+                obj = float(
+                    obj_fn(beta_d, Xty_d, XtX_d, YtY, nbr_d, nnb_d, lam_d, rho_d)
+                )
+                objectives.append(obj)
+                print(
+                    f"Iteration {iteration}: objective = {obj:.6f}, "
+                    f"rel_change = {rel_change:.6e}"
+                )
+            if rel_change < tol:
+                converged = True
+                print(f"Converged at iteration {iteration}")
+                break
+    else:
+        beta_d, n_iter_d, rel_d = bcd_iterate(
+            beta0, Xty_d, XtX_d, nbr_d, nnb_d, lam_d, rho_d, tol_d, max_iter
+        )
+        n_iter = int(n_iter_d)
+        rel_change = float(rel_d)
+        converged = rel_change < tol
+
+    final_obj = float(
+        objective_terms(beta_d, Xty_d, XtX_d, YtY, nbr_d, nnb_d, lam_d, rho_d)
+    )
+
+    beta = np.asarray(beta_d, dtype=np.float64)
+    info = {
+        "converged": bool(converged),
+        "n_iterations": int(n_iter),
+        "final_objective": final_obj,
+        "objectives": objectives,
+        "final_change": float(rel_change),
+    }
+    return beta, info
+
+
+def normalize_proportions(beta: np.ndarray) -> np.ndarray:
+    """Row-normalize abundances to proportions; all-zero rows become uniform."""
+    beta = np.asarray(beta, dtype=np.float64)
+    row_sums = beta.sum(axis=1, keepdims=True)
+    zero_rows = (row_sums == 0).ravel()
+    proportions = beta / np.maximum(row_sums, 1e-10)
+    if np.any(zero_rows):
+        proportions[zero_rows] = 1.0 / beta.shape[1]
+    return proportions

@@ -1,0 +1,260 @@
+"""Device kernels for the block-coordinate-descent deconvolution solve.
+
+TPU-native reformulation of the reference's Numba sweep (reference
+``flashdeconv/core/solver.py:29-184``): the reference runs a *sequential*
+Gauss-Seidel loop over K cell types inside each spot while sweeping spots in
+parallel with Jacobi neighbor reads. Here the spot axis is fully vectorized —
+coordinate k is updated for **all spots at once** as (N,)-wide VPU ops, and
+the maintained residual ``r = beta @ XtX`` is updated with a rank-1 outer
+product per coordinate. This preserves the reference's iterate path exactly
+(Gauss-Seidel within spot, Jacobi across spots) while mapping the heavy work
+onto MXU matmuls and fused VPU elementwise ops.
+
+Data layout: the spatial graph is a padded neighbor table ``nbr_idx`` of
+shape (N, max_deg) whose padding slots point at an all-zero sentinel row
+appended to beta, so masked neighbor sums need no branching.
+
+All functions are shape-polymorphic pure JAX and are reused verbatim inside
+``shard_map`` by the distributed solver (:mod:`flashdeconv_tpu.parallel`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Unroll the coordinate loop at trace time up to this many cell types: K is
+# static and small, and unrolled static slices compile to much tighter code
+# than a fori_loop with dynamic slices.
+_UNROLL_MAX_K = 160
+
+# Full-f32 MXU precision for the (tiny) solver matmuls: residual maintenance
+# subtracts quantities of similar magnitude (Xty - r), so the default bf16
+# MXU passes would inject ~1e-2 relative noise into the iterate path. These
+# matmuls are O(N*K^2) — negligible next to the gathers — so exactness is
+# free.
+_PREC = lax.Precision.HIGHEST
+
+
+def soft_threshold(x, threshold):
+    """Elementwise soft-thresholding prox for the L1 penalty."""
+    return jnp.sign(x) * jnp.maximum(jnp.abs(x) - threshold, 0.0)
+
+
+def neighbor_sum(beta_ext: jnp.ndarray, nbr_idx: jnp.ndarray) -> jnp.ndarray:
+    """Sum of beta rows over each spot's (padded) neighbor list.
+
+    Parameters
+    ----------
+    beta_ext : (M, K) — beta rows indexable by every entry of ``nbr_idx``;
+        padding entries must point at all-zero rows of this buffer.
+    nbr_idx : (N, max_deg) int32
+
+    Returns
+    -------
+    (N, K) neighbor sums.
+
+    The gather is accumulated one degree-slot at a time (max_deg is a small
+    static constant) to avoid materializing an (N, max_deg, K) temporary.
+    """
+    max_deg = nbr_idx.shape[1]
+    acc = jnp.take(beta_ext, nbr_idx[:, 0], axis=0)
+    for d in range(1, max_deg):
+        acc = acc + jnp.take(beta_ext, nbr_idx[:, d], axis=0)
+    return acc
+
+
+def _coord_update(beta, r, k, Xty, XtX, nbr_sum, n_nbrs, lambda_, rho, static: bool):
+    """Gauss-Seidel update of coordinate k for every spot simultaneously.
+
+    Solves the 1-D subproblem of
+    0.5*||y_i - beta_i X||^2 + 0.5*lambda*sum_j ||beta_i - beta_j||^2 + rho*|beta_ik|
+    with all other coordinates fixed, using the maintained residual
+    r_i = XtX @ beta_i (updated rank-1 after the coordinate moves).
+    """
+    if static:
+        old = beta[:, k : k + 1]                     # (N, 1)
+        r_k = r[:, k : k + 1]
+        xty_k = Xty[:, k : k + 1]
+        ns_k = nbr_sum[:, k : k + 1]
+        diag_k = XtX[k, k]
+        row_k = XtX[k : k + 1, :]                    # (1, K)
+    else:
+        old = lax.dynamic_slice_in_dim(beta, k, 1, axis=1)
+        r_k = lax.dynamic_slice_in_dim(r, k, 1, axis=1)
+        xty_k = lax.dynamic_slice_in_dim(Xty, k, 1, axis=1)
+        ns_k = lax.dynamic_slice_in_dim(nbr_sum, k, 1, axis=1)
+        row_k = lax.dynamic_slice_in_dim(XtX, k, 1, axis=0)
+        diag_k = lax.dynamic_slice(row_k, (0, k), (1, 1))[0, 0]
+
+    # Partial residual excluding coordinate k's own contribution, plus the
+    # spatial attraction toward the neighbor mean.
+    resid = xty_k - r_k + diag_k * old + lambda_ * ns_k
+    denom = diag_k + lambda_ * n_nbrs[:, None]
+    # soft-threshold then clamp at zero == relu(resid - rho) / denom for rho>=0
+    new = jnp.where(
+        denom > 1e-10, jnp.maximum(resid - rho, 0.0) / denom, jnp.zeros_like(old)
+    )
+    delta = new - old
+    # rank-1 residual refresh
+    r = r + jnp.dot(delta, row_k, precision=_PREC)
+    if static:
+        beta = beta.at[:, k : k + 1].set(new)
+    else:
+        beta = lax.dynamic_update_slice_in_dim(beta, new, k, axis=1)
+    return beta, r
+
+
+def coordinate_descent(
+    beta: jnp.ndarray,
+    Xty: jnp.ndarray,
+    XtX: jnp.ndarray,
+    nbr_sum: jnp.ndarray,
+    n_nbrs: jnp.ndarray,
+    lambda_,
+    rho,
+) -> jnp.ndarray:
+    """One full Gauss-Seidel pass over the K coordinates of every spot.
+
+    beta (N, K) is the Jacobi read buffer already used for ``nbr_sum``; the
+    returned array is the updated buffer.
+    """
+    K = beta.shape[1]
+    # (N, K) maintained residual, one MXU matmul
+    r = jnp.dot(beta, XtX, precision=_PREC)
+
+    if K <= _UNROLL_MAX_K:
+        for k in range(K):
+            beta, r = _coord_update(
+                beta, r, k, Xty, XtX, nbr_sum, n_nbrs, lambda_, rho, static=True
+            )
+        return beta
+
+    def body(k, carry):
+        b, rr = carry
+        return _coord_update(
+            b, rr, k, Xty, XtX, nbr_sum, n_nbrs, lambda_, rho, static=False
+        )
+
+    beta, _ = lax.fori_loop(0, K, body, (beta, r))
+    return beta
+
+
+def bcd_sweep(
+    beta_in: jnp.ndarray,
+    Xty: jnp.ndarray,
+    XtX: jnp.ndarray,
+    nbr_idx: jnp.ndarray,
+    n_nbrs: jnp.ndarray,
+    lambda_,
+    rho,
+    spot_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One BCD sweep with fused convergence statistics (single device).
+
+    Parameters
+    ----------
+    beta_in : (N, K) current abundances (read-only Jacobi buffer)
+    Xty : (N, K) precomputed Y_sketch @ X_sketch.T
+    XtX : (K, K) Gram matrix of the sketched signatures
+    nbr_idx : (N, max_deg) int32, padding slots == N (the sentinel row)
+    n_nbrs : (N,) float, true neighbor counts
+    spot_mask : optional (N,) bool — False rows are padding (sharded solver);
+        their convergence stats are ignored.
+
+    Returns
+    -------
+    (beta_out (N, K), max_diff scalar, max_abs_old scalar)
+    """
+    zero_row = jnp.zeros((1, beta_in.shape[1]), dtype=beta_in.dtype)
+    beta_ext = jnp.concatenate([beta_in, zero_row], axis=0)
+    nbr_sum = neighbor_sum(beta_ext, nbr_idx)
+
+    beta_out = coordinate_descent(
+        beta_in, Xty, XtX, nbr_sum, n_nbrs, lambda_, rho
+    )
+
+    diffs = jnp.max(jnp.abs(beta_out - beta_in), axis=1)
+    abs_old = jnp.max(jnp.abs(beta_in), axis=1)
+    if spot_mask is not None:
+        diffs = jnp.where(spot_mask, diffs, 0.0)
+        abs_old = jnp.where(spot_mask, abs_old, 0.0)
+    return beta_out, jnp.max(diffs), jnp.max(abs_old)
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def bcd_iterate(
+    beta0: jnp.ndarray,
+    Xty: jnp.ndarray,
+    XtX: jnp.ndarray,
+    nbr_idx: jnp.ndarray,
+    n_nbrs: jnp.ndarray,
+    lambda_,
+    rho,
+    tol,
+    max_iter: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused solve loop: sweeps until rel-change < tol or max_iter sweeps.
+
+    Matches the reference driver semantics (reference
+    ``flashdeconv/core/solver.py:385-413``): the convergence statistic of
+    sweep t is max_i max_k |Delta beta| / (max_i max_k |beta_old| + 1e-10),
+    and the sweep that satisfies it is still applied.
+
+    Returns (beta, n_iterations, rel_change). Runs entirely on device inside
+    one compiled while-loop — the host only sees the final state.
+    """
+    big = jnp.asarray(jnp.inf, dtype=beta0.dtype)
+
+    def cond(carry):
+        _, it, rel = carry
+        return jnp.logical_and(it < max_iter, rel >= tol)
+
+    def body(carry):
+        beta, it, _ = carry
+        beta_new, max_diff, max_abs = bcd_sweep(
+            beta, Xty, XtX, nbr_idx, n_nbrs, lambda_, rho
+        )
+        rel = max_diff / (max_abs + 1e-10)
+        return beta_new, it + 1, rel
+
+    beta, n_iter, rel = lax.while_loop(cond, body, (beta0, jnp.int32(0), big))
+    return beta, n_iter, rel
+
+
+def objective_terms(
+    beta: jnp.ndarray,
+    Xty: jnp.ndarray,
+    XtX: jnp.ndarray,
+    YtY,
+    nbr_idx: jnp.ndarray,
+    n_nbrs: jnp.ndarray,
+    lambda_,
+    rho,
+):
+    """Objective value from precomputed matrices and the neighbor table.
+
+    fidelity = 0.5*(||Y||^2 - 2 Tr(Y^T beta X) + Tr(beta^T beta XtX))
+    spatial  = 0.5*lambda*(sum_i deg_i ||beta_i||^2 - sum_i <beta_i, nbr_sum_i>)
+    sparsity = rho*||beta||_1
+
+    The spatial term expands Tr(beta^T (D - A) beta) without materializing L.
+    """
+    cross = jnp.sum(beta * Xty)
+    BtB = jnp.dot(beta.T, beta, precision=_PREC)
+    quad = jnp.sum(BtB * XtX)
+    fidelity = 0.5 * (YtY - 2.0 * cross + quad)
+
+    zero_row = jnp.zeros((1, beta.shape[1]), dtype=beta.dtype)
+    beta_ext = jnp.concatenate([beta, zero_row], axis=0)
+    ns = neighbor_sum(beta_ext, nbr_idx)
+    deg_term = jnp.sum(n_nbrs * jnp.sum(beta * beta, axis=1))
+    adj_term = jnp.sum(beta * ns)
+    spatial = 0.5 * lambda_ * (deg_term - adj_term)
+
+    sparsity = rho * jnp.sum(jnp.abs(beta))
+    return fidelity + spatial + sparsity

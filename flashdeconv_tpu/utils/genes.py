@@ -1,0 +1,236 @@
+"""Informative-gene selection and leverage scoring.
+
+Host-side, one-shot O(nnz) feature engineering that runs before any device
+work: highly-variable-gene (HVG) selection on the spatial counts, per-type
+marker selection on the reference signatures, and SVD leverage scores that
+weight the CountSketch amplitudes.
+
+Behavioral parity targets (reference ``flashdeconv/utils/genes.py``):
+* ``select_hvg``             — Seurat-v3-style binned dispersion (ref :18-145)
+* ``select_markers``         — diff / ratio / specificity scores (ref :148-235)
+* ``compute_leverage_scores``— PC-weighted row norms of U        (ref :238-290)
+* ``select_informative_genes`` — HVG ∪ markers + leverage        (ref :293-341)
+
+These stay in numpy: they are O(nnz) single-pass reductions over a sparse
+matrix that is never materialized on device (the device only ever sees the
+sketched N x d panel), so there is nothing for the MXU to accelerate here.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple, Union
+
+import numpy as np
+from scipy import sparse
+
+ArrayLike = Union[np.ndarray, sparse.spmatrix]
+
+_N_DISPERSION_BINS = 20
+
+
+def _log1p_cpm_moments(Y: ArrayLike) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-gene mean and sample variance of log1p(CPM*1e4) counts.
+
+    Sparse inputs are handled without densifying: row scaling is applied to
+    the CSR ``.data`` buffer and the column moments come from ``bincount``
+    reductions over the nnz entries (log1p(0) == 0 keeps zeros implicit).
+    """
+    n_spots, n_genes = Y.shape
+
+    if sparse.issparse(Y):
+        Ycsr = Y.tocsr(copy=True)
+        lib = np.asarray(Ycsr.sum(axis=1)).ravel()
+        lib = np.maximum(lib, 1.0)
+        # Row-scale nnz values in place: each row i scaled by 1e4 / lib[i].
+        row_rep = np.repeat(np.arange(n_spots), np.diff(Ycsr.indptr))
+        Ycsr.data = np.log1p(Ycsr.data * (1e4 / lib)[row_rep])
+
+        col_sum = np.bincount(Ycsr.indices, weights=Ycsr.data, minlength=n_genes)
+        means = col_sum / n_spots
+        if n_spots >= 2:
+            col_sumsq = np.bincount(
+                Ycsr.indices, weights=Ycsr.data**2, minlength=n_genes
+            )
+            variances = n_spots / (n_spots - 1) * (col_sumsq / n_spots - means**2)
+            variances = np.maximum(variances, 0.0)
+        else:
+            variances = np.zeros(n_genes)
+        return means, variances
+
+    Yd = np.asarray(Y, dtype=np.float64)
+    lib = np.maximum(Yd.sum(axis=1, keepdims=True), 1.0)
+    Ylog = np.log1p(Yd / lib * 1e4)
+    means = Ylog.mean(axis=0)
+    variances = Ylog.var(axis=0, ddof=1) if n_spots >= 2 else np.zeros(n_genes)
+    return means, variances
+
+
+def _binned_dispersion(means: np.ndarray, variances: np.ndarray) -> np.ndarray:
+    """Standardize per-gene variance within mean-expression percentile bins."""
+    n_genes = means.shape[0]
+    dispersion = np.zeros(n_genes)
+    positive = means[means > 0]
+    if positive.size < 2:
+        return dispersion
+
+    edges = np.unique(
+        np.percentile(positive, np.linspace(0, 100, _N_DISPERSION_BINS + 1))
+    )
+    if edges.size < 2:
+        return dispersion
+
+    bin_of = np.clip(np.digitize(means, edges) - 1, 0, edges.size - 2)
+    for b in range(edges.size - 1):
+        members = bin_of == b
+        if members.sum() > 1:
+            v = variances[members]
+            dispersion[members] = (v - v.mean()) / (v.std() + 1e-10)
+    return dispersion
+
+
+def select_hvg(
+    Y: ArrayLike,
+    n_top: int = 2000,
+    min_mean: float = 0.0125,
+    max_mean: float = 3.0,
+    min_disp: float = 0.5,
+) -> np.ndarray:
+    """Select highly variable genes (Seurat-v3-style binned dispersion).
+
+    Parameters
+    ----------
+    Y : (n_spots, n_genes) array or sparse matrix
+        Raw counts.
+    n_top : int
+        Number of HVGs to return.
+    min_mean, max_mean, min_disp : float
+        Mean-expression window and dispersion floor for the valid-gene filter.
+
+    Returns
+    -------
+    (n_hvg,) int array of sorted gene indices.
+    """
+    means, variances = _log1p_cpm_moments(Y)
+    dispersion = _binned_dispersion(means, variances)
+
+    valid = np.flatnonzero(
+        (means >= min_mean) & (means <= max_mean) & (dispersion >= min_disp)
+    )
+    if valid.size < n_top:
+        # Not enough genes pass the filters: rank every gene by dispersion.
+        chosen = np.argsort(dispersion)[::-1][:n_top]
+    else:
+        order = np.argsort(dispersion[valid])[::-1][:n_top]
+        chosen = valid[order]
+    return np.sort(chosen)
+
+
+def select_markers(
+    X: np.ndarray,
+    n_markers: int = 50,
+    method: str = "diff",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Select cell-type-specific marker genes from the signature matrix.
+
+    Each gene is "owned" by the cell type with its highest row-normalized
+    expression; within each type's owned genes the top ``n_markers`` by a
+    specificity score are kept.
+
+    Parameters
+    ----------
+    X : (n_cell_types, n_genes) ndarray
+    n_markers : int
+        Markers per cell type.
+    method : {"diff", "ratio", "specificity"}
+        diff  — top expression minus runner-up;
+        ratio — top expression over mean of the others;
+        specificity — tau score.
+
+    Returns
+    -------
+    marker_idx : int array (union of all types' markers, unique-sorted)
+    marker_assignments : int array, owning type per selected marker (pre-union)
+    """
+    n_types, n_genes = X.shape
+    if n_markers < 0:
+        raise ValueError(f"n_markers must be non-negative, got {n_markers}")
+    if n_markers == 0 or n_types == 0:
+        return np.array([], dtype=np.intp), np.array([], dtype=np.intp)
+
+    Xn = X / (X.sum(axis=1, keepdims=True) + 1e-10)
+
+    if n_types == 1:
+        idx = np.arange(min(n_markers, n_genes))
+        return idx, np.zeros(idx.size, dtype=np.intp)
+
+    top = np.max(Xn, axis=0)
+    if method == "diff":
+        runner_up = np.partition(Xn, -2, axis=0)[-2]
+        score = top - runner_up
+    elif method == "ratio":
+        score = top / ((Xn.sum(axis=0) - top) / (n_types - 1) + 1e-10)
+    elif method == "specificity":
+        score = np.sum(1.0 - Xn / (top + 1e-10), axis=0) / (n_types - 1)
+    else:
+        raise ValueError(f"Unknown method: {method}")
+
+    owner = np.argmax(Xn, axis=0)
+    markers, assignments = [], []
+    for k in range(n_types):
+        owned = np.flatnonzero(owner == k)
+        if owned.size > 0:
+            picked = owned[np.argsort(score[owned])[::-1][:n_markers]]
+        else:
+            # Type owns no gene: fall back to its highest-expression genes.
+            picked = np.argsort(Xn[k])[::-1][:n_markers]
+        markers.extend(picked)
+        assignments.extend([k] * len(picked))
+
+    return np.unique(markers), np.asarray(assignments, dtype=np.intp)
+
+
+def compute_leverage_scores(
+    X: np.ndarray,
+    regularization: float = 1e-6,
+) -> np.ndarray:
+    """Per-gene leverage scores from the SVD of the centered signature matrix.
+
+    The reference matrix is centered across cell types and decomposed as
+    ``X_centered.T = U S Vt`` (genes x types); each gene's leverage is the
+    squared-loading sum over principal components, weighted by
+    ``s^2 / (s^2 + reg)``, normalized to a probability vector.
+
+    Falls back to normalized per-gene variance if the SVD fails to converge.
+    """
+    Xc = X - X.mean(axis=0, keepdims=True)
+    try:
+        U, s, _ = np.linalg.svd(Xc.T, full_matrices=False)
+    except np.linalg.LinAlgError:
+        var = np.var(X, axis=0)
+        return var / (var.sum() + regularization)
+
+    k = min(X.shape[0], X.shape[1], s.size)
+    pc_weight = s[:k] ** 2 / (s[:k] ** 2 + regularization)
+    leverage = (U[:, :k] ** 2) @ pc_weight
+    return leverage / (leverage.sum() + regularization)
+
+
+def select_informative_genes(
+    Y: ArrayLike,
+    X: np.ndarray,
+    n_hvg: int = 2000,
+    n_markers_per_type: int = 50,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Union of spatial HVGs and reference markers, with leverage scores.
+
+    Returns
+    -------
+    gene_idx : int array of selected gene indices (sorted, unique)
+    leverage_scores : float array over the selected genes (sums to ~1)
+    """
+    hvg_idx = select_hvg(Y, n_top=n_hvg)
+    marker_idx, _ = select_markers(X, n_markers=n_markers_per_type)
+    gene_idx = np.union1d(hvg_idx, marker_idx).astype(np.intp)
+    if gene_idx.size == 0:
+        raise ValueError("No genes selected. Increase n_hvg or n_markers_per_type.")
+    return gene_idx, compute_leverage_scores(X[:, gene_idx])

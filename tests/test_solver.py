@@ -1,0 +1,233 @@
+"""Solver behavioral contracts (mirrors reference tests/test_solver.py scope)."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from flashdeconv_tpu.core.solver import (
+    bcd_solve,
+    compute_objective,
+    normalize_proportions,
+    precompute_XtY,
+    precompute_gram_matrix,
+    soft_threshold,
+)
+from flashdeconv_tpu.core.spatial import compute_laplacian
+from flashdeconv_tpu.utils.graph import build_knn_graph
+
+
+@pytest.fixture
+def simple_problem():
+    rng = np.random.RandomState(42)
+    n_spots, n_types, d = 50, 5, 32
+    X_sketch = rng.randn(n_types, d)
+    beta_true = rng.rand(n_spots, n_types)
+    beta_true /= beta_true.sum(axis=1, keepdims=True)
+    Y_sketch = beta_true @ X_sketch + 0.1 * rng.randn(n_spots, d)
+    coords = rng.rand(n_spots, 2)
+    A = build_knn_graph(coords, k=4)
+    return Y_sketch, X_sketch, A, beta_true
+
+
+class TestSoftThreshold:
+    def test_positive_above(self):
+        assert soft_threshold(5.0, 2.0) == 3.0
+
+    def test_negative_below(self):
+        assert soft_threshold(-5.0, 2.0) == -3.0
+
+    def test_within_band(self):
+        assert soft_threshold(1.0, 2.0) == 0.0
+
+
+class TestGramMatrix:
+    def test_shape_symmetry_psd(self):
+        X = np.random.RandomState(0).randn(10, 64)
+        G = precompute_gram_matrix(X)
+        assert G.shape == (10, 10)
+        np.testing.assert_allclose(G, G.T)
+        assert np.all(np.linalg.eigvalsh(G) >= -1e-10)
+
+
+class TestBCDSolve:
+    def test_output_shape(self, simple_problem):
+        Y, X, A, _ = simple_problem
+        beta, info = bcd_solve(Y, X, A, max_iter=10)
+        assert beta.shape == (50, 5)
+
+    def test_non_negative(self, simple_problem):
+        Y, X, A, _ = simple_problem
+        beta, _ = bcd_solve(Y, X, A, max_iter=50)
+        assert np.all(beta >= -1e-10)
+
+    def test_info_contract(self, simple_problem):
+        Y, X, A, _ = simple_problem
+        _, info = bcd_solve(Y, X, A, max_iter=200, tol=1e-4)
+        for key in (
+            "converged",
+            "n_iterations",
+            "final_objective",
+            "objectives",
+            "final_change",
+        ):
+            assert key in info
+        assert info["n_iterations"] <= 200
+
+    def test_objective_finite_nonneg(self, simple_problem, capsys):
+        Y, X, A, _ = simple_problem
+        _, info = bcd_solve(
+            Y, X, A, lambda_=0.1, rho=0.01, max_iter=50, verbose=True
+        )
+        assert np.isfinite(info["final_objective"])
+        assert info["final_objective"] >= 0
+        assert len(info["objectives"]) >= 1
+        # The solve makes net progress (Jacobi-across-spots sweeps are not
+        # guaranteed monotone per-sweep, but the trajectory must descend).
+        assert info["final_objective"] <= info["objectives"][0] + 1e-6
+
+    def test_lambda_smoothing_monotone(self, simple_problem):
+        Y, X, A, _ = simple_problem
+        beta_low, _ = bcd_solve(Y, X, A, lambda_=0.001, max_iter=50)
+        beta_high, _ = bcd_solve(Y, X, A, lambda_=1.0, max_iter=50)
+        assert np.var(beta_high) <= np.var(beta_low) + 0.1
+
+    def test_recovers_signal(self, simple_problem):
+        Y, X, A, beta_true = simple_problem
+        beta, _ = bcd_solve(Y, X, A, lambda_=0.01, rho=0.0, max_iter=200)
+        corr = np.corrcoef(beta.ravel(), beta_true.ravel())[0, 1]
+        assert corr > 0.8
+
+    def test_empty_inputs(self):
+        from scipy import sparse
+
+        beta, info = bcd_solve(
+            np.zeros((0, 8)), np.zeros((3, 8)), sparse.csr_matrix((0, 0))
+        )
+        assert beta.shape == (0, 3)
+        assert info["converged"]
+
+    def test_float64_path(self, simple_problem):
+        # Compare at convergence: mid-trajectory iterates drift between
+        # precisions (residual maintenance cancels large terms), but both
+        # precisions must land on the same fixed point.
+        Y, X, A, _ = simple_problem
+        beta32, _ = bcd_solve(Y, X, A, max_iter=500, tol=1e-6, dtype=np.float32)
+        beta64, _ = bcd_solve(Y, X, A, max_iter=500, tol=1e-6, dtype=np.float64)
+        np.testing.assert_allclose(beta32, beta64, atol=2e-3)
+        corr = np.corrcoef(beta32.ravel(), beta64.ravel())[0, 1]
+        assert corr > 0.9999
+
+
+class TestNormalizeProportions:
+    def test_row_sums(self):
+        props = normalize_proportions(np.random.RandomState(0).rand(20, 5))
+        np.testing.assert_allclose(props.sum(axis=1), 1.0)
+
+    def test_preserves_ratios(self):
+        props = normalize_proportions(np.array([[2.0, 4.0], [3.0, 3.0]]))
+        np.testing.assert_allclose(props[0], [1 / 3, 2 / 3])
+        np.testing.assert_allclose(props[1], [0.5, 0.5])
+
+    def test_all_zero_rows_uniform(self):
+        props = normalize_proportions(
+            np.array([[0.0, 0, 0], [1, 2, 3], [0, 0, 0]])
+        )
+        assert np.all(np.isfinite(props))
+        np.testing.assert_allclose(props.sum(axis=1), 1.0)
+        np.testing.assert_allclose(props[0], 1 / 3)
+        np.testing.assert_allclose(props[2], 1 / 3)
+        np.testing.assert_allclose(props[1], [1 / 6, 2 / 6, 3 / 6])
+
+
+class TestObjective:
+    def _setup(self, seed, N, K, d, k=4):
+        rng = np.random.RandomState(seed)
+        Y = rng.randn(N, d)
+        X = rng.randn(K, d)
+        beta = np.abs(rng.randn(N, K))
+        A = build_knn_graph(rng.rand(N, 2), k=k)
+        L = compute_laplacian(A)
+        H = precompute_XtY(X, Y)
+        G = precompute_gram_matrix(X)
+        YtY = float(np.sum(Y**2))
+        return Y, X, beta, A, L, H, G, YtY
+
+    def test_nonnegative(self):
+        _, _, beta, _, L, H, G, YtY = self._setup(42, 30, 5, 32)
+        assert compute_objective(beta, H, G, YtY, L, 0.1, 0.01) >= 0
+
+    def test_perfect_fit_zero(self):
+        rng = np.random.RandomState(42)
+        X = rng.randn(3, 16)
+        beta = rng.rand(20, 3)
+        Y = beta @ X
+        A = build_knn_graph(rng.rand(20, 2), k=4)
+        L = compute_laplacian(A)
+        obj = compute_objective(
+            beta,
+            precompute_XtY(X, Y),
+            precompute_gram_matrix(X),
+            float(np.sum(Y**2)),
+            L,
+            0.0,
+            0.0,
+        )
+        np.testing.assert_allclose(obj, 0, atol=1e-10)
+
+    @pytest.mark.parametrize(
+        "seed,N,K,d", [(0, 50, 3, 20), (1, 200, 10, 64), (2, 30, 8, 128)]
+    )
+    def test_matches_einsum_expansion(self, seed, N, K, d):
+        lam, rho = 0.1, 0.05
+        Y, X, beta, A, L, H, G, YtY = self._setup(seed, N, K, d)
+        direct = (
+            0.5 * np.sum((Y - beta @ X) ** 2)
+            + 0.5 * lam * np.einsum("ik,ik->", beta, (L @ beta))
+            + rho * np.abs(beta).sum()
+        )
+        fast = compute_objective(beta, H, G, YtY, L, lam, rho)
+        np.testing.assert_allclose(fast, direct, rtol=1e-9, atol=1e-8)
+
+    def test_device_objective_matches_host(self):
+        import jax.numpy as jnp
+
+        from flashdeconv_tpu.ops.bcd import objective_terms
+        from flashdeconv_tpu.utils.graph import adjacency_to_padded
+
+        Y, X, beta, A, L, H, G, YtY = self._setup(3, 60, 6, 48)
+        host = compute_objective(beta, H, G, YtY, L, 0.2, 0.03)
+        nbr, nnb = adjacency_to_padded(A)
+        dev = float(
+            objective_terms(
+                jnp.asarray(beta),
+                jnp.asarray(Y @ X.T),
+                jnp.asarray(G),
+                YtY,
+                jnp.asarray(nbr),
+                jnp.asarray(nnb, dtype=jnp.float64),
+                0.2,
+                0.03,
+            )
+        )
+        np.testing.assert_allclose(dev, host, rtol=1e-9)
+
+
+class TestDeterminism:
+    def test_bitwise_reproducible(self):
+        rng = np.random.RandomState(42)
+        n_spots, n_types, d = 60, 7, 48
+        X = rng.randn(n_types, d)
+        bt = rng.rand(n_spots, n_types)
+        bt /= bt.sum(axis=1, keepdims=True)
+        Y = bt @ X + 0.05 * rng.randn(n_spots, d)
+        A = build_knn_graph(rng.rand(n_spots, 2), k=4)
+
+        runs = [
+            bcd_solve(Y, X, A, lambda_=0.1, rho=0.01, max_iter=30, tol=1e-6)
+            for _ in range(2)
+        ]
+        h = [hashlib.sha256(b.tobytes()).hexdigest() for b, _ in runs]
+        assert h[0] == h[1]
+        assert runs[0][1]["n_iterations"] == runs[1][1]["n_iterations"]
+        assert runs[0][1]["converged"] == runs[1][1]["converged"]
