@@ -1,0 +1,22 @@
+"""Multi-device scaling layer: spot sharding, halo exchange, mesh solve.
+
+The reference implementation is single-process (SURVEY.md: no distributed
+code anywhere); this package is the TPU-native scaling design — a 1-D device
+mesh over the spot axis, locality-preserving graph partitioning, per-sweep
+boundary-row halo exchange over ICI, and ``pmax`` convergence reductions.
+"""
+
+from flashdeconv_tpu.parallel.ordering import morton_codes, morton_order, spot_order
+from flashdeconv_tpu.parallel.partition import ShardPlan, halo_fraction, plan_shards
+from flashdeconv_tpu.parallel.solver import default_mesh, sharded_bcd_solve
+
+__all__ = [
+    "ShardPlan",
+    "default_mesh",
+    "halo_fraction",
+    "morton_codes",
+    "morton_order",
+    "plan_shards",
+    "sharded_bcd_solve",
+    "spot_order",
+]

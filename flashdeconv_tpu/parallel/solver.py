@@ -1,0 +1,249 @@
+"""Distributed BCD solve: spot-sharded ``shard_map`` over a device mesh.
+
+TPU-native replacement for the reference's shared-memory thread fan-out
+(reference ``flashdeconv/core/solver.py:104-184``): the ``prange`` over spots
+becomes the mesh shard axis, the Jacobi neighbor reads become a per-sweep
+boundary-row ``all_gather`` over ICI (halo exchange planned host-side by
+:mod:`flashdeconv_tpu.parallel.partition`), and the one global reduction per
+sweep (reference ``core/solver.py:395-397``) becomes two ``lax.pmax`` scalars.
+
+The per-shard sweep body reuses the single-device kernels
+(:mod:`flashdeconv_tpu.ops.bcd`) verbatim — identical Gauss-Seidel-within /
+Jacobi-across iterate path, so sharded and single-device solves agree to
+floating-point rounding at any shard count.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+from scipy import sparse
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flashdeconv_tpu.ops.bcd import coordinate_descent, neighbor_sum
+from flashdeconv_tpu.parallel.partition import ShardPlan, plan_shards
+
+_AXIS = "spots"
+
+
+def default_mesh(n_shards: Optional[int] = None) -> Mesh:
+    """1-D mesh over the first ``n_shards`` local devices (all by default)."""
+    devices = jax.devices()
+    if n_shards is None:
+        n_shards = len(devices)
+    if n_shards > len(devices):
+        raise ValueError(
+            f"Requested {n_shards} shards but only {len(devices)} devices "
+            f"are visible."
+        )
+    return Mesh(np.asarray(devices[:n_shards]), (_AXIS,))
+
+
+def _halo_exchange(beta_loc: jnp.ndarray, send_idx: jnp.ndarray) -> jnp.ndarray:
+    """Publish this shard's boundary rows; return the pooled global buffer.
+
+    beta_loc : (shard_size, K); send_idx : (halo_width,) local rows with
+    padding == shard_size (maps to an appended zero row).
+    Returns (n_shards * halo_width, K).
+    """
+    zero = jnp.zeros((1, beta_loc.shape[1]), dtype=beta_loc.dtype)
+    boundary = jnp.take(
+        jnp.concatenate([beta_loc, zero], axis=0), send_idx, axis=0
+    )
+    pool = lax.all_gather(boundary, _AXIS, tiled=True)
+    return pool
+
+
+def _sharded_sweep(beta_loc, Xty_loc, XtX, nbr_loc, nnb_loc, mask_loc,
+                   send_idx, lambda_, rho):
+    """One BCD sweep of this shard's spots, incl. halo exchange and stats."""
+    pool = _halo_exchange(beta_loc, send_idx)
+    zero = jnp.zeros((1, beta_loc.shape[1]), dtype=beta_loc.dtype)
+    beta_ext = jnp.concatenate([beta_loc, pool, zero], axis=0)
+    nbr_sum = neighbor_sum(beta_ext, nbr_loc)
+
+    beta_new = coordinate_descent(
+        beta_loc, Xty_loc, XtX, nbr_sum, nnb_loc, lambda_, rho
+    )
+    beta_new = jnp.where(mask_loc[:, None], beta_new, 0.0)
+
+    diffs = jnp.max(jnp.abs(beta_new - beta_loc), axis=1)
+    abs_old = jnp.max(jnp.abs(beta_loc), axis=1)
+    diffs = jnp.where(mask_loc, diffs, 0.0)
+    abs_old = jnp.where(mask_loc, abs_old, 0.0)
+    max_diff = lax.pmax(jnp.max(diffs), _AXIS)
+    max_abs = lax.pmax(jnp.max(abs_old), _AXIS)
+    return beta_new, max_diff, max_abs
+
+
+def _sharded_iterate(beta_loc, Xty_loc, XtX, nbr_loc, nnb_loc, mask_loc,
+                     send_idx, lambda_, rho, tol, max_iter: int):
+    """Per-shard body of the fused solve loop (runs inside shard_map).
+
+    Convergence semantics match the reference driver
+    (``flashdeconv/core/solver.py:385-413``): stop when
+    global_max_diff / (global_max_abs + 1e-10) < tol.
+    """
+    big = jnp.asarray(jnp.inf, dtype=beta_loc.dtype)
+
+    def cond(carry):
+        _, it, rel = carry
+        return jnp.logical_and(it < max_iter, rel >= tol)
+
+    def body(carry):
+        beta, it, _ = carry
+        beta_new, max_diff, max_abs = _sharded_sweep(
+            beta, Xty_loc, XtX, nbr_loc, nnb_loc, mask_loc, send_idx,
+            lambda_, rho,
+        )
+        rel = max_diff / (max_abs + 1e-10)
+        return beta_new, it + 1, rel
+
+    beta, n_iter, rel = lax.while_loop(
+        cond, body, (beta_loc, jnp.int32(0), big)
+    )
+    return beta, n_iter, rel
+
+
+@partial(jax.jit, static_argnames=("mesh", "max_iter"))
+def _sharded_solve_jit(beta0, Xty, XtX, nbr, nnb, mask, send_idx,
+                       lambda_, rho, tol, mesh: Mesh, max_iter: int):
+    shard = P(_AXIS)
+    repl = P()
+    fn = jax.shard_map(
+        partial(_sharded_iterate, max_iter=max_iter),
+        mesh=mesh,
+        in_specs=(shard, shard, repl, shard, shard, shard, shard,
+                  repl, repl, repl),
+        out_specs=(shard, repl, repl),
+    )
+    return fn(beta0, Xty, XtX, nbr, nnb, mask, send_idx, lambda_, rho, tol)
+
+
+def sharded_bcd_solve(
+    Y_sketch: np.ndarray,
+    X_sketch: np.ndarray,
+    A: sparse.spmatrix,
+    lambda_: float = 0.1,
+    rho: float = 0.01,
+    max_iter: int = 100,
+    tol: float = 1e-4,
+    coords: Optional[np.ndarray] = None,
+    mesh: Optional[Mesh] = None,
+    n_shards: Optional[int] = None,
+    plan: Optional[ShardPlan] = None,
+    order: str = "morton",
+    verbose: bool = False,
+    dtype=np.float32,
+    beta_init: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, dict]:
+    """Multi-device BCD solve; drop-in for :func:`core.solver.bcd_solve`.
+
+    Partitions spots over the mesh's ``"spots"`` axis (contiguous blocks of a
+    Morton ordering when ``coords`` is given), runs the fused while-loop solve
+    under ``shard_map`` with per-sweep boundary halo exchange, and returns
+    beta in the original spot order with the standard ``info`` contract.
+    """
+    n_spots = Y_sketch.shape[0]
+    n_types = X_sketch.shape[0]
+
+    if n_spots == 0 or n_types == 0 or max_iter == 0:
+        beta = np.full((n_spots, n_types), 1.0 / max(n_types, 1))
+        if n_spots == 0 or n_types == 0:
+            beta = np.empty((n_spots, n_types))
+        return beta, {
+            "converged": n_spots == 0 or n_types == 0,
+            "n_iterations": 0,
+            "final_objective": 0.0,
+            "objectives": [],
+            "final_change": 0.0,
+        }
+
+    if mesh is None:
+        mesh = default_mesh(n_shards)
+    n_shards = mesh.devices.size
+
+    if plan is None:
+        plan = plan_shards(A, n_shards, coords=coords, order=order)
+    if verbose:
+        from flashdeconv_tpu.parallel.partition import halo_fraction
+
+        print(
+            f"Sharded solve: {n_shards} shards x {plan.shard_size} spots, "
+            f"halo width {plan.halo_width} "
+            f"({100 * halo_fraction(plan):.2f}% of rows exchanged/sweep)"
+        )
+
+    XtX64 = np.asarray(X_sketch, np.float64) @ np.asarray(X_sketch, np.float64).T
+    # f64-accumulated without materializing a float64 copy of Y_sketch.
+    YtY = float(np.einsum("ij,ij->", Y_sketch, Y_sketch, dtype=np.float64))
+    rho_eff = float(rho) * float(np.mean(np.diag(XtX64)))
+
+    Xty = plan.scatter(
+        np.ascontiguousarray((Y_sketch @ X_sketch.T), dtype=dtype)
+    )
+    if beta_init is not None:
+        if beta_init.shape != (n_spots, n_types):
+            raise ValueError(
+                f"beta_init shape {beta_init.shape} does not match "
+                f"({n_spots}, {n_types})"
+            )
+        beta0 = plan.scatter(
+            np.ascontiguousarray(np.maximum(beta_init, 0.0), dtype=dtype)
+        )
+    else:
+        beta0 = np.where(
+            plan.spot_mask[:, None], np.asarray(1.0 / n_types, dtype=dtype), 0.0
+        ).astype(dtype)
+        beta0 = np.broadcast_to(beta0, (plan.n_padded, n_types)).copy()
+
+    shard = NamedSharding(mesh, P(_AXIS))
+    repl = NamedSharding(mesh, P())
+    put = partial(jax.device_put)
+    beta0_d = put(jnp.asarray(beta0), shard)
+    Xty_d = put(jnp.asarray(Xty), shard)
+    nbr_d = put(jnp.asarray(plan.nbr_idx), shard)
+    nnb_d = put(jnp.asarray(plan.n_nbrs, dtype=dtype), shard)
+    mask_d = put(jnp.asarray(plan.spot_mask), shard)
+    send_d = put(jnp.asarray(plan.send_idx), shard)
+    XtX_d = put(jnp.asarray(XtX64, dtype=dtype), repl)
+    lam_d = put(jnp.asarray(lambda_, dtype=dtype), repl)
+    rho_d = put(jnp.asarray(rho_eff, dtype=dtype), repl)
+    tol_d = put(jnp.asarray(tol, dtype=dtype), repl)
+
+    beta_d, n_iter_d, rel_d = _sharded_solve_jit(
+        beta0_d, Xty_d, XtX_d, nbr_d, nnb_d, mask_d, send_d,
+        lam_d, rho_d, tol_d, mesh, max_iter,
+    )
+
+    beta_pad = np.asarray(beta_d, dtype=np.float64)
+    beta = plan.gather(beta_pad)
+    n_iter = int(n_iter_d)
+    rel_change = float(rel_d)
+
+    # Final objective on host float64 (one-shot; matches single-device form).
+    from flashdeconv_tpu.core.solver import compute_objective
+    from flashdeconv_tpu.core.spatial import compute_laplacian
+
+    L = compute_laplacian(A)
+    final_obj = compute_objective(
+        beta, (np.asarray(X_sketch) @ np.asarray(Y_sketch).T),
+        XtX64, YtY, L, lambda_, rho_eff,
+    )
+
+    info = {
+        "converged": bool(rel_change < tol),
+        "n_iterations": n_iter,
+        "final_objective": float(final_obj),
+        "objectives": [],
+        "final_change": rel_change,
+        "n_shards": n_shards,
+        "halo_width": plan.halo_width,
+    }
+    return beta, info

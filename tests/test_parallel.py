@@ -1,0 +1,194 @@
+"""Multi-device sharding tests on a virtual 8-device CPU mesh.
+
+The conftest forces ``--xla_force_host_platform_device_count=8`` so the full
+mesh / shard_map / halo-exchange path runs exactly as on a real slice. The
+key contract: the sharded solve is numerically equivalent to the
+single-device solve at any shard count (identical iterate path).
+"""
+
+import numpy as np
+import pytest
+from scipy import sparse
+
+import jax
+
+from tests.conftest import make_synthetic
+
+from flashdeconv_tpu.core.solver import bcd_solve
+from flashdeconv_tpu.parallel import (
+    default_mesh,
+    halo_fraction,
+    morton_order,
+    plan_shards,
+    sharded_bcd_solve,
+)
+from flashdeconv_tpu.utils.graph import build_knn_graph
+
+
+def _problem(n_spots=600, n_types=7, d=64, seed=3):
+    rng = np.random.RandomState(seed)
+    side = int(np.ceil(np.sqrt(n_spots)))
+    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+    coords = np.column_stack([xs.ravel(), ys.ravel()])[:n_spots].astype(float)
+    X_sketch = rng.randn(n_types, d)
+    beta_true = np.abs(rng.randn(n_spots, n_types))
+    Y_sketch = beta_true @ X_sketch + 0.05 * rng.randn(n_spots, d)
+    A = build_knn_graph(coords, k=6)
+    return Y_sketch, X_sketch, A, coords
+
+
+class TestOrdering:
+    def test_morton_is_permutation(self):
+        rng = np.random.RandomState(0)
+        coords = rng.rand(500, 2) * 100
+        perm = morton_order(coords)
+        assert sorted(perm.tolist()) == list(range(500))
+
+    def test_morton_locality(self):
+        # consecutive Morton positions should be spatially close on a grid
+        xs, ys = np.meshgrid(np.arange(32), np.arange(32))
+        coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+        perm = morton_order(coords)
+        ordered = coords[perm]
+        jumps = np.linalg.norm(np.diff(ordered, axis=0), axis=1)
+        assert np.median(jumps) <= 2.0
+
+    def test_3d_coords(self):
+        rng = np.random.RandomState(1)
+        coords = rng.rand(200, 3)
+        perm = morton_order(coords)
+        assert sorted(perm.tolist()) == list(range(200))
+
+
+class TestShardPlan:
+    @pytest.mark.parametrize("n_shards", [1, 3, 8])
+    def test_neighbor_sum_reconstruction(self, n_shards):
+        """The remapped tables + simulated halo exchange reproduce A @ beta."""
+        rng = np.random.RandomState(7)
+        n, k_types = 350, 5
+        coords = rng.rand(n, 2) * 30
+        A = build_knn_graph(coords, k=5)
+        plan = plan_shards(A, n_shards, coords=coords)
+
+        beta = rng.randn(n, k_types)
+        beta_pad = plan.scatter(beta)
+        S, ssz, hw = plan.n_shards, plan.shard_size, plan.halo_width
+
+        pools = []
+        for s in range(S):
+            bl = beta_pad[s * ssz : (s + 1) * ssz]
+            bl_ext = np.vstack([bl, np.zeros((1, k_types))])
+            pools.append(bl_ext[plan.send_idx[s * hw : (s + 1) * hw]])
+        pool = np.vstack(pools)
+
+        ns = np.zeros_like(beta_pad)
+        for s in range(S):
+            bl = beta_pad[s * ssz : (s + 1) * ssz]
+            ext = np.vstack([bl, pool, np.zeros((1, k_types))])
+            nbr = plan.nbr_idx[s * ssz : (s + 1) * ssz]
+            ns[s * ssz : (s + 1) * ssz] = ext[nbr].sum(axis=1)
+
+        expected = A @ beta
+        np.testing.assert_allclose(plan.gather(ns), expected, atol=1e-12)
+
+    def test_degrees_preserved(self):
+        rng = np.random.RandomState(2)
+        coords = rng.rand(100, 2)
+        A = build_knn_graph(coords, k=4)
+        plan = plan_shards(A, 4, coords=coords)
+        deg = np.asarray(A.sum(axis=1)).ravel()
+        np.testing.assert_array_equal(
+            plan.gather(plan.n_nbrs.astype(np.int64)), deg.astype(np.int64)
+        )
+
+    def test_halo_small_on_grid(self):
+        xs, ys = np.meshgrid(np.arange(40), np.arange(40))
+        coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+        A = build_knn_graph(coords, k=6)
+        plan = plan_shards(A, 8, coords=coords)
+        # locality ordering keeps boundary rows a small fraction of all rows
+        assert halo_fraction(plan) < 0.35
+
+    def test_single_shard_no_halo_refs(self):
+        rng = np.random.RandomState(4)
+        coords = rng.rand(64, 2)
+        A = build_knn_graph(coords, k=3)
+        plan = plan_shards(A, 1, coords=coords)
+        assert (plan.send_idx >= plan.shard_size).all()  # nothing to send
+
+
+@pytest.mark.parametrize("n_shards", [1, 4, 8])
+def test_sharded_matches_single_device(n_shards):
+    """Sharded and single-device solves agree to fp rounding (f64)."""
+    Y_sketch, X_sketch, A, coords = _problem()
+    kwargs = dict(lambda_=0.3, rho=0.01, max_iter=60, tol=1e-5)
+
+    beta_ref, info_ref = bcd_solve(
+        Y_sketch, X_sketch, A, dtype=np.float64, **kwargs
+    )
+    beta_sh, info_sh = sharded_bcd_solve(
+        Y_sketch, X_sketch, A, coords=coords, n_shards=n_shards,
+        dtype=np.float64, **kwargs,
+    )
+
+    assert info_sh["n_shards"] == n_shards
+    assert abs(info_sh["n_iterations"] - info_ref["n_iterations"]) <= 1
+    np.testing.assert_allclose(beta_sh, beta_ref, atol=1e-8)
+    np.testing.assert_allclose(
+        info_sh["final_objective"], info_ref["final_objective"], rtol=1e-8
+    )
+
+
+def test_sharded_nonnegative_and_converges():
+    Y_sketch, X_sketch, A, coords = _problem(n_spots=333, seed=11)
+    beta, info = sharded_bcd_solve(
+        Y_sketch, X_sketch, A, coords=coords, n_shards=8,
+        lambda_=0.5, rho=0.02, max_iter=100, tol=1e-4,
+    )
+    assert beta.shape == (333, 7)
+    assert (beta >= 0).all()
+    assert info["converged"]
+    assert np.isfinite(info["final_objective"])
+
+
+def test_sharded_end_to_end_accuracy():
+    """Full pipeline with the sharded solver recovers ground truth."""
+    Y, X, coords, props = make_synthetic(n_spots=400, n_genes=600, n_types=8)
+    from flashdeconv_tpu.core.sketching import sketch_data
+    from flashdeconv_tpu.core.deconv import preprocess_data
+    from flashdeconv_tpu.core.spatial import auto_tune_lambda
+    from flashdeconv_tpu.core.solver import normalize_proportions
+    from flashdeconv_tpu.utils.genes import select_informative_genes
+
+    gene_idx, lev = select_informative_genes(Y, X, n_hvg=400,
+                                             n_markers_per_type=20)
+    Yt, Xt = preprocess_data(Y[:, gene_idx], X[:, gene_idx], "log_cpm")
+    Ys, Xs, _ = sketch_data(Yt, Xt, sketch_dim=256, leverage_scores=lev,
+                            random_state=0)
+    A = build_knn_graph(coords, k=6)
+    lam = auto_tune_lambda(Ys, Xs, A)
+
+    beta, info = sharded_bcd_solve(Ys, Xs, A, coords=coords, lambda_=lam,
+                                   rho=0.01, n_shards=8)
+    P = normalize_proportions(beta)
+    corr = np.corrcoef(P.ravel(), props.ravel())[0, 1]
+    assert corr > 0.5
+
+
+def test_flashdeconv_n_shards_matches_single(synthetic_small):
+    """FlashDeconv(n_shards=8) produces the same proportions as n_shards=1."""
+    from flashdeconv_tpu import FlashDeconv
+
+    Y, X, coords, _ = synthetic_small
+    kwargs = dict(sketch_dim=128, n_hvg=300, n_markers_per_type=10,
+                  random_state=0, solver_dtype=np.float64)
+    P1 = FlashDeconv(**kwargs).fit_transform(Y, X, coords)
+    P8 = FlashDeconv(n_shards=8, **kwargs).fit_transform(Y, X, coords)
+    np.testing.assert_allclose(P8, P1, atol=1e-8)
+
+
+def test_default_mesh():
+    mesh = default_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    mesh4 = default_mesh(4)
+    assert mesh4.devices.size == 4
