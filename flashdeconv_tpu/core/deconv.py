@@ -105,6 +105,16 @@ class FlashDeconv:
     verbose : bool, default False
     solver_dtype : numpy dtype, default float32
         Device compute precision for the BCD solve.
+    mesh : jax.sharding.Mesh, optional
+        Device mesh for the spot-sharded distributed solve; when given (or
+        when ``n_shards > 1``) stage 6 runs via
+        :func:`flashdeconv_tpu.parallel.sharded_bcd_solve`.
+    n_shards : int, optional
+        Number of local devices to shard spots over (builds a 1-D mesh).
+    warm_start : bool, default False
+        Reuse the previous fit's ``beta_`` as the solver's starting point
+        when shapes match (useful for re-fits with perturbed data or
+        hyperparameters; reference always cold-starts).
 
     Attributes (after fit)
     ----------------------
@@ -132,6 +142,9 @@ class FlashDeconv:
         random_state: Optional[int] = 0,
         verbose: bool = False,
         solver_dtype=np.float32,
+        mesh=None,
+        n_shards: Optional[int] = None,
+        warm_start: bool = False,
     ):
         if sketch_dim <= 0:
             raise ValueError(f"sketch_dim must be positive, got {sketch_dim}")
@@ -162,6 +175,8 @@ class FlashDeconv:
                 f"Unknown preprocess method: {preprocess}. "
                 f"Choose from {_PREPROCESS_METHODS}."
             )
+        if n_shards is not None and n_shards < 1:
+            raise ValueError(f"n_shards must be >= 1, got {n_shards}")
 
         self.sketch_dim = sketch_dim
         self.lambda_spatial = lambda_spatial
@@ -177,11 +192,15 @@ class FlashDeconv:
         self.random_state = random_state
         self.verbose = verbose
         self.solver_dtype = solver_dtype
+        self.mesh = mesh
+        self.n_shards = n_shards
+        self.warm_start = warm_start
 
         self.beta_ = None
         self.proportions_ = None
         self.gene_idx_ = None
         self.info_ = None
+        self.timings_ = None
         self._fitted = False
 
     # Kept as a method for API familiarity; delegates to the module function.
@@ -201,6 +220,9 @@ class FlashDeconv:
         from flashdeconv_tpu.core.solver import bcd_solve, normalize_proportions
         from flashdeconv_tpu.utils.genes import select_informative_genes
         from flashdeconv_tpu.utils.graph import coords_to_adjacency
+        from flashdeconv_tpu.utils.timing import StageTimer, trace
+
+        timer = StageTimer()
 
         if Y.shape[1] != X.shape[1]:
             raise ValueError(
@@ -237,71 +259,117 @@ class FlashDeconv:
 
         # [1] informative genes + leverage
         self._log("Step 1: selecting informative genes...")
-        gene_idx, leverage_scores = select_informative_genes(
-            Y, X, n_hvg=self.n_hvg, n_markers_per_type=self.n_markers_per_type
-        )
-        self.gene_idx_ = gene_idx
+        with timer.stage("gene_selection"):
+            gene_idx, leverage_scores = select_informative_genes(
+                Y, X, n_hvg=self.n_hvg, n_markers_per_type=self.n_markers_per_type
+            )
+            self.gene_idx_ = gene_idx
+            Y_subset = Y[:, gene_idx]
+            if sparse.issparse(Y_subset) and not sparse.isspmatrix_csr(Y_subset):
+                Y_subset = Y_subset.tocsr()
+            X_subset = X[:, gene_idx]
         self._log(f"  Selected {len(gene_idx)} genes (HVG + markers)")
-
-        Y_subset = Y[:, gene_idx]
-        if sparse.issparse(Y_subset) and not sparse.isspmatrix_csr(Y_subset):
-            Y_subset = Y_subset.tocsr()
-        X_subset = X[:, gene_idx]
 
         # [2] normalization
         self._log(f"Step 2: preprocessing with method='{self.preprocess}'...")
-        Y_tilde, X_tilde = preprocess_data(Y_subset, X_subset, self.preprocess)
+        with timer.stage("preprocess"):
+            Y_tilde, X_tilde = preprocess_data(Y_subset, X_subset, self.preprocess)
 
         # [3] sketch G_sel -> d
         self._log(f"Step 3: sketching to {self.sketch_dim} dimensions...")
-        Y_sketch, X_sketch, _ = sketch_data(
-            Y_tilde,
-            X_tilde,
-            sketch_dim=self.sketch_dim,
-            leverage_scores=leverage_scores,
-            random_state=self.random_state,
-        )
+        with timer.stage("sketch"), trace("sketch"):
+            Y_sketch, X_sketch, _ = sketch_data(
+                Y_tilde,
+                X_tilde,
+                sketch_dim=self.sketch_dim,
+                leverage_scores=leverage_scores,
+                random_state=self.random_state,
+            )
 
         # [4] spatial graph
         self._log("Step 4: building spatial graph...")
-        A = coords_to_adjacency(
-            coords, method=self.spatial_method, k=self.k_neighbors,
-            radius=self.radius,
-        )
+        with timer.stage("spatial_graph"):
+            A = coords_to_adjacency(
+                coords, method=self.spatial_method, k=self.k_neighbors,
+                radius=self.radius,
+            )
         self.adjacency_ = A
         avg_nbrs = float(np.mean(np.asarray(A.sum(axis=1)).ravel()))
         self._log(f"  Average neighbors per spot: {avg_nbrs:.1f}")
 
         # [5] lambda
-        if self.lambda_spatial == "auto":
-            lambda_ = auto_tune_lambda(Y_sketch, X_sketch, A)
-            self._log(f"Step 5: auto-tuned lambda = {lambda_:.4f}")
-        else:
-            lambda_ = float(self.lambda_spatial)
-            self._log(f"Step 5: using lambda = {lambda_:.4f}")
+        with timer.stage("lambda_tuning"):
+            if self.lambda_spatial == "auto":
+                lambda_ = auto_tune_lambda(Y_sketch, X_sketch, A)
+                self._log(f"Step 5: auto-tuned lambda = {lambda_:.4f}")
+            else:
+                lambda_ = float(self.lambda_spatial)
+                self._log(f"Step 5: using lambda = {lambda_:.4f}")
         self.lambda_used_ = lambda_
 
-        # [6] solve
-        self._log("Step 6: solving via Block Coordinate Descent on device...")
-        beta, info = bcd_solve(
-            Y_sketch,
-            X_sketch,
-            A,
-            lambda_=lambda_,
-            rho=self.rho_sparsity,
-            max_iter=self.max_iter,
-            tol=self.tol,
-            verbose=self.verbose,
-            dtype=self.solver_dtype,
-        )
+        beta_init = None
+        if (
+            self.warm_start
+            and self.beta_ is not None
+            and self.beta_.shape == (Y.shape[0], X.shape[0])
+        ):
+            beta_init = self.beta_
+            self._log("  Warm-starting from previous beta_")
+
+        # [6] solve — multi-device when a mesh / shard count is configured
+        with timer.stage("solve"), trace("bcd_solve"):
+            if self.mesh is not None or (
+                self.n_shards is not None and self.n_shards > 1
+            ):
+                from flashdeconv_tpu.parallel import sharded_bcd_solve
+
+                self._log(
+                    "Step 6: solving via sharded Block Coordinate Descent "
+                    "(spot-parallel mesh)..."
+                )
+                beta, info = sharded_bcd_solve(
+                    Y_sketch,
+                    X_sketch,
+                    A,
+                    lambda_=lambda_,
+                    rho=self.rho_sparsity,
+                    max_iter=self.max_iter,
+                    tol=self.tol,
+                    coords=coords,
+                    mesh=self.mesh,
+                    n_shards=self.n_shards,
+                    verbose=self.verbose,
+                    dtype=self.solver_dtype,
+                    beta_init=beta_init,
+                )
+            else:
+                self._log(
+                    "Step 6: solving via Block Coordinate Descent on device..."
+                )
+                beta, info = bcd_solve(
+                    Y_sketch,
+                    X_sketch,
+                    A,
+                    lambda_=lambda_,
+                    rho=self.rho_sparsity,
+                    max_iter=self.max_iter,
+                    tol=self.tol,
+                    verbose=self.verbose,
+                    dtype=self.solver_dtype,
+                    beta_init=beta_init,
+                )
 
         self.beta_ = beta
         self.proportions_ = normalize_proportions(beta)
         self.info_ = info
+        self.timings_ = timer.timings
         self._fitted = True
 
         self._log(f"  Converged: {info['converged']}")
         self._log(f"  Iterations: {info['n_iterations']}")
+        if self.verbose:
+            print("Stage timings:")
+            print(timer.report())
         self._log("FlashDeconv-TPU: done!")
         return self
 
@@ -348,6 +416,58 @@ class FlashDeconv:
             "n_iterations": self.info_["n_iterations"],
             "final_objective": self.info_["final_objective"],
         }
+
+    def save(self, path: str) -> None:
+        """Checkpoint the fitted state to an ``.npz`` file.
+
+        Persists beta_/proportions_/gene_idx_/lambda_used_ plus the
+        convergence record. The reference has no checkpointing (SURVEY.md
+        §5); for atlas-scale runs beta_ is the only state worth saving —
+        reload with :meth:`load` and re-solve warm-started after a failure
+        or a hyperparameter tweak.
+        """
+        self._check_fitted()
+        np.savez_compressed(
+            path,
+            beta=self.beta_,
+            proportions=self.proportions_,
+            gene_idx=self.gene_idx_,
+            lambda_used=self.lambda_used_,
+            converged=self.info_["converged"],
+            n_iterations=self.info_["n_iterations"],
+            final_objective=self.info_["final_objective"],
+            final_change=self.info_["final_change"],
+            n_spots=self.n_spots_,
+            n_genes=self.n_genes_,
+            n_cell_types=self.n_cell_types_,
+        )
+
+    @classmethod
+    def load(cls, path: str, **init_kwargs) -> "FlashDeconv":
+        """Restore a fitted model from :meth:`save` output.
+
+        ``init_kwargs`` are forwarded to the constructor (they must match
+        the original hyperparameters if you intend to warm-start a re-fit).
+        """
+        data = np.load(path, allow_pickle=False)
+        model = cls(**init_kwargs)
+        model.beta_ = data["beta"]
+        model.proportions_ = data["proportions"]
+        model.gene_idx_ = data["gene_idx"]
+        model.lambda_used_ = float(data["lambda_used"])
+        model.n_spots_ = int(data["n_spots"])
+        model.n_genes_ = int(data["n_genes"])
+        model.n_cell_types_ = int(data["n_cell_types"])
+        model.cell_type_names_ = None
+        model.info_ = {
+            "converged": bool(data["converged"]),
+            "n_iterations": int(data["n_iterations"]),
+            "final_objective": float(data["final_objective"]),
+            "objectives": [],
+            "final_change": float(data["final_change"]),
+        }
+        model._fitted = True
+        return model
 
     def _check_fitted(self):
         if not self._fitted:

@@ -71,6 +71,7 @@ def bcd_solve(
     tol: float = 1e-4,
     verbose: bool = False,
     dtype=np.float32,
+    beta_init: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, dict]:
     """Solve min 0.5||Y - beta X||^2 + 0.5*lambda Tr(beta^T L beta) + rho||beta||_1, beta >= 0.
 
@@ -86,6 +87,10 @@ def bcd_solve(
         trajectory is observable; the non-verbose path fuses the entire solve
         into one device while-loop)
     dtype : device compute dtype (float32 on TPU; float64 needs x64 on CPU)
+    beta_init : optional (n_spots, n_cell_types) warm-start abundances
+        (e.g. a previous solve's ``beta_``); default cold-start is uniform
+        1/K. Warm starting typically halves sweep counts on re-solves with
+        perturbed data or hyperparameters.
 
     Returns
     -------
@@ -95,7 +100,11 @@ def bcd_solve(
     """
     import jax.numpy as jnp
 
-    from flashdeconv_tpu.ops.bcd import bcd_iterate, bcd_sweep, objective_terms
+    from flashdeconv_tpu.ops.bcd import (
+        bcd_iterate,
+        bcd_sweep_jit,
+        objective_terms_jit,
+    )
 
     n_spots = Y_sketch.shape[0]
     n_types = X_sketch.shape[0]
@@ -113,7 +122,9 @@ def bcd_solve(
         }
 
     XtX = precompute_gram_matrix(np.asarray(X_sketch, dtype=np.float64))
-    YtY = float(np.sum(np.asarray(Y_sketch, dtype=np.float64) ** 2))
+    # f64-accumulated without materializing a float64 copy of Y_sketch
+    # (the copy costs ~8 GB and ~60 s at 1M x 512; einsum is ~1 s).
+    YtY = float(np.einsum("ij,ij->", Y_sketch, Y_sketch, dtype=np.float64))
 
     # rho is user-facing dimensionless: rescale by the Gram diagonal so the
     # soft threshold is commensurate with the partial residual magnitude.
@@ -129,14 +140,20 @@ def bcd_solve(
     lam_d = jnp.asarray(lambda_, dtype=dtype)
     rho_d = jnp.asarray(rho_eff, dtype=dtype)
     tol_d = jnp.asarray(tol, dtype=dtype)
-    beta0 = jnp.full((n_spots, n_types), 1.0 / n_types, dtype=dtype)
+    if beta_init is not None:
+        if beta_init.shape != (n_spots, n_types):
+            raise ValueError(
+                f"beta_init shape {beta_init.shape} does not match "
+                f"({n_spots}, {n_types})"
+            )
+        beta0 = jnp.asarray(np.maximum(beta_init, 0.0), dtype=dtype)
+    else:
+        beta0 = jnp.full((n_spots, n_types), 1.0 / n_types, dtype=dtype)
 
     objectives: list = []
     if verbose:
-        import jax
-
-        sweep = jax.jit(bcd_sweep)
-        obj_fn = jax.jit(objective_terms)
+        sweep = bcd_sweep_jit
+        obj_fn = objective_terms_jit
         beta_d = beta0
         converged = False
         rel_change = 0.0
@@ -169,7 +186,10 @@ def bcd_solve(
         converged = rel_change < tol
 
     final_obj = float(
-        objective_terms(beta_d, Xty_d, XtX_d, YtY, nbr_d, nnb_d, lam_d, rho_d)
+        objective_terms_jit(
+            beta_d, Xty_d, XtX_d, jnp.asarray(YtY, dtype=dtype),
+            nbr_d, nnb_d, lam_d, rho_d,
+        )
     )
 
     beta = np.asarray(beta_d, dtype=np.float64)

@@ -258,3 +258,10 @@ def objective_terms(
 
     sparsity = rho * jnp.sum(jnp.abs(beta))
     return fidelity + spatial + sparsity
+
+
+# Module-level jitted entry points: created once so the trace cache persists
+# across bcd_solve calls (a fresh jax.jit wrapper per call would retrace and
+# recompile every solve).
+bcd_sweep_jit = jax.jit(bcd_sweep)
+objective_terms_jit = jax.jit(objective_terms)

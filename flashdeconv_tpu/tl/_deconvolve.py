@@ -31,12 +31,21 @@ def deconvolve(
     key_added: str = "flashdeconv",
     random_state: int = 0,
     copy: bool = False,
+    max_iter: int = 100,
+    tol: float = 1e-4,
+    verbose: bool = False,
+    mesh: Any = None,
+    n_shards: Optional[int] = None,
 ) -> Optional[Any]:
     """Estimate per-spot cell-type proportions and store them in ``adata_st``.
 
     Parameters mirror :class:`flashdeconv_tpu.FlashDeconv`; see its docstring.
     With ``copy=False`` (default) the AnnData is modified in place and None is
     returned; with ``copy=True`` a modified copy is returned.
+
+    TPU-scaling extras beyond the reference keyword surface: ``mesh`` /
+    ``n_shards`` route the solve through the spot-sharded multi-device path
+    (:func:`flashdeconv_tpu.parallel.sharded_bcd_solve`).
 
     Adds to the AnnData:
 
@@ -69,7 +78,11 @@ def deconvolve(
         radius=radius,
         preprocess=preprocess,
         random_state=random_state,
-        verbose=False,
+        max_iter=max_iter,
+        tol=tol,
+        verbose=verbose,
+        mesh=mesh,
+        n_shards=n_shards,
     )
     proportions = model.fit_transform(Y, X, coords, cell_type_names=cell_type_names)
 

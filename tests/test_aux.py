@@ -1,0 +1,127 @@
+"""Auxiliary subsystems: stage timings, warm start, checkpoint save/load."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_synthetic
+
+from flashdeconv_tpu import FlashDeconv
+from flashdeconv_tpu.utils.timing import StageTimer, trace
+
+
+_FIT_KWARGS = dict(
+    sketch_dim=128, n_hvg=300, n_markers_per_type=10, random_state=0
+)
+
+
+class TestStageTimer:
+    def test_collects_stages(self):
+        timer = StageTimer()
+        with timer.stage("a"):
+            pass
+        with timer.stage("b"):
+            pass
+        assert set(timer.timings) == {"a", "b"}
+        assert all(v >= 0 for v in timer.timings.values())
+        assert timer.total == pytest.approx(sum(timer.timings.values()))
+
+    def test_accumulates_repeated_stage(self):
+        timer = StageTimer()
+        for _ in range(3):
+            with timer.stage("x"):
+                pass
+        assert len(timer.timings) == 1
+
+    def test_report_format(self):
+        timer = StageTimer()
+        with timer.stage("solve"):
+            pass
+        rep = timer.report()
+        assert "solve" in rep and "total" in rep
+
+    def test_trace_noop_without_dir(self, monkeypatch):
+        monkeypatch.delenv("FLASHDECONV_TRACE_DIR", raising=False)
+        with trace("stage"):
+            pass  # must not require jax.profiler
+
+
+class TestFitTimings:
+    def test_fit_records_timings(self, synthetic_small):
+        Y, X, coords, _ = synthetic_small
+        model = FlashDeconv(**_FIT_KWARGS).fit(Y, X, coords)
+        assert set(model.timings_) >= {
+            "gene_selection", "preprocess", "sketch", "spatial_graph",
+            "lambda_tuning", "solve",
+        }
+
+
+class TestWarmStart:
+    def test_warm_start_reduces_iterations(self, synthetic_small):
+        Y, X, coords, _ = synthetic_small
+        model = FlashDeconv(warm_start=True, **_FIT_KWARGS)
+        model.fit(Y, X, coords)
+        n_cold = model.info_["n_iterations"]
+        p_cold = model.proportions_.copy()
+
+        model.fit(Y, X, coords)  # re-fit from the previous beta_
+        assert model.info_["n_iterations"] <= max(n_cold // 2, 2)
+        np.testing.assert_allclose(model.proportions_, p_cold, atol=1e-3)
+
+    def test_beta_init_solver_api(self):
+        from scipy import sparse
+        from flashdeconv_tpu.core.solver import bcd_solve
+
+        rng = np.random.RandomState(0)
+        n, k, d = 50, 4, 16
+        Xs = rng.randn(k, d)
+        Ys = np.abs(rng.randn(n, k)) @ Xs
+        A = sparse.eye(n, format="csr") * 0  # empty graph
+        beta1, info1 = bcd_solve(Ys, Xs, A, lambda_=0.0, rho=0.0)
+        beta2, info2 = bcd_solve(
+            Ys, Xs, A, lambda_=0.0, rho=0.0, beta_init=beta1
+        )
+        assert info2["n_iterations"] <= info1["n_iterations"]
+        np.testing.assert_allclose(beta2, beta1, atol=1e-4)
+
+    def test_beta_init_shape_validated(self):
+        from scipy import sparse
+        from flashdeconv_tpu.core.solver import bcd_solve
+
+        rng = np.random.RandomState(0)
+        Xs = rng.randn(3, 8)
+        Ys = rng.randn(10, 8)
+        A = sparse.csr_matrix((10, 10))
+        with pytest.raises(ValueError, match="beta_init"):
+            bcd_solve(Ys, Xs, A, beta_init=np.zeros((5, 3)))
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, synthetic_small, tmp_path):
+        Y, X, coords, _ = synthetic_small
+        model = FlashDeconv(**_FIT_KWARGS).fit(Y, X, coords)
+        path = tmp_path / "ckpt.npz"
+        model.save(str(path))
+
+        restored = FlashDeconv.load(str(path), **_FIT_KWARGS)
+        np.testing.assert_array_equal(restored.beta_, model.beta_)
+        np.testing.assert_array_equal(restored.proportions_, model.proportions_)
+        np.testing.assert_array_equal(restored.gene_idx_, model.gene_idx_)
+        assert restored.lambda_used_ == model.lambda_used_
+        assert restored.info_["n_iterations"] == model.info_["n_iterations"]
+        assert restored.summary()["fitted"]
+
+    def test_save_unfitted_raises(self, tmp_path):
+        with pytest.raises(RuntimeError, match="not been fitted"):
+            FlashDeconv().save(str(tmp_path / "x.npz"))
+
+    def test_loaded_model_warm_starts(self, synthetic_small, tmp_path):
+        Y, X, coords, _ = synthetic_small
+        model = FlashDeconv(warm_start=True, **_FIT_KWARGS).fit(Y, X, coords)
+        path = tmp_path / "ckpt.npz"
+        model.save(str(path))
+
+        restored = FlashDeconv.load(str(path), warm_start=True, **_FIT_KWARGS)
+        restored.fit(Y, X, coords)
+        assert restored.info_["n_iterations"] <= max(
+            model.info_["n_iterations"] // 2, 2
+        )
