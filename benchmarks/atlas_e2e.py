@@ -1,0 +1,106 @@
+"""End-to-end atlas-scale benchmark: 1M-spot Stereo-seq-like full pipeline.
+
+Times the FULL FlashDeconv pipeline (gene selection -> preprocess -> sketch
+-> graph -> lambda -> solve) on a synthetic sparse count matrix shaped like a
+binned Stereo-seq section: N = 1M spots x G = 20k genes at ~97% sparsity
+(~600 nnz/spot). The reference's published figure for this scale is ~3 min
+end-to-end on an M2 Max CPU (reference ``README.md:67``).
+
+Values are synthetic (accuracy is exercised elsewhere); this benchmark is
+about the O(nnz) host passes + the device solve at atlas scale.
+
+Usage: python benchmarks/atlas_e2e.py [--spots 1000000] [--genes 20000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+from scipy import sparse
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def make_sparse_counts(n_spots: int, n_genes: int, nnz_per_spot: int, n_types: int, seed=0):
+    """Random CSR counts with type-structured columns + grid coordinates."""
+    rng = np.random.default_rng(seed)
+
+    # Type-dependent gene pools so gene selection has real structure to find.
+    X = rng.gamma(2.0, 1.0, size=(n_types, n_genes)).astype(np.float32)
+    X *= rng.random((n_types, n_genes)) < 0.3
+
+    side = int(np.ceil(np.sqrt(n_spots)))
+    xs, ys = np.meshgrid(np.arange(side, dtype=np.float64),
+                         np.arange(side, dtype=np.float64))
+    coords = np.column_stack([xs.ravel(), ys.ravel()])[:n_spots]
+
+    # Dominant type varies smoothly over space (block pattern).
+    block = max(side // 8, 1)
+    dom = ((coords[:, 0] // block) + (coords[:, 1] // block)).astype(np.int64) % n_types
+
+    nnz = n_spots * nnz_per_spot
+    indptr = np.arange(0, nnz + 1, nnz_per_spot, dtype=np.int64)
+
+    # Half the nnz from the dominant type's top genes, half uniform noise.
+    top = np.argsort(-X, axis=1)[:, : n_genes // 4]  # (K, G/4) heavy genes
+    half = nnz_per_spot // 2
+    idx_heavy = rng.integers(0, top.shape[1], size=(n_spots, half))
+    cols_heavy = top[dom[:, None], idx_heavy]
+    cols_noise = rng.integers(0, n_genes, size=(n_spots, nnz_per_spot - half))
+    indices = np.concatenate([cols_heavy, cols_noise], axis=1).astype(np.int32).ravel()
+
+    data = rng.exponential(3.0, size=nnz).astype(np.float32) + 1.0
+    Y = sparse.csr_matrix((data, indices, indptr), shape=(n_spots, n_genes))
+    return Y, X.astype(np.float64), coords
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--spots", type=int, default=1_000_000)
+    p.add_argument("--genes", type=int, default=20_000)
+    p.add_argument("--nnz-per-spot", type=int, default=600)
+    p.add_argument("--types", type=int, default=25)
+    p.add_argument("--n-shards", type=int, default=None)
+    args = p.parse_args()
+
+    from flashdeconv_tpu import FlashDeconv
+
+    print(f"# generating {args.spots} x {args.genes} sparse counts...",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    Y, X, coords = make_sparse_counts(
+        args.spots, args.genes, args.nnz_per_spot, args.types
+    )
+    print(f"# generated in {time.perf_counter() - t0:.1f}s "
+          f"({Y.nnz / 1e6:.0f}M nnz, {1 - Y.nnz / (Y.shape[0] * Y.shape[1]):.1%} sparse)",
+          file=sys.stderr)
+
+    model = FlashDeconv(
+        sketch_dim=512, lambda_spatial="auto", n_hvg=2000,
+        n_markers_per_type=50, k_neighbors=6, random_state=0,
+        n_shards=args.n_shards, verbose=True,
+    )
+    t0 = time.perf_counter()
+    model.fit(Y, X, coords)
+    total = time.perf_counter() - t0
+
+    print(f"# end-to-end fit: {total:.1f}s "
+          f"({args.spots / total:.0f} spots/s)", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"spots_per_sec_e2e_{args.spots}spots",
+        "value": round(args.spots / total, 1),
+        "unit": "spots/s",
+        "vs_baseline": round((args.spots / total) / (1_000_000 / 180.0), 2),
+        "stage_seconds": {k: round(v, 2) for k, v in model.timings_.items()},
+        "n_iterations": model.info_["n_iterations"],
+        "converged": model.info_["converged"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -98,11 +98,11 @@ def bcd_solve(
     info : {"converged", "n_iterations", "final_objective", "objectives",
             "final_change"}
     """
+    import jax
     import jax.numpy as jnp
 
     from flashdeconv_tpu.ops.bcd import (
         bcd_iterate,
-        bcd_sweep_jit,
         objective_terms_jit,
     )
 
@@ -132,6 +132,35 @@ def bcd_solve(
 
     nbr_idx, n_nbrs = adjacency_to_padded(A)
 
+    # Fused Pallas coordinate-descent kernel: TPU, f32, K within one VMEM
+    # block. Requires the spot axis padded to the kernel's block size; the
+    # padded rows are all-zero with zero Xty / no neighbors, so they stay
+    # exactly zero through every sweep (and the appended-zero-row sentinel
+    # at index n_spots now lands on such a padded row — still zero).
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and np.dtype(dtype) == np.float32
+        and n_types <= 128
+    )
+    n_solve = n_spots
+    if use_pallas:
+        block = 2048
+        n_solve = -(-n_spots // block) * block
+        pad = n_solve - n_spots
+        if pad:
+            Y_sketch = np.concatenate(
+                [np.asarray(Y_sketch),
+                 np.zeros((pad, Y_sketch.shape[1]), dtype=np.asarray(Y_sketch).dtype)],
+                axis=0,
+            )
+            nbr_idx = np.concatenate(
+                [nbr_idx, np.full((pad, nbr_idx.shape[1]), n_spots,
+                                  dtype=nbr_idx.dtype)], axis=0
+            )
+            n_nbrs = np.concatenate(
+                [n_nbrs, np.zeros(pad, dtype=n_nbrs.dtype)]
+            )
+
     # Device operands
     Xty_d = jnp.asarray(Y_sketch @ X_sketch.T, dtype=dtype)  # (N, K)
     XtX_d = jnp.asarray(XtX, dtype=dtype)
@@ -146,40 +175,56 @@ def bcd_solve(
                 f"beta_init shape {beta_init.shape} does not match "
                 f"({n_spots}, {n_types})"
             )
-        beta0 = jnp.asarray(np.maximum(beta_init, 0.0), dtype=dtype)
+        b0 = np.maximum(np.asarray(beta_init, dtype=dtype), 0.0)
+        if n_solve != n_spots:
+            b0 = np.concatenate(
+                [b0, np.zeros((n_solve - n_spots, n_types), dtype=dtype)]
+            )
+        beta0 = jnp.asarray(b0, dtype=dtype)
     else:
-        beta0 = jnp.full((n_spots, n_types), 1.0 / n_types, dtype=dtype)
+        beta0 = jnp.zeros((n_solve, n_types), dtype=dtype).at[:n_spots].set(
+            1.0 / n_types
+        )
 
     objectives: list = []
     if verbose:
-        sweep = bcd_sweep_jit
-        obj_fn = objective_terms_jit
+        # Chunked fused loop: run up to 10 sweeps per device call so the
+        # objective can be logged every ~10 iterations (reference cadence,
+        # ``flashdeconv/core/solver.py:399-404``) without paying a host
+        # round-trip per sweep — on a remote-attached TPU each sync costs
+        # far more than the sweeps themselves.
+        chunk = 10
         beta_d = beta0
         converged = False
-        rel_change = 0.0
+        rel_change = float("inf")
         n_iter = 0
-        for iteration in range(max_iter):
-            beta_d, max_diff, max_abs = sweep(
-                beta_d, Xty_d, XtX_d, nbr_d, nnb_d, lam_d, rho_d
+        while n_iter < max_iter:
+            n_chunk = min(chunk, max_iter - n_iter)
+            beta_d, it_d, rel_d = bcd_iterate(
+                beta_d, Xty_d, XtX_d, nbr_d, nnb_d, lam_d, rho_d, tol_d,
+                n_chunk, use_pallas=use_pallas,
             )
-            rel_change = float(max_diff) / (float(max_abs) + 1e-10)
-            n_iter = iteration + 1
-            if iteration % 10 == 0 or iteration == max_iter - 1:
-                obj = float(
-                    obj_fn(beta_d, Xty_d, XtX_d, YtY, nbr_d, nnb_d, lam_d, rho_d)
+            rel_change = float(rel_d)
+            n_iter += int(it_d)
+            obj = float(
+                objective_terms_jit(
+                    beta_d, Xty_d, XtX_d, jnp.asarray(YtY, dtype=dtype),
+                    nbr_d, nnb_d, lam_d, rho_d,
                 )
-                objectives.append(obj)
-                print(
-                    f"Iteration {iteration}: objective = {obj:.6f}, "
-                    f"rel_change = {rel_change:.6e}"
-                )
+            )
+            objectives.append(obj)
+            print(
+                f"Iteration {n_iter - 1}: objective = {obj:.6f}, "
+                f"rel_change = {rel_change:.6e}"
+            )
             if rel_change < tol:
                 converged = True
-                print(f"Converged at iteration {iteration}")
+                print(f"Converged at iteration {n_iter - 1}")
                 break
     else:
         beta_d, n_iter_d, rel_d = bcd_iterate(
-            beta0, Xty_d, XtX_d, nbr_d, nnb_d, lam_d, rho_d, tol_d, max_iter
+            beta0, Xty_d, XtX_d, nbr_d, nnb_d, lam_d, rho_d, tol_d, max_iter,
+            use_pallas=use_pallas,
         )
         n_iter = int(n_iter_d)
         rel_change = float(rel_d)
@@ -192,7 +237,7 @@ def bcd_solve(
         )
     )
 
-    beta = np.asarray(beta_d, dtype=np.float64)
+    beta = np.asarray(beta_d, dtype=np.float64)[:n_spots]
     info = {
         "converged": bool(converged),
         "n_iterations": int(n_iter),

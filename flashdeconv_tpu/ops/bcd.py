@@ -144,6 +144,109 @@ def coordinate_descent(
     return beta
 
 
+def _cd_block_kernel(lam_ref, rho_ref, beta_ref, xty_ref, ns_ref, nnb_ref,
+                     xtx_ref, out_ref):
+    """Pallas TPU kernel: full Gauss-Seidel coordinate pass for one spot block.
+
+    Operates in the transposed (K, B) layout: the spot axis rides the 128-wide
+    vector lanes, so every per-coordinate op is a full-lane (1, B) row op and
+    the rank-1 residual refresh is a (K, B) broadcast FMA — the natural (B, K)
+    layout would leave 128-K lanes idle on every instruction. The whole
+    per-spot state (beta block + maintained residual r = XtX @ beta) lives in
+    VMEM for all K coordinate updates, so HBM sees exactly one read and one
+    write of each (N, K) operand per sweep.
+    """
+    lam = lam_ref[0, 0]
+    rho = rho_ref[0, 0]
+    beta = beta_ref[:]                     # (K, B)
+    xtx = xtx_ref[:]                       # (K, K)
+    xty = xty_ref[:]
+    ns = ns_ref[:]
+    K = beta.shape[0]
+
+    r = jax.lax.dot_general(
+        xtx, beta, (((1,), (0,)), ((), ())),
+        precision=_PREC, preferred_element_type=jnp.float32,
+    )                                      # (K, B)
+    denom_base = lam * nnb_ref[:]          # (1, B)
+
+    # Mosaic has no scatter: write the updated row back with a sublane mask.
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, beta.shape, 0)
+    for k in range(K):
+        old = beta[k : k + 1, :]           # (1, B) — full-lane row
+        diag_k = xtx[k, k]
+        resid = xty[k : k + 1, :] - r[k : k + 1, :] + diag_k * old \
+            + lam * ns[k : k + 1, :]
+        denom = diag_k + denom_base
+        new = jnp.where(
+            denom > 1e-10, jnp.maximum(resid - rho, 0.0) / denom, 0.0
+        )
+        delta = new - old
+        r = r + xtx[:, k : k + 1] * delta  # rank-1 refresh, exact f32 on VPU
+        beta = jnp.where(row_ids == k, new, beta)
+
+    out_ref[:] = beta
+
+
+def coordinate_descent_pallas(
+    beta: jnp.ndarray,
+    Xty: jnp.ndarray,
+    XtX: jnp.ndarray,
+    nbr_sum: jnp.ndarray,
+    n_nbrs: jnp.ndarray,
+    lambda_,
+    rho,
+    block: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused-VMEM Gauss-Seidel pass (TPU Pallas); same iterate path as
+    :func:`coordinate_descent`.
+
+    Requires beta.shape[0] to be a multiple of ``block`` (the solver driver
+    pads once before the solve loop; padded rows are all-zero and stay zero
+    through the update since their Xty/neighbor sums are zero). The XLA-level
+    transposes into the kernel's (K, B) layout cost two streaming passes over
+    the operands — a fraction of what they buy in lane utilization.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, K = beta.shape
+    block = min(block, n)
+    assert n % block == 0, f"n ({n}) must be a multiple of block ({block})"
+    grid = (n // block,)
+
+    lam2d = jnp.reshape(jnp.asarray(lambda_, jnp.float32), (1, 1))
+    rho2d = jnp.reshape(jnp.asarray(rho, jnp.float32), (1, 1))
+
+    col_block = lambda i: (0, i)
+    out_t = pl.pallas_call(
+        _cd_block_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((K, block), col_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, block), col_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, block), col_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), col_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((K, block), col_block, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * K * K * 2,
+            bytes_accessed=4 * (4 * n * K + n + K * K),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        lam2d, rho2d, beta.T, Xty.T, nbr_sum.T,
+        n_nbrs.astype(jnp.float32)[None, :], XtX,
+    )
+    return out_t.T
+
+
 def bcd_sweep(
     beta_in: jnp.ndarray,
     Xty: jnp.ndarray,
@@ -153,6 +256,7 @@ def bcd_sweep(
     lambda_,
     rho,
     spot_mask: Optional[jnp.ndarray] = None,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One BCD sweep with fused convergence statistics (single device).
 
@@ -174,9 +278,14 @@ def bcd_sweep(
     beta_ext = jnp.concatenate([beta_in, zero_row], axis=0)
     nbr_sum = neighbor_sum(beta_ext, nbr_idx)
 
-    beta_out = coordinate_descent(
-        beta_in, Xty, XtX, nbr_sum, n_nbrs, lambda_, rho
-    )
+    if use_pallas:
+        beta_out = coordinate_descent_pallas(
+            beta_in, Xty, XtX, nbr_sum, n_nbrs, lambda_, rho
+        )
+    else:
+        beta_out = coordinate_descent(
+            beta_in, Xty, XtX, nbr_sum, n_nbrs, lambda_, rho
+        )
 
     diffs = jnp.max(jnp.abs(beta_out - beta_in), axis=1)
     abs_old = jnp.max(jnp.abs(beta_in), axis=1)
@@ -186,7 +295,7 @@ def bcd_sweep(
     return beta_out, jnp.max(diffs), jnp.max(abs_old)
 
 
-@partial(jax.jit, static_argnames=("max_iter",))
+@partial(jax.jit, static_argnames=("max_iter", "use_pallas"))
 def bcd_iterate(
     beta0: jnp.ndarray,
     Xty: jnp.ndarray,
@@ -197,6 +306,7 @@ def bcd_iterate(
     rho,
     tol,
     max_iter: int,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused solve loop: sweeps until rel-change < tol or max_iter sweeps.
 
@@ -217,7 +327,8 @@ def bcd_iterate(
     def body(carry):
         beta, it, _ = carry
         beta_new, max_diff, max_abs = bcd_sweep(
-            beta, Xty, XtX, nbr_idx, n_nbrs, lambda_, rho
+            beta, Xty, XtX, nbr_idx, n_nbrs, lambda_, rho,
+            use_pallas=use_pallas,
         )
         rel = max_diff / (max_abs + 1e-10)
         return beta_new, it + 1, rel

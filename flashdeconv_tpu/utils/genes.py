@@ -38,19 +38,28 @@ def _log1p_cpm_moments(Y: ArrayLike) -> Tuple[np.ndarray, np.ndarray]:
     n_spots, n_genes = Y.shape
 
     if sparse.issparse(Y):
-        Ycsr = Y.tocsr(copy=True)
+        Ycsr = Y.tocsr() if not sparse.isspmatrix_csr(Y) else Y
         lib = np.asarray(Ycsr.sum(axis=1)).ravel()
         lib = np.maximum(lib, 1.0)
-        # Row-scale nnz values in place: each row i scaled by 1e4 / lib[i].
-        row_rep = np.repeat(np.arange(n_spots), np.diff(Ycsr.indptr))
-        Ycsr.data = np.log1p(Ycsr.data * (1e4 / lib)[row_rep])
+        scale = 1e4 / lib
 
-        col_sum = np.bincount(Ycsr.indices, weights=Ycsr.data, minlength=n_genes)
+        # Stream row blocks: per-nnz temporaries stay cache-sized and the
+        # matrix is never copied (atlas-scale nnz can be ~1e9).
+        col_sum = np.zeros(n_genes)
+        col_sumsq = np.zeros(n_genes)
+        indptr, indices, data = Ycsr.indptr, Ycsr.indices, Ycsr.data
+        block = 65536
+        for r0 in range(0, n_spots, block):
+            r1 = min(r0 + block, n_spots)
+            lo, hi = indptr[r0], indptr[r1]
+            counts = np.diff(indptr[r0 : r1 + 1])
+            vals = np.log1p(data[lo:hi] * np.repeat(scale[r0:r1], counts))
+            cols = indices[lo:hi]
+            col_sum += np.bincount(cols, weights=vals, minlength=n_genes)
+            col_sumsq += np.bincount(cols, weights=vals**2, minlength=n_genes)
+
         means = col_sum / n_spots
         if n_spots >= 2:
-            col_sumsq = np.bincount(
-                Ycsr.indices, weights=Ycsr.data**2, minlength=n_genes
-            )
             variances = n_spots / (n_spots - 1) * (col_sumsq / n_spots - means**2)
             variances = np.maximum(variances, 0.0)
         else:

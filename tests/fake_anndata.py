@@ -1,0 +1,76 @@
+"""Minimal duck-typed AnnData stand-in for testing the io/tl layers.
+
+The io layer (:mod:`flashdeconv_tpu.io.loader`) is deliberately duck-typed —
+it touches only ``.X``, ``.layers``, ``.obs``, ``.obsm``, ``.uns``,
+``.var_names``, ``.obs_names``, ``.n_obs``, and ``.copy()`` — so this tiny
+fake lets the full AnnData contract be tested without anndata installed
+(which the reference's test suite skips via ``pytest.importorskip``).
+"""
+
+from __future__ import annotations
+
+import copy as _copy
+
+import numpy as np
+import pandas as pd
+
+
+class FakeAnnData:
+    """The minimal AnnData surface used by flashdeconv_tpu.io / .tl."""
+
+    def __init__(self, X, obs=None, var=None, obsm=None, layers=None, uns=None):
+        self.X = X
+        n = X.shape[0]
+        if obs is None:
+            obs = pd.DataFrame(index=[f"cell_{i}" for i in range(n)])
+        elif not isinstance(obs, pd.DataFrame):
+            obs = pd.DataFrame(obs)
+            obs.index = [f"cell_{i}" for i in range(n)]
+        self.obs = obs
+        if var is None:
+            var = pd.DataFrame(index=[f"gene_{j}" for j in range(X.shape[1])])
+        self.var = var
+        self.obsm = dict(obsm or {})
+        self.layers = dict(layers or {})
+        self.uns = dict(uns or {})
+
+    @property
+    def n_obs(self) -> int:
+        return self.X.shape[0]
+
+    @property
+    def n_vars(self) -> int:
+        return self.X.shape[1]
+
+    @property
+    def obs_names(self):
+        return self.obs.index
+
+    @property
+    def var_names(self):
+        return self.var.index
+
+    def copy(self) -> "FakeAnnData":
+        return FakeAnnData(
+            self.X.copy(),
+            obs=self.obs.copy(),
+            var=self.var.copy(),
+            obsm=_copy.deepcopy(self.obsm),
+            layers=_copy.deepcopy(self.layers),
+            uns=_copy.deepcopy(self.uns),
+        )
+
+
+def make_spatial_adata(Y, coords, gene_names=None, coord_key="spatial"):
+    ad = FakeAnnData(Y)
+    if gene_names is not None:
+        ad.var = pd.DataFrame(index=list(gene_names))
+    ad.obsm[coord_key] = np.asarray(coords)
+    return ad
+
+
+def make_reference_adata(counts, labels, gene_names=None, key="cell_type"):
+    ad = FakeAnnData(counts, obs=pd.DataFrame({key: list(labels)}))
+    if gene_names is not None:
+        ad.var = pd.DataFrame(index=list(gene_names))
+    return ad
