@@ -103,8 +103,10 @@ def bcd_solve(
 
     from flashdeconv_tpu.ops.bcd import (
         bcd_iterate,
+        bcd_iterate_banded,
         objective_terms_jit,
     )
+    from flashdeconv_tpu.utils.graph import banded_split
 
     n_spots = Y_sketch.shape[0]
     n_types = X_sketch.shape[0]
@@ -161,6 +163,37 @@ def bcd_solve(
                 [n_nbrs, np.zeros(pad, dtype=n_nbrs.dtype)]
             )
 
+    # Banded neighbor decomposition: on grid-structured graphs (or any
+    # locality-ordered planar graph) the neighbor sum becomes a handful of
+    # contiguous shifted adds instead of a random row gather, which on TPU is
+    # DMA-latency-bound. Used when >=90% of edges fall on <=16 diagonal
+    # offsets and the problem is big enough for gather cost to matter.
+    use_banded = False
+    if n_spots >= 8192:
+        offsets_np, masks_np, A_rest = banded_split(
+            A, max_offsets=16, min_coverage=0.9
+        )
+        if offsets_np.size:
+            use_banded = True
+            halo = int(np.max(np.abs(offsets_np)))
+            if A_rest.nnz:
+                rest_nbr_np, _ = adjacency_to_padded(A_rest)
+            else:
+                rest_nbr_np = np.zeros((n_spots, 0), dtype=np.int32)
+            if n_solve != n_spots:
+                pad = n_solve - n_spots
+                masks_np = np.concatenate(
+                    [masks_np,
+                     np.zeros((masks_np.shape[0], pad), dtype=np.float32)],
+                    axis=1,
+                )
+                rest_nbr_np = np.concatenate(
+                    [rest_nbr_np,
+                     np.full((pad, rest_nbr_np.shape[1]), n_spots,
+                             dtype=np.int32)],
+                    axis=0,
+                )
+
     # Device operands
     Xty_d = jnp.asarray(Y_sketch @ X_sketch.T, dtype=dtype)  # (N, K)
     XtX_d = jnp.asarray(XtX, dtype=dtype)
@@ -169,6 +202,24 @@ def bcd_solve(
     lam_d = jnp.asarray(lambda_, dtype=dtype)
     rho_d = jnp.asarray(rho_eff, dtype=dtype)
     tol_d = jnp.asarray(tol, dtype=dtype)
+
+    if use_banded:
+        off_d = jnp.asarray(offsets_np.astype(np.int32))
+        masks_d = jnp.asarray(masks_np, dtype=dtype)
+        rest_d = jnp.asarray(rest_nbr_np)
+
+        def run_chunk(beta_d, n_chunk):
+            return bcd_iterate_banded(
+                beta_d, Xty_d, XtX_d, off_d, masks_d, rest_d, nnb_d,
+                lam_d, rho_d, tol_d, n_chunk, halo, use_pallas,
+            )
+    else:
+
+        def run_chunk(beta_d, n_chunk):
+            return bcd_iterate(
+                beta_d, Xty_d, XtX_d, nbr_d, nnb_d, lam_d, rho_d, tol_d,
+                n_chunk, use_pallas=use_pallas,
+            )
     if beta_init is not None:
         if beta_init.shape != (n_spots, n_types):
             raise ValueError(
@@ -200,10 +251,7 @@ def bcd_solve(
         n_iter = 0
         while n_iter < max_iter:
             n_chunk = min(chunk, max_iter - n_iter)
-            beta_d, it_d, rel_d = bcd_iterate(
-                beta_d, Xty_d, XtX_d, nbr_d, nnb_d, lam_d, rho_d, tol_d,
-                n_chunk, use_pallas=use_pallas,
-            )
+            beta_d, it_d, rel_d = run_chunk(beta_d, n_chunk)
             rel_change = float(rel_d)
             n_iter += int(it_d)
             obj = float(
@@ -222,10 +270,7 @@ def bcd_solve(
                 print(f"Converged at iteration {n_iter - 1}")
                 break
     else:
-        beta_d, n_iter_d, rel_d = bcd_iterate(
-            beta0, Xty_d, XtX_d, nbr_d, nnb_d, lam_d, rho_d, tol_d, max_iter,
-            use_pallas=use_pallas,
-        )
+        beta_d, n_iter_d, rel_d = run_chunk(beta0, max_iter)
         n_iter = int(n_iter_d)
         rel_change = float(rel_d)
         converged = rel_change < tol

@@ -68,6 +68,44 @@ def neighbor_sum(beta_ext: jnp.ndarray, nbr_idx: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
+def neighbor_sum_banded(
+    beta: jnp.ndarray,
+    offsets: jnp.ndarray,
+    masks: jnp.ndarray,
+    rest_nbr_idx: jnp.ndarray,
+    halo: int,
+) -> jnp.ndarray:
+    """Neighbor sum over a banded + remainder adjacency decomposition.
+
+    The banded part (:func:`flashdeconv_tpu.utils.graph.banded_split`) turns
+    each diagonal offset into a contiguous shifted slice of beta times a
+    per-spot 0/1 mask — streaming HBM reads instead of the random row gather,
+    which is DMA-latency-bound on TPU. Remainder edges (irregular boundary
+    cases) still go through the padded-table gather; on grid data they are
+    typically none.
+
+    Parameters
+    ----------
+    beta : (N, K)
+    offsets : (U,) int — diagonal offsets (values bounded by ``halo``)
+    masks : (U, N) f32 — edge-exists mask per offset
+    rest_nbr_idx : (N, R) int32 padded table (R may be 0); padding == N
+    halo : static int, max |offset| (pad width)
+    """
+    n = beta.shape[0]
+    ns = jnp.zeros_like(beta)
+    if offsets.shape[0] > 0:
+        beta_pad = jnp.pad(beta, ((halo, halo), (0, 0)))
+        for u in range(offsets.shape[0]):
+            sl = lax.dynamic_slice_in_dim(beta_pad, halo + offsets[u], n, axis=0)
+            ns = ns + masks[u][:, None] * sl
+    if rest_nbr_idx.shape[1] > 0:
+        zero_row = jnp.zeros((1, beta.shape[1]), dtype=beta.dtype)
+        beta_ext = jnp.concatenate([beta, zero_row], axis=0)
+        ns = ns + neighbor_sum(beta_ext, rest_nbr_idx)
+    return ns
+
+
 def _coord_update(beta, r, k, Xty, XtX, nbr_sum, n_nbrs, lambda_, rho, static: bool):
     """Gauss-Seidel update of coordinate k for every spot simultaneously.
 
@@ -369,6 +407,51 @@ def objective_terms(
 
     sparsity = rho * jnp.sum(jnp.abs(beta))
     return fidelity + spatial + sparsity
+
+
+def bcd_sweep_banded(
+    beta_in, Xty, XtX, offsets, masks, rest_nbr_idx, n_nbrs, lambda_, rho,
+    halo: int, use_pallas: bool = False,
+):
+    """BCD sweep with the banded neighbor decomposition (grid fast path)."""
+    nbr_sum = neighbor_sum_banded(beta_in, offsets, masks, rest_nbr_idx, halo)
+    if use_pallas:
+        beta_out = coordinate_descent_pallas(
+            beta_in, Xty, XtX, nbr_sum, n_nbrs, lambda_, rho
+        )
+    else:
+        beta_out = coordinate_descent(
+            beta_in, Xty, XtX, nbr_sum, n_nbrs, lambda_, rho
+        )
+    diffs = jnp.max(jnp.abs(beta_out - beta_in), axis=1)
+    abs_old = jnp.max(jnp.abs(beta_in), axis=1)
+    return beta_out, jnp.max(diffs), jnp.max(abs_old)
+
+
+@partial(jax.jit, static_argnames=("max_iter", "halo", "use_pallas"))
+def bcd_iterate_banded(
+    beta0, Xty, XtX, offsets, masks, rest_nbr_idx, n_nbrs, lambda_, rho, tol,
+    max_iter: int, halo: int, use_pallas: bool = False,
+):
+    """Fused solve loop over :func:`bcd_sweep_banded`; same convergence
+    semantics as :func:`bcd_iterate`."""
+    big = jnp.asarray(jnp.inf, dtype=beta0.dtype)
+
+    def cond(carry):
+        _, it, rel = carry
+        return jnp.logical_and(it < max_iter, rel >= tol)
+
+    def body(carry):
+        beta, it, _ = carry
+        beta_new, max_diff, max_abs = bcd_sweep_banded(
+            beta, Xty, XtX, offsets, masks, rest_nbr_idx, n_nbrs,
+            lambda_, rho, halo=halo, use_pallas=use_pallas,
+        )
+        rel = max_diff / (max_abs + 1e-10)
+        return beta_new, it + 1, rel
+
+    beta, n_iter, rel = lax.while_loop(cond, body, (beta0, jnp.int32(0), big))
+    return beta, n_iter, rel
 
 
 # Module-level jitted entry points: created once so the trace cache persists

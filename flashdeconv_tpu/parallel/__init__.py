@@ -6,6 +6,7 @@ mesh over the spot axis, locality-preserving graph partitioning, per-sweep
 boundary-row halo exchange over ICI, and ``pmax`` convergence reductions.
 """
 
+from flashdeconv_tpu.parallel import multihost
 from flashdeconv_tpu.parallel.ordering import morton_codes, morton_order, spot_order
 from flashdeconv_tpu.parallel.partition import ShardPlan, halo_fraction, plan_shards
 from flashdeconv_tpu.parallel.solver import default_mesh, sharded_bcd_solve
@@ -16,6 +17,7 @@ __all__ = [
     "halo_fraction",
     "morton_codes",
     "morton_order",
+    "multihost",
     "plan_shards",
     "sharded_bcd_solve",
     "spot_order",

@@ -205,24 +205,42 @@ def sharded_bcd_solve(
 
     shard = NamedSharding(mesh, P(_AXIS))
     repl = NamedSharding(mesh, P())
-    put = partial(jax.device_put)
-    beta0_d = put(jnp.asarray(beta0), shard)
-    Xty_d = put(jnp.asarray(Xty), shard)
-    nbr_d = put(jnp.asarray(plan.nbr_idx), shard)
-    nnb_d = put(jnp.asarray(plan.n_nbrs, dtype=dtype), shard)
-    mask_d = put(jnp.asarray(plan.spot_mask), shard)
-    send_d = put(jnp.asarray(plan.send_idx), shard)
-    XtX_d = put(jnp.asarray(XtX64, dtype=dtype), repl)
-    lam_d = put(jnp.asarray(lambda_, dtype=dtype), repl)
-    rho_d = put(jnp.asarray(rho_eff, dtype=dtype), repl)
-    tol_d = put(jnp.asarray(tol, dtype=dtype), repl)
+
+    def put(arr, sharding):
+        # make_array_from_callback (rather than device_put) so each process
+        # materializes only its addressable shards — works identically on
+        # one host and across a multi-host mesh (parallel/multihost.py).
+        arr = np.asarray(arr)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+
+    beta0_d = put(beta0, shard)
+    Xty_d = put(Xty, shard)
+    nbr_d = put(plan.nbr_idx, shard)
+    nnb_d = put(plan.n_nbrs.astype(dtype), shard)
+    mask_d = put(plan.spot_mask, shard)
+    send_d = put(plan.send_idx, shard)
+    XtX_d = put(XtX64.astype(dtype), repl)
+    lam_d = put(np.asarray(lambda_, dtype=dtype), repl)
+    rho_d = put(np.asarray(rho_eff, dtype=dtype), repl)
+    tol_d = put(np.asarray(tol, dtype=dtype), repl)
 
     beta_d, n_iter_d, rel_d = _sharded_solve_jit(
         beta0_d, Xty_d, XtX_d, nbr_d, nnb_d, mask_d, send_d,
         lam_d, rho_d, tol_d, mesh, max_iter,
     )
 
-    beta_pad = np.asarray(beta_d, dtype=np.float64)
+    if jax.process_count() > 1:
+        # Global array spans non-addressable devices: gather across hosts.
+        from jax.experimental import multihost_utils
+
+        beta_pad = np.asarray(
+            multihost_utils.process_allgather(beta_d, tiled=True),
+            dtype=np.float64,
+        )
+    else:
+        beta_pad = np.asarray(beta_d, dtype=np.float64)
     beta = plan.gather(beta_pad)
     n_iter = int(n_iter_d)
     rel_change = float(rel_d)

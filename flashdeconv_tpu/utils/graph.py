@@ -162,6 +162,61 @@ def adjacency_to_padded(
     return nbr, counts
 
 
+def banded_split(
+    A: sparse.spmatrix,
+    max_offsets: int = 16,
+    min_coverage: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray, sparse.csr_matrix]:
+    """Split an adjacency into diagonal bands + an irregular remainder.
+
+    Grid-structured spatial graphs (Visium HD bins, Stereo-seq bins, or any
+    Morton-ordered planar kNN graph) concentrate their edges on a handful of
+    row offsets ``j - i`` (e.g. ±1, ±row_length, ±row_length±1). On TPU a
+    neighbor sum over such edges is far cheaper as **contiguous shifted adds**
+    (one streaming pass per offset) than as a random row gather, which is
+    DMA-latency-bound at ~10 GB/s effective.
+
+    Returns
+    -------
+    offsets : (U,) int64, sorted — the retained diagonal offsets (≠ 0)
+    masks : (U, N) float32 — ``masks[u, i] = 1`` iff edge (i, i+offsets[u])
+        exists (both endpoints in range)
+    A_rest : CSR with every edge not covered by the bands (possibly empty)
+    """
+    A_coo = A.tocoo()
+    n = A_coo.shape[0]
+    if A_coo.nnz == 0:
+        return (
+            np.zeros(0, dtype=np.int64),
+            np.zeros((0, n), dtype=np.float32),
+            A.tocsr(),
+        )
+
+    off = A_coo.col.astype(np.int64) - A_coo.row.astype(np.int64)
+    vals, counts = np.unique(off, return_counts=True)
+    order = np.argsort(-counts)[:max_offsets]
+    offsets = np.sort(vals[order])
+
+    in_band = np.isin(off, offsets)
+    coverage = in_band.sum() / off.size
+    if coverage < min_coverage:
+        return (
+            np.zeros(0, dtype=np.int64),
+            np.zeros((0, n), dtype=np.float32),
+            A.tocsr(),
+        )
+
+    masks = np.zeros((offsets.size, n), dtype=np.float32)
+    u_idx = np.searchsorted(offsets, off[in_band])
+    masks[u_idx, A_coo.row[in_band]] = 1.0
+
+    rest = ~in_band
+    A_rest = sparse.csr_matrix(
+        (A_coo.data[rest], (A_coo.row[rest], A_coo.col[rest])), shape=(n, n)
+    )
+    return offsets, masks, A_rest
+
+
 def get_neighbor_counts(A: sparse.spmatrix) -> np.ndarray:
     """Number of neighbors per spot (row sums of a binary adjacency)."""
     return np.asarray(A.sum(axis=1)).ravel().astype(np.int32)

@@ -1,0 +1,134 @@
+"""Banded neighbor-sum decomposition: host split + device parity."""
+
+import numpy as np
+import pytest
+from scipy import sparse
+
+import jax.numpy as jnp
+
+from flashdeconv_tpu.ops.bcd import neighbor_sum, neighbor_sum_banded
+from flashdeconv_tpu.utils.graph import (
+    adjacency_to_padded,
+    banded_split,
+    build_knn_graph,
+)
+
+
+def _grid_graph(side=40, k=6):
+    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+    coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+    return build_knn_graph(coords, k=k), coords
+
+
+class TestBandedSplit:
+    def test_reconstructs_adjacency(self):
+        A, _ = _grid_graph()
+        n = A.shape[0]
+        offsets, masks, A_rest = banded_split(A)
+        # rebuild: edge (i, i+o) for every mask bit + rest
+        rows, cols = [], []
+        for u, o in enumerate(offsets):
+            r = np.flatnonzero(masks[u])
+            rows.append(r)
+            cols.append(r + o)
+        rows = np.concatenate(rows + [A_rest.tocoo().row])
+        cols = np.concatenate(cols + [A_rest.tocoo().col])
+        A2 = sparse.csr_matrix(
+            (np.ones(rows.size), (rows, cols)), shape=(n, n)
+        )
+        assert (A2 != A.tocsr()).nnz == 0
+
+    def test_grid_is_fully_banded(self):
+        A, _ = _grid_graph()
+        offsets, masks, A_rest = banded_split(A, max_offsets=16)
+        # kNN on a uniform grid concentrates on <=16 offsets entirely
+        assert A_rest.nnz / A.nnz < 0.05
+        assert offsets.size <= 16
+        assert 0 not in offsets.tolist()
+
+    def test_random_coords_low_coverage_returns_rest(self):
+        rng = np.random.RandomState(0)
+        coords = rng.rand(500, 2) * 100
+        A = build_knn_graph(coords, k=6)
+        offsets, masks, A_rest = banded_split(A, min_coverage=0.9)
+        if offsets.size == 0:  # rejected: everything in rest
+            assert (A_rest != A.tocsr()).nnz == 0
+
+    def test_empty_graph(self):
+        A = sparse.csr_matrix((10, 10))
+        offsets, masks, A_rest = banded_split(A)
+        assert offsets.size == 0 and A_rest.nnz == 0
+
+
+class TestNeighborSumBanded:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matches_gather_path(self, seed):
+        A, _ = _grid_graph(side=30)
+        n = A.shape[0]
+        rng = np.random.RandomState(seed)
+        beta = jnp.asarray(rng.randn(n, 6))
+
+        nbr, _ = adjacency_to_padded(A)
+        beta_ext = jnp.concatenate([beta, jnp.zeros((1, 6))])
+        expected = neighbor_sum(beta_ext, jnp.asarray(nbr))
+
+        offsets, masks, A_rest = banded_split(A)
+        if A_rest.nnz:
+            rest_nbr, _ = adjacency_to_padded(A_rest)
+        else:
+            rest_nbr = np.zeros((n, 0), dtype=np.int32)
+        halo = int(np.max(np.abs(offsets))) if offsets.size else 0
+        out = neighbor_sum_banded(
+            beta, jnp.asarray(offsets.astype(np.int32)),
+            jnp.asarray(masks, beta.dtype), jnp.asarray(rest_nbr), halo,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                                   atol=1e-12)
+
+    def test_matches_spmv(self):
+        """Banded + rest must equal A @ beta exactly."""
+        A, _ = _grid_graph(side=25, k=8)
+        n = A.shape[0]
+        rng = np.random.RandomState(3)
+        beta_np = rng.randn(n, 4)
+        offsets, masks, A_rest = banded_split(A, max_offsets=8)
+        if A_rest.nnz:
+            rest_nbr, _ = adjacency_to_padded(A_rest)
+        else:
+            rest_nbr = np.zeros((n, 0), dtype=np.int32)
+        halo = int(np.max(np.abs(offsets))) if offsets.size else 0
+        out = neighbor_sum_banded(
+            jnp.asarray(beta_np), jnp.asarray(offsets.astype(np.int32)),
+            jnp.asarray(masks, jnp.float64), jnp.asarray(rest_nbr), halo,
+        )
+        np.testing.assert_allclose(np.asarray(out), A @ beta_np, atol=1e-12)
+
+
+def test_bcd_solve_banded_matches_gather():
+    """bcd_solve must give identical results whether or not the banded path
+    triggers (force both by problem size around the 8192 threshold)."""
+    from flashdeconv_tpu.core.solver import bcd_solve
+
+    side = 96  # 9216 spots >= 8192 threshold -> banded path on grid
+    A, coords = _grid_graph(side=side)
+    n = A.shape[0]
+    rng = np.random.RandomState(0)
+    k_types, d = 6, 32
+    Xs = rng.randn(k_types, d)
+    Ys = np.abs(rng.randn(n, k_types)) @ Xs + 0.05 * rng.randn(n, d)
+
+    beta_banded, info_b = bcd_solve(
+        Ys, Xs, A, lambda_=0.3, rho=0.01, max_iter=30, dtype=np.float64
+    )
+
+    # same problem with the graph shuffled so banding is rejected
+    perm = rng.permutation(n)
+    inv = np.empty(n, dtype=int)
+    inv[perm] = np.arange(n)
+    A_shuf = A.tocsr()[perm][:, perm]
+    beta_shuf, info_s = bcd_solve(
+        Ys[perm], Xs, A_shuf, lambda_=0.3, rho=0.01, max_iter=30,
+        dtype=np.float64,
+    )
+    np.testing.assert_allclose(beta_shuf[inv], beta_banded, atol=1e-9)
+    assert info_b["n_iterations"] == info_s["n_iterations"]

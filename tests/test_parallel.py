@@ -192,3 +192,28 @@ def test_default_mesh():
     assert mesh.devices.size == len(jax.devices())
     mesh4 = default_mesh(4)
     assert mesh4.devices.size == 4
+
+
+class TestMultihost:
+    def test_global_spot_mesh(self):
+        from flashdeconv_tpu.parallel import multihost
+
+        mesh = multihost.global_spot_mesh()
+        assert mesh.devices.size == len(jax.devices())
+        assert mesh.axis_names == ("spots",)
+
+    def test_host_spot_range_single_process(self):
+        from flashdeconv_tpu.parallel import multihost
+
+        n = 1000
+        start, stop = multihost.host_spot_range(n)
+        # single process owns every shard
+        n_shards = len(jax.devices())
+        shard_size = -(-n // n_shards)
+        assert (start, stop) == (0, n_shards * shard_size)
+
+    def test_initialize_noop_single_process(self):
+        from flashdeconv_tpu.parallel import multihost
+
+        multihost.initialize()  # must not raise on a single-process runtime
+        assert jax.process_count() == 1
