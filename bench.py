@@ -91,11 +91,11 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # Warm runs (compile cached): report the best of 3 — the shared remote
+    # Warm runs (compile cached): report the best of 5 — the shared remote
     # TPU occasionally stalls for external reasons; min is the honest
     # hardware number.
     warm = float("inf")
-    for i in range(3):
+    for i in range(5):
         t0 = time.perf_counter()
         beta, info = bcd_solve(Y_sketch, X_sketch, A, **solve_kwargs)
         dt = time.perf_counter() - t0
