@@ -204,13 +204,13 @@ def bcd_solve(
     tol_d = jnp.asarray(tol, dtype=dtype)
 
     if use_banded:
-        off_d = jnp.asarray(offsets_np.astype(np.int32))
+        off_t = tuple(int(o) for o in offsets_np)
         masks_d = jnp.asarray(masks_np, dtype=dtype)
         rest_d = jnp.asarray(rest_nbr_np)
 
         def run_chunk(beta_d, n_chunk):
             return bcd_iterate_banded(
-                beta_d, Xty_d, XtX_d, off_d, masks_d, rest_d, nnb_d,
+                beta_d, Xty_d, XtX_d, off_t, masks_d, rest_d, nnb_d,
                 lam_d, rho_d, tol_d, n_chunk, halo, use_pallas,
             )
     else:

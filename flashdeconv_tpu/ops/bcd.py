@@ -70,7 +70,7 @@ def neighbor_sum(beta_ext: jnp.ndarray, nbr_idx: jnp.ndarray) -> jnp.ndarray:
 
 def neighbor_sum_banded(
     beta: jnp.ndarray,
-    offsets: jnp.ndarray,
+    offsets: Tuple[int, ...],
     masks: jnp.ndarray,
     rest_nbr_idx: jnp.ndarray,
     halo: int,
@@ -87,17 +87,20 @@ def neighbor_sum_banded(
     Parameters
     ----------
     beta : (N, K)
-    offsets : (U,) int — diagonal offsets (values bounded by ``halo``)
+    offsets : static tuple of ints — diagonal offsets (|o| <= ``halo``).
+        Static so the shifts are *static* slices: XLA fuses them into one
+        streaming pass, and under GSPMD a spot-sharded beta turns each shift
+        into a neighbor-shard halo exchange instead of an all-gather.
     masks : (U, N) f32 — edge-exists mask per offset
     rest_nbr_idx : (N, R) int32 padded table (R may be 0); padding == N
     halo : static int, max |offset| (pad width)
     """
     n = beta.shape[0]
     ns = jnp.zeros_like(beta)
-    if offsets.shape[0] > 0:
+    if len(offsets) > 0:
         beta_pad = jnp.pad(beta, ((halo, halo), (0, 0)))
-        for u in range(offsets.shape[0]):
-            sl = lax.dynamic_slice_in_dim(beta_pad, halo + offsets[u], n, axis=0)
+        for u, off in enumerate(offsets):
+            sl = lax.slice_in_dim(beta_pad, halo + off, halo + off + n, axis=0)
             ns = ns + masks[u][:, None] * sl
     if rest_nbr_idx.shape[1] > 0:
         zero_row = jnp.zeros((1, beta.shape[1]), dtype=beta.dtype)
@@ -428,7 +431,7 @@ def bcd_sweep_banded(
     return beta_out, jnp.max(diffs), jnp.max(abs_old)
 
 
-@partial(jax.jit, static_argnames=("max_iter", "halo", "use_pallas"))
+@partial(jax.jit, static_argnames=("offsets", "max_iter", "halo", "use_pallas"))
 def bcd_iterate_banded(
     beta0, Xty, XtX, offsets, masks, rest_nbr_idx, n_nbrs, lambda_, rho, tol,
     max_iter: int, halo: int, use_pallas: bool = False,

@@ -7,6 +7,7 @@ boundary-row halo exchange over ICI, and ``pmax`` convergence reductions.
 """
 
 from flashdeconv_tpu.parallel import multihost
+from flashdeconv_tpu.parallel.gspmd import gspmd_banded_solve
 from flashdeconv_tpu.parallel.ordering import morton_codes, morton_order, spot_order
 from flashdeconv_tpu.parallel.partition import ShardPlan, halo_fraction, plan_shards
 from flashdeconv_tpu.parallel.solver import default_mesh, sharded_bcd_solve
@@ -14,6 +15,7 @@ from flashdeconv_tpu.parallel.solver import default_mesh, sharded_bcd_solve
 __all__ = [
     "ShardPlan",
     "default_mesh",
+    "gspmd_banded_solve",
     "halo_fraction",
     "morton_codes",
     "morton_order",

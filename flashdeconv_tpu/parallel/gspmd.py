@@ -1,0 +1,223 @@
+"""GSPMD spot-sharded BCD solve for fully banded (grid) graphs.
+
+The shard_map solver (:mod:`flashdeconv_tpu.parallel.solver`) plans halo
+exchange explicitly — necessary for irregular graphs. On grid platforms the
+banded decomposition makes a lighter design possible: write the sweep as
+**global** array ops over spot-sharded operands and let XLA's SPMD
+partitioner insert the communication. The banded neighbor sum is a set of
+*static* shifted slices of beta; under a 1-D ``"spots"`` mesh each shift
+partitions into a neighbor-shard halo transfer of exactly ``offset`` rows
+(collective-permute over ICI), and the convergence ``max`` becomes an
+all-reduce — the compiler derives the same communication pattern the manual
+plan computes, with no index bookkeeping.
+
+The coordinate pass itself is either plain XLA (auto-partitioned: it is
+row-parallel) or the fused Pallas kernel wrapped in a ``shard_map`` (Pallas
+kernels are opaque to the partitioner, but the pass is embarrassingly
+row-parallel so the wrap is trivial).
+
+Numerics are identical to the single-device banded path: same static
+shifts, same coordinate updates, same convergence rule.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+from scipy import sparse
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flashdeconv_tpu.ops.bcd import (
+    coordinate_descent,
+    coordinate_descent_pallas,
+)
+
+_AXIS = "spots"
+
+
+def _banded_ns(beta, masks, offsets: Tuple[int, ...], halo: int):
+    n = beta.shape[0]
+    beta_pad = jnp.pad(beta, ((halo, halo), (0, 0)))
+    ns = jnp.zeros_like(beta)
+    for u, off in enumerate(offsets):
+        sl = lax.slice_in_dim(beta_pad, halo + off, halo + off + n, axis=0)
+        ns = ns + masks[u][:, None] * sl
+    return ns
+
+
+@partial(
+    jax.jit,
+    static_argnames=("offsets", "halo", "max_iter", "mesh", "use_pallas"),
+)
+def _gspmd_iterate(
+    beta0, Xty, XtX, masks, nnb, lam, rho, tol,
+    offsets: Tuple[int, ...], halo: int, max_iter: int, mesh: Mesh,
+    use_pallas: bool,
+):
+    if use_pallas:
+        cd = jax.shard_map(
+            coordinate_descent_pallas,
+            mesh=mesh,
+            in_specs=(P(_AXIS), P(_AXIS), P(), P(_AXIS), P(_AXIS), P(), P()),
+            out_specs=P(_AXIS),
+        )
+    else:
+        cd = coordinate_descent
+
+    big = jnp.asarray(jnp.inf, dtype=beta0.dtype)
+
+    def cond(carry):
+        _, it, rel = carry
+        return jnp.logical_and(it < max_iter, rel >= tol)
+
+    def body(carry):
+        beta, it, _ = carry
+        ns = _banded_ns(beta, masks, offsets, halo)
+        beta_new = cd(beta, Xty, XtX, ns, nnb, lam, rho)
+        diffs = jnp.max(jnp.abs(beta_new - beta), axis=1)
+        abs_old = jnp.max(jnp.abs(beta), axis=1)
+        rel = jnp.max(diffs) / (jnp.max(abs_old) + 1e-10)
+        return beta_new, it + 1, rel
+
+    return lax.while_loop(cond, body, (beta0, jnp.int32(0), big))
+
+
+def gspmd_banded_solve(
+    Y_sketch: np.ndarray,
+    X_sketch: np.ndarray,
+    A: sparse.spmatrix,
+    lambda_: float = 0.1,
+    rho: float = 0.01,
+    max_iter: int = 100,
+    tol: float = 1e-4,
+    mesh: Optional[Mesh] = None,
+    verbose: bool = False,
+    dtype=np.float32,
+    beta_init: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, dict]:
+    """Spot-sharded solve for a fully banded adjacency (see module docstring).
+
+    Raises ``ValueError`` if the graph is not 100% banded within 32 offsets —
+    callers should fall back to :func:`~flashdeconv_tpu.parallel.solver.
+    sharded_bcd_solve` (explicit halo plan) in that case.
+    """
+    from flashdeconv_tpu.utils.graph import adjacency_to_padded, banded_split
+
+    n_spots = Y_sketch.shape[0]
+    n_types = X_sketch.shape[0]
+
+    offsets_np, masks_np, A_rest = banded_split(A, max_offsets=32)
+    if A.nnz > 0 and (offsets_np.size == 0 or A_rest.nnz > 0):
+        raise ValueError(
+            "Graph is not fully banded; use sharded_bcd_solve instead "
+            f"(rest edges: {A_rest.nnz})."
+        )
+
+    if mesh is None:
+        mesh = Mesh(np.asarray(jax.devices()), (_AXIS,))
+    n_shards = mesh.devices.size
+
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and np.dtype(dtype) == np.float32
+        and n_types <= 128
+    )
+    block = 2048 if use_pallas else 8
+    chunk = n_shards * block
+    n_pad = -(-n_spots // chunk) * chunk
+    pad = n_pad - n_spots
+
+    XtX = np.asarray(X_sketch, np.float64) @ np.asarray(X_sketch, np.float64).T
+    YtY = float(np.einsum("ij,ij->", Y_sketch, Y_sketch, dtype=np.float64))
+    rho_eff = float(rho) * float(np.mean(np.diag(XtX)))
+
+    Xty = np.asarray(Y_sketch @ X_sketch.T, dtype=dtype)
+    nnb = np.asarray(A.sum(axis=1), dtype=dtype).ravel()
+    if pad:
+        Xty = np.concatenate([Xty, np.zeros((pad, n_types), dtype=dtype)])
+        nnb = np.concatenate([nnb, np.zeros(pad, dtype=dtype)])
+        masks_np = np.concatenate(
+            [masks_np, np.zeros((masks_np.shape[0], pad), np.float32)], axis=1
+        )
+    halo = int(np.max(np.abs(offsets_np))) if offsets_np.size else 0
+    offsets = tuple(int(o) for o in offsets_np)
+
+    if beta_init is not None:
+        if beta_init.shape != (n_spots, n_types):
+            raise ValueError(
+                f"beta_init shape {beta_init.shape} does not match "
+                f"({n_spots}, {n_types})"
+            )
+        beta0_np = np.zeros((n_pad, n_types), dtype=dtype)
+        beta0_np[:n_spots] = np.maximum(beta_init, 0.0)
+    else:
+        beta0_np = np.zeros((n_pad, n_types), dtype=dtype)
+        beta0_np[:n_spots] = 1.0 / n_types
+
+    shard = NamedSharding(mesh, P(_AXIS))
+    shard_cols = NamedSharding(mesh, P(None, _AXIS))
+    repl = NamedSharding(mesh, P())
+
+    def put(arr, sharding):
+        arr = np.asarray(arr)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+
+    beta0_d = put(beta0_np, shard)
+    Xty_d = put(Xty, shard)
+    nnb_d = put(nnb, shard)
+    masks_d = put(masks_np.astype(dtype), shard_cols)
+    XtX_d = put(XtX.astype(dtype), repl)
+    lam_d = put(np.asarray(lambda_, dtype=dtype), repl)
+    rho_d = put(np.asarray(rho_eff, dtype=dtype), repl)
+    tol_d = put(np.asarray(tol, dtype=dtype), repl)
+
+    if verbose:
+        print(
+            f"GSPMD banded solve: {n_shards} shards x {n_pad // n_shards} "
+            f"spots, {len(offsets)} bands, halo {halo}"
+        )
+
+    beta_d, n_iter_d, rel_d = _gspmd_iterate(
+        beta0_d, Xty_d, XtX_d, masks_d, nnb_d, lam_d, rho_d, tol_d,
+        offsets, halo, max_iter, mesh, use_pallas,
+    )
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        beta = np.asarray(
+            multihost_utils.process_allgather(beta_d, tiled=True),
+            dtype=np.float64,
+        )[:n_spots]
+    else:
+        beta = np.asarray(beta_d, dtype=np.float64)[:n_spots]
+    n_iter = int(n_iter_d)
+    rel_change = float(rel_d)
+
+    from flashdeconv_tpu.core.solver import compute_objective
+    from flashdeconv_tpu.core.spatial import compute_laplacian
+
+    final_obj = compute_objective(
+        beta, np.asarray(X_sketch) @ np.asarray(Y_sketch).T, XtX, YtY,
+        compute_laplacian(A), lambda_, rho_eff,
+    )
+
+    info = {
+        "converged": bool(rel_change < tol),
+        "n_iterations": n_iter,
+        "final_objective": float(final_obj),
+        "objectives": [],
+        "final_change": rel_change,
+        "n_shards": n_shards,
+        "n_bands": len(offsets),
+        "halo_width": halo,
+    }
+    return beta, info

@@ -142,16 +142,44 @@ def sharded_bcd_solve(
     verbose: bool = False,
     dtype=np.float32,
     beta_init: Optional[np.ndarray] = None,
+    strategy: str = "auto",
 ) -> Tuple[np.ndarray, dict]:
     """Multi-device BCD solve; drop-in for :func:`core.solver.bcd_solve`.
 
-    Partitions spots over the mesh's ``"spots"`` axis (contiguous blocks of a
-    Morton ordering when ``coords`` is given), runs the fused while-loop solve
-    under ``shard_map`` with per-sweep boundary halo exchange, and returns
-    beta in the original spot order with the standard ``info`` contract.
+    Two interchangeable (numerically identical) execution strategies:
+
+    - ``"halo"`` — explicit plan: Morton-ordered contiguous shards, per-sweep
+      boundary-row ``all_gather`` under ``shard_map`` (any graph).
+    - ``"banded"`` — GSPMD: static banded shifts over spot-sharded global
+      arrays, compiler-inserted halo collectives
+      (:mod:`flashdeconv_tpu.parallel.gspmd`; fully banded graphs only).
+    - ``"auto"`` (default) — banded when the graph is fully banded (grid
+      platforms), else halo.
+
+    Returns beta in the original spot order with the standard ``info``
+    contract.
     """
     n_spots = Y_sketch.shape[0]
     n_types = X_sketch.shape[0]
+
+    if strategy not in ("auto", "halo", "banded"):
+        raise ValueError(f"Unknown strategy: {strategy!r}")
+    if strategy in ("auto", "banded") and plan is None and n_spots > 0:
+        from flashdeconv_tpu.parallel.gspmd import gspmd_banded_solve
+        from flashdeconv_tpu.utils.graph import banded_split
+
+        offsets_chk, _, A_rest_chk = banded_split(A, max_offsets=32)
+        fully_banded = A.nnz == 0 or (
+            offsets_chk.size > 0 and A_rest_chk.nnz == 0
+        )
+        if strategy == "banded" or fully_banded:
+            if mesh is None:
+                mesh = default_mesh(n_shards)
+            return gspmd_banded_solve(
+                Y_sketch, X_sketch, A, lambda_=lambda_, rho=rho,
+                max_iter=max_iter, tol=tol, mesh=mesh, verbose=verbose,
+                dtype=dtype, beta_init=beta_init,
+            )
 
     if n_spots == 0 or n_types == 0 or max_iter == 0:
         beta = np.full((n_spots, n_types), 1.0 / max(n_types, 1))

@@ -79,7 +79,7 @@ class TestNeighborSumBanded:
             rest_nbr = np.zeros((n, 0), dtype=np.int32)
         halo = int(np.max(np.abs(offsets))) if offsets.size else 0
         out = neighbor_sum_banded(
-            beta, jnp.asarray(offsets.astype(np.int32)),
+            beta, tuple(int(o) for o in offsets),
             jnp.asarray(masks, beta.dtype), jnp.asarray(rest_nbr), halo,
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
@@ -98,7 +98,7 @@ class TestNeighborSumBanded:
             rest_nbr = np.zeros((n, 0), dtype=np.int32)
         halo = int(np.max(np.abs(offsets))) if offsets.size else 0
         out = neighbor_sum_banded(
-            jnp.asarray(beta_np), jnp.asarray(offsets.astype(np.int32)),
+            jnp.asarray(beta_np), tuple(int(o) for o in offsets),
             jnp.asarray(masks, jnp.float64), jnp.asarray(rest_nbr), halo,
         )
         np.testing.assert_allclose(np.asarray(out), A @ beta_np, atol=1e-12)

@@ -217,3 +217,63 @@ class TestMultihost:
 
         multihost.initialize()  # must not raise on a single-process runtime
         assert jax.process_count() == 1
+
+
+class TestGspmdBanded:
+    def _grid_problem(self, side=40, k_types=6, d=48, seed=5):
+        xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+        coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+        n = coords.shape[0]
+        rng = np.random.RandomState(seed)
+        X_sketch = rng.randn(k_types, d)
+        Y_sketch = np.abs(rng.randn(n, k_types)) @ X_sketch \
+            + 0.05 * rng.randn(n, d)
+        A = build_knn_graph(coords, k=4)
+        return Y_sketch, X_sketch, A, coords
+
+    def test_matches_single_device(self):
+        from flashdeconv_tpu.parallel.gspmd import gspmd_banded_solve
+        from jax.sharding import Mesh
+
+        Y_sketch, X_sketch, A, coords = self._grid_problem()
+        kwargs = dict(lambda_=0.4, rho=0.01, max_iter=50, tol=1e-5)
+        beta_ref, info_ref = bcd_solve(
+            Y_sketch, X_sketch, A, dtype=np.float64, **kwargs
+        )
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("spots",))
+        beta_g, info_g = gspmd_banded_solve(
+            Y_sketch, X_sketch, A, mesh=mesh, dtype=np.float64, **kwargs
+        )
+        assert info_g["n_shards"] == 8
+        assert abs(info_g["n_iterations"] - info_ref["n_iterations"]) <= 1
+        np.testing.assert_allclose(beta_g, beta_ref, atol=1e-8)
+        np.testing.assert_allclose(
+            info_g["final_objective"], info_ref["final_objective"], rtol=1e-8
+        )
+
+    def test_shard_count_invariance(self):
+        from flashdeconv_tpu.parallel.gspmd import gspmd_banded_solve
+        from jax.sharding import Mesh
+
+        Y_sketch, X_sketch, A, coords = self._grid_problem(side=32)
+        results = []
+        for s in (1, 4, 8):
+            mesh = Mesh(np.asarray(jax.devices()[:s]), ("spots",))
+            beta, _ = gspmd_banded_solve(
+                Y_sketch, X_sketch, A, mesh=mesh, dtype=np.float64,
+                lambda_=0.2, rho=0.01, max_iter=40,
+            )
+            results.append(beta)
+        np.testing.assert_allclose(results[1], results[0], atol=1e-9)
+        np.testing.assert_allclose(results[2], results[0], atol=1e-9)
+
+    def test_rejects_irregular_graph(self):
+        from flashdeconv_tpu.parallel.gspmd import gspmd_banded_solve
+
+        rng = np.random.RandomState(0)
+        coords = rng.rand(300, 2) * 50
+        A = build_knn_graph(coords, k=6)
+        Y_sketch = rng.randn(300, 16)
+        X_sketch = rng.randn(4, 16)
+        with pytest.raises(ValueError, match="not fully banded"):
+            gspmd_banded_solve(Y_sketch, X_sketch, A)
