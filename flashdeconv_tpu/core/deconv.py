@@ -357,6 +357,7 @@ class FlashDeconv:
                     verbose=self.verbose,
                     dtype=self.solver_dtype,
                     beta_init=beta_init,
+                    coords=coords,
                 )
 
         self.beta_ = beta

@@ -72,6 +72,7 @@ def bcd_solve(
     verbose: bool = False,
     dtype=np.float32,
     beta_init: Optional[np.ndarray] = None,
+    coords: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, dict]:
     """Solve min 0.5||Y - beta X||^2 + 0.5*lambda Tr(beta^T L beta) + rho||beta||_1, beta >= 0.
 
@@ -91,6 +92,11 @@ def bcd_solve(
         (e.g. a previous solve's ``beta_``); default cold-start is uniform
         1/K. Warm starting typically halves sweep counts on re-solves with
         perturbed data or hyperparameters.
+    coords : optional (n_spots, >=2) spatial coordinates. Only used as a
+        performance hint: when the graph is not banded in its input order,
+        a row-major (y, x) re-sort is attempted so scrambled grid / hex
+        lattices still hit the banded fast path; results are returned in
+        the original spot order regardless.
 
     Returns
     -------
@@ -132,7 +138,37 @@ def bcd_solve(
     # soft threshold is commensurate with the partial residual magnitude.
     rho_eff = float(rho) * float(np.mean(np.diag(XtX)))
 
-    nbr_idx, n_nbrs = adjacency_to_padded(A)
+    # Banded neighbor decomposition: on grid-structured graphs (or any
+    # locality-ordered planar graph) the neighbor sum becomes a handful of
+    # contiguous shifted adds instead of a random row gather, which on TPU is
+    # DMA-latency-bound. Used when >=90% of edges fall on <=16 diagonal
+    # offsets and the problem is big enough for gather cost to matter. When
+    # the input order is scrambled but coordinates are available, a row-major
+    # (y, x) re-sort is attempted — grids and hex lattices become banded
+    # under it; beta is returned in the original order.
+    use_banded = False
+    perm = None
+    A_solve = A
+    offsets_np = masks_np = rest_nbr_np = None
+    if n_spots >= 8192:
+        offsets_np, masks_np, A_rest = banded_split(
+            A, max_offsets=16, min_coverage=0.9
+        )
+        if offsets_np.size == 0 and coords is not None:
+            cand = np.lexsort(
+                (np.asarray(coords)[:, 0], np.asarray(coords)[:, 1])
+            )
+            A_cand = A.tocsr()[cand][:, cand]
+            off_c, masks_c, rest_c = banded_split(
+                A_cand, max_offsets=16, min_coverage=0.9
+            )
+            if off_c.size:
+                perm = cand
+                A_solve = A_cand
+                offsets_np, masks_np, A_rest = off_c, masks_c, rest_c
+        use_banded = offsets_np.size > 0
+
+    nbr_idx, n_nbrs = adjacency_to_padded(A_solve)
 
     # Fused Pallas coordinate-descent kernel: TPU, f32, K within one VMEM
     # block. Requires the spot axis padded to the kernel's block size; the
@@ -148,54 +184,43 @@ def bcd_solve(
     if use_pallas:
         block = 2048
         n_solve = -(-n_spots // block) * block
-        pad = n_solve - n_spots
+    pad = n_solve - n_spots
+    if pad:
+        nbr_idx = np.concatenate(
+            [nbr_idx, np.full((pad, nbr_idx.shape[1]), n_spots,
+                              dtype=nbr_idx.dtype)], axis=0
+        )
+        n_nbrs = np.concatenate([n_nbrs, np.zeros(pad, dtype=n_nbrs.dtype)])
+
+    if use_banded:
+        halo = int(np.max(np.abs(offsets_np)))
+        if A_rest.nnz:
+            rest_nbr_np, _ = adjacency_to_padded(A_rest)
+        else:
+            rest_nbr_np = np.zeros((n_spots, 0), dtype=np.int32)
         if pad:
-            Y_sketch = np.concatenate(
-                [np.asarray(Y_sketch),
-                 np.zeros((pad, Y_sketch.shape[1]), dtype=np.asarray(Y_sketch).dtype)],
+            masks_np = np.concatenate(
+                [masks_np,
+                 np.zeros((masks_np.shape[0], pad), dtype=np.float32)],
+                axis=1,
+            )
+            rest_nbr_np = np.concatenate(
+                [rest_nbr_np,
+                 np.full((pad, rest_nbr_np.shape[1]), n_spots,
+                         dtype=np.int32)],
                 axis=0,
             )
-            nbr_idx = np.concatenate(
-                [nbr_idx, np.full((pad, nbr_idx.shape[1]), n_spots,
-                                  dtype=nbr_idx.dtype)], axis=0
-            )
-            n_nbrs = np.concatenate(
-                [n_nbrs, np.zeros(pad, dtype=n_nbrs.dtype)]
-            )
 
-    # Banded neighbor decomposition: on grid-structured graphs (or any
-    # locality-ordered planar graph) the neighbor sum becomes a handful of
-    # contiguous shifted adds instead of a random row gather, which on TPU is
-    # DMA-latency-bound. Used when >=90% of edges fall on <=16 diagonal
-    # offsets and the problem is big enough for gather cost to matter.
-    use_banded = False
-    if n_spots >= 8192:
-        offsets_np, masks_np, A_rest = banded_split(
-            A, max_offsets=16, min_coverage=0.9
+    # Device operands. Xty is computed in the input order, then permuted /
+    # padded on its (N, K) form — never on the (N, d) sketch.
+    Xty_np = np.asarray(Y_sketch @ X_sketch.T, dtype=dtype)
+    if perm is not None:
+        Xty_np = Xty_np[perm]
+    if pad:
+        Xty_np = np.concatenate(
+            [Xty_np, np.zeros((pad, n_types), dtype=dtype)]
         )
-        if offsets_np.size:
-            use_banded = True
-            halo = int(np.max(np.abs(offsets_np)))
-            if A_rest.nnz:
-                rest_nbr_np, _ = adjacency_to_padded(A_rest)
-            else:
-                rest_nbr_np = np.zeros((n_spots, 0), dtype=np.int32)
-            if n_solve != n_spots:
-                pad = n_solve - n_spots
-                masks_np = np.concatenate(
-                    [masks_np,
-                     np.zeros((masks_np.shape[0], pad), dtype=np.float32)],
-                    axis=1,
-                )
-                rest_nbr_np = np.concatenate(
-                    [rest_nbr_np,
-                     np.full((pad, rest_nbr_np.shape[1]), n_spots,
-                             dtype=np.int32)],
-                    axis=0,
-                )
-
-    # Device operands
-    Xty_d = jnp.asarray(Y_sketch @ X_sketch.T, dtype=dtype)  # (N, K)
+    Xty_d = jnp.asarray(Xty_np)  # (N, K)
     XtX_d = jnp.asarray(XtX, dtype=dtype)
     nbr_d = jnp.asarray(nbr_idx)
     nnb_d = jnp.asarray(n_nbrs, dtype=dtype)
@@ -227,6 +252,8 @@ def bcd_solve(
                 f"({n_spots}, {n_types})"
             )
         b0 = np.maximum(np.asarray(beta_init, dtype=dtype), 0.0)
+        if perm is not None:
+            b0 = b0[perm]
         if n_solve != n_spots:
             b0 = np.concatenate(
                 [b0, np.zeros((n_solve - n_spots, n_types), dtype=dtype)]
@@ -283,6 +310,10 @@ def bcd_solve(
     )
 
     beta = np.asarray(beta_d, dtype=np.float64)[:n_spots]
+    if perm is not None:
+        unperm = np.empty_like(beta)
+        unperm[perm] = beta
+        beta = unperm
     info = {
         "converged": bool(converged),
         "n_iterations": int(n_iter),

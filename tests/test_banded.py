@@ -132,3 +132,31 @@ def test_bcd_solve_banded_matches_gather():
     )
     np.testing.assert_allclose(beta_shuf[inv], beta_banded, atol=1e-9)
     assert info_b["n_iterations"] == info_s["n_iterations"]
+
+
+def test_bcd_solve_reorders_scrambled_grid_with_coords():
+    """With coords given, a scrambled grid is row-major re-sorted internally
+    (banded fast path) and the result still comes back in input order."""
+    from flashdeconv_tpu.core.solver import bcd_solve
+
+    side = 96
+    A, coords = _grid_graph(side=side)
+    n = A.shape[0]
+    rng = np.random.RandomState(1)
+    k_types, d = 5, 24
+    Xs = rng.randn(k_types, d)
+    Ys = np.abs(rng.randn(n, k_types)) @ Xs + 0.05 * rng.randn(n, d)
+
+    beta_ref, _ = bcd_solve(
+        Ys, Xs, A, lambda_=0.3, rho=0.01, max_iter=30, dtype=np.float64
+    )
+
+    perm = rng.permutation(n)
+    inv = np.empty(n, dtype=int)
+    inv[perm] = np.arange(n)
+    A_shuf = A.tocsr()[perm][:, perm]
+    beta_shuf, _ = bcd_solve(
+        Ys[perm], Xs, A_shuf, lambda_=0.3, rho=0.01, max_iter=30,
+        dtype=np.float64, coords=coords[perm],
+    )
+    np.testing.assert_allclose(beta_shuf[inv], beta_ref, atol=1e-9)
