@@ -80,14 +80,19 @@ def main() -> None:
           f"({Y.nnz / 1e6:.0f}M nnz, {1 - Y.nnz / (Y.shape[0] * Y.shape[1]):.1%} sparse)",
           file=sys.stderr)
 
+    # verbose=False: the solve runs as ONE fused device call (the verbose
+    # path syncs every 10 sweeps to log objectives, which on a
+    # remote-attached chip costs more than the sweeps).
     model = FlashDeconv(
         sketch_dim=512, lambda_spatial="auto", n_hvg=2000,
         n_markers_per_type=50, k_neighbors=6, random_state=0,
-        n_shards=args.n_shards, verbose=True,
+        n_shards=args.n_shards, verbose=False,
     )
     t0 = time.perf_counter()
     model.fit(Y, X, coords)
     total = time.perf_counter() - t0
+    for name, secs in sorted(model.timings_.items(), key=lambda kv: -kv[1]):
+        print(f"#   {name:>15}: {secs:7.2f}s", file=sys.stderr)
 
     print(f"# end-to-end fit: {total:.1f}s "
           f"({args.spots / total:.0f} spots/s)", file=sys.stderr)

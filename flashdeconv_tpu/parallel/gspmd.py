@@ -66,6 +66,7 @@ def _gspmd_iterate(
             mesh=mesh,
             in_specs=(P(_AXIS), P(_AXIS), P(), P(_AXIS), P(_AXIS), P(), P()),
             out_specs=P(_AXIS),
+            check_vma=False,  # pallas_call out_shape carries no vma info
         )
     else:
         cd = coordinate_descent
