@@ -76,6 +76,7 @@ def plan_shards(
     coords: Optional[np.ndarray] = None,
     order: str = "morton",
     pad_deg_to: int = 1,
+    pad_shard_to: int = 1,
 ) -> ShardPlan:
     """Build the :class:`ShardPlan` for adjacency ``A`` over ``n_shards``.
 
@@ -85,6 +86,8 @@ def plan_shards(
     coords : spot coordinates for the locality ordering; if None (or
         ``order='none'``) spots keep their input order.
     pad_deg_to : round max degree up to a multiple (layout alignment).
+    pad_shard_to : round shard_size up to a multiple (e.g. the Pallas
+        coordinate-pass block size); padded rows are masked out.
     """
     A_csr = A.tocsr()
     n = A_csr.shape[0]
@@ -97,6 +100,8 @@ def plan_shards(
         perm = np.arange(n)
 
     shard_size = -(-max(n, 1) // n_shards)
+    if pad_shard_to > 1:
+        shard_size = -(-shard_size // pad_shard_to) * pad_shard_to
     n_pad = n_shards * shard_size
 
     # Permute the graph into ordered space: P A P^T.

@@ -26,7 +26,11 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from flashdeconv_tpu.ops.bcd import coordinate_descent, neighbor_sum
+from flashdeconv_tpu.ops.bcd import (
+    coordinate_descent,
+    coordinate_descent_pallas,
+    neighbor_sum,
+)
 from flashdeconv_tpu.parallel.partition import ShardPlan, plan_shards
 
 _AXIS = "spots"
@@ -61,16 +65,21 @@ def _halo_exchange(beta_loc: jnp.ndarray, send_idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sharded_sweep(beta_loc, Xty_loc, XtX, nbr_loc, nnb_loc, mask_loc,
-                   send_idx, lambda_, rho):
+                   send_idx, lambda_, rho, use_pallas: bool = False):
     """One BCD sweep of this shard's spots, incl. halo exchange and stats."""
     pool = _halo_exchange(beta_loc, send_idx)
     zero = jnp.zeros((1, beta_loc.shape[1]), dtype=beta_loc.dtype)
     beta_ext = jnp.concatenate([beta_loc, pool, zero], axis=0)
     nbr_sum = neighbor_sum(beta_ext, nbr_loc)
 
-    beta_new = coordinate_descent(
-        beta_loc, Xty_loc, XtX, nbr_sum, nnb_loc, lambda_, rho
-    )
+    if use_pallas:
+        beta_new = coordinate_descent_pallas(
+            beta_loc, Xty_loc, XtX, nbr_sum, nnb_loc, lambda_, rho
+        )
+    else:
+        beta_new = coordinate_descent(
+            beta_loc, Xty_loc, XtX, nbr_sum, nnb_loc, lambda_, rho
+        )
     beta_new = jnp.where(mask_loc[:, None], beta_new, 0.0)
 
     diffs = jnp.max(jnp.abs(beta_new - beta_loc), axis=1)
@@ -83,7 +92,8 @@ def _sharded_sweep(beta_loc, Xty_loc, XtX, nbr_loc, nnb_loc, mask_loc,
 
 
 def _sharded_iterate(beta_loc, Xty_loc, XtX, nbr_loc, nnb_loc, mask_loc,
-                     send_idx, lambda_, rho, tol, max_iter: int):
+                     send_idx, lambda_, rho, tol, max_iter: int,
+                     use_pallas: bool = False):
     """Per-shard body of the fused solve loop (runs inside shard_map).
 
     Convergence semantics match the reference driver
@@ -100,7 +110,7 @@ def _sharded_iterate(beta_loc, Xty_loc, XtX, nbr_loc, nnb_loc, mask_loc,
         beta, it, _ = carry
         beta_new, max_diff, max_abs = _sharded_sweep(
             beta, Xty_loc, XtX, nbr_loc, nnb_loc, mask_loc, send_idx,
-            lambda_, rho,
+            lambda_, rho, use_pallas=use_pallas,
         )
         rel = max_diff / (max_abs + 1e-10)
         return beta_new, it + 1, rel
@@ -111,17 +121,19 @@ def _sharded_iterate(beta_loc, Xty_loc, XtX, nbr_loc, nnb_loc, mask_loc,
     return beta, n_iter, rel
 
 
-@partial(jax.jit, static_argnames=("mesh", "max_iter"))
+@partial(jax.jit, static_argnames=("mesh", "max_iter", "use_pallas"))
 def _sharded_solve_jit(beta0, Xty, XtX, nbr, nnb, mask, send_idx,
-                       lambda_, rho, tol, mesh: Mesh, max_iter: int):
+                       lambda_, rho, tol, mesh: Mesh, max_iter: int,
+                       use_pallas: bool = False):
     shard = P(_AXIS)
     repl = P()
     fn = jax.shard_map(
-        partial(_sharded_iterate, max_iter=max_iter),
+        partial(_sharded_iterate, max_iter=max_iter, use_pallas=use_pallas),
         mesh=mesh,
         in_specs=(shard, shard, repl, shard, shard, shard, shard,
                   repl, repl, repl),
         out_specs=(shard, repl, repl),
+        check_vma=not use_pallas,
     )
     return fn(beta0, Xty, XtX, nbr, nnb, mask, send_idx, lambda_, rho, tol)
 
@@ -197,8 +209,18 @@ def sharded_bcd_solve(
         mesh = default_mesh(n_shards)
     n_shards = mesh.devices.size
 
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and np.dtype(dtype) == np.float32
+        and n_types <= 128
+    )
     if plan is None:
-        plan = plan_shards(A, n_shards, coords=coords, order=order)
+        plan = plan_shards(
+            A, n_shards, coords=coords, order=order,
+            pad_shard_to=2048 if use_pallas else 1,
+        )
+    if use_pallas and plan.shard_size % 2048 != 0:
+        use_pallas = False  # externally built plan without kernel alignment
     if verbose:
         from flashdeconv_tpu.parallel.partition import halo_fraction
 
@@ -256,7 +278,7 @@ def sharded_bcd_solve(
 
     beta_d, n_iter_d, rel_d = _sharded_solve_jit(
         beta0_d, Xty_d, XtX_d, nbr_d, nnb_d, mask_d, send_d,
-        lam_d, rho_d, tol_d, mesh, max_iter,
+        lam_d, rho_d, tol_d, mesh, max_iter, use_pallas,
     )
 
     if jax.process_count() > 1:
