@@ -298,16 +298,26 @@ def bcd_solve(
                 break
     else:
         beta_d, n_iter_d, rel_d = run_chunk(beta0, max_iter)
-        n_iter = int(n_iter_d)
-        rel_change = float(rel_d)
-        converged = rel_change < tol
-
-    final_obj = float(
-        objective_terms_jit(
+        # Dispatch the objective BEFORE pulling any scalar: JAX queues it
+        # behind the solve asynchronously, so the whole non-verbose solve
+        # costs a single host<->device round trip (it matters when the
+        # accelerator is remote-attached).
+        obj_d = objective_terms_jit(
             beta_d, Xty_d, XtX_d, jnp.asarray(YtY, dtype=dtype),
             nbr_d, nnb_d, lam_d, rho_d,
         )
-    )
+        n_iter = int(n_iter_d)
+        rel_change = float(rel_d)
+        converged = rel_change < tol
+        final_obj = float(obj_d)
+
+    if verbose:
+        final_obj = float(
+            objective_terms_jit(
+                beta_d, Xty_d, XtX_d, jnp.asarray(YtY, dtype=dtype),
+                nbr_d, nnb_d, lam_d, rho_d,
+            )
+        )
 
     beta = np.asarray(beta_d, dtype=np.float64)[:n_spots]
     if perm is not None:
