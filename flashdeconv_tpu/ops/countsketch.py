@@ -66,7 +66,7 @@ def countsketch_project(
             op.sketch_dim,
         )
 
-    omega = jnp.asarray(op.to_dense(np.float32), dtype=dtype)
+    omega = jnp.asarray(op.to_dense(np.dtype(dtype)), dtype=dtype)
     return _matmul_project(Y, omega)
 
 

@@ -36,19 +36,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from flashdeconv_tpu.ops.bcd import (
     coordinate_descent,
     coordinate_descent_pallas,
+    neighbor_sum_banded,
 )
 
 _AXIS = "spots"
-
-
-def _banded_ns(beta, masks, offsets: Tuple[int, ...], halo: int):
-    n = beta.shape[0]
-    beta_pad = jnp.pad(beta, ((halo, halo), (0, 0)))
-    ns = jnp.zeros_like(beta)
-    for u, off in enumerate(offsets):
-        sl = lax.slice_in_dim(beta_pad, halo + off, halo + off + n, axis=0)
-        ns = ns + masks[u][:, None] * sl
-    return ns
 
 
 @partial(
@@ -77,9 +68,13 @@ def _gspmd_iterate(
         _, it, rel = carry
         return jnp.logical_and(it < max_iter, rel >= tol)
 
+    # (N, 0) rest table: the banded decomposition is required to be complete
+    # here, so neighbor_sum_banded's gather branch is statically skipped.
+    empty_rest = jnp.zeros((beta0.shape[0], 0), dtype=jnp.int32)
+
     def body(carry):
         beta, it, _ = carry
-        ns = _banded_ns(beta, masks, offsets, halo)
+        ns = neighbor_sum_banded(beta, offsets, masks, empty_rest, halo)
         beta_new = cd(beta, Xty, XtX, ns, nnb, lam, rho)
         diffs = jnp.max(jnp.abs(beta_new - beta), axis=1)
         abs_old = jnp.max(jnp.abs(beta), axis=1)
@@ -101,19 +96,39 @@ def gspmd_banded_solve(
     verbose: bool = False,
     dtype=np.float32,
     beta_init: Optional[np.ndarray] = None,
+    _split=None,
 ) -> Tuple[np.ndarray, dict]:
     """Spot-sharded solve for a fully banded adjacency (see module docstring).
 
     Raises ``ValueError`` if the graph is not 100% banded within 32 offsets —
     callers should fall back to :func:`~flashdeconv_tpu.parallel.solver.
-    sharded_bcd_solve` (explicit halo plan) in that case.
+    sharded_bcd_solve` (explicit halo plan) in that case. ``_split`` lets the
+    dispatching caller pass its already-computed ``banded_split(A, 32)``
+    result to avoid a second O(nnz) pass + masks materialization.
     """
-    from flashdeconv_tpu.utils.graph import adjacency_to_padded, banded_split
+    from flashdeconv_tpu.utils.graph import banded_split
 
     n_spots = Y_sketch.shape[0]
     n_types = X_sketch.shape[0]
 
-    offsets_np, masks_np, A_rest = banded_split(A, max_offsets=32)
+    if n_spots == 0 or n_types == 0 or max_iter == 0:
+        beta = np.full((n_spots, n_types), 1.0 / max(n_types, 1))
+        if n_spots == 0 or n_types == 0:
+            beta = np.empty((n_spots, n_types))
+        return beta, {
+            "converged": n_spots == 0 or n_types == 0,
+            "n_iterations": 0,
+            "final_objective": 0.0,
+            "objectives": [],
+            "final_change": 0.0,
+            "n_shards": 1 if mesh is None else mesh.devices.size,
+            "n_bands": 0,
+            "halo_width": 0,
+        }
+
+    offsets_np, masks_np, A_rest = (
+        _split if _split is not None else banded_split(A, max_offsets=32)
+    )
     if A.nnz > 0 and (offsets_np.size == 0 or A_rest.nnz > 0):
         raise ValueError(
             "Graph is not fully banded; use sharded_bcd_solve instead "

@@ -45,14 +45,20 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Initialize JAX's distributed runtime (no-op if already initialized).
+    """Initialize JAX's distributed runtime (idempotent).
 
     On Cloud TPU pods all three arguments are auto-detected; on other
-    platforms pass them explicitly.
+    platforms pass them explicitly. Must run before any JAX computation
+    (anything that instantiates an XLA backend — including ``jax.devices()``
+    — makes distributed initialization impossible): call this at program
+    start.
+
+    Intentionally does NOT touch ``jax.process_count()``/``jax.devices()``
+    first — those would themselves initialize the backend and turn this call
+    into a guaranteed failure.
     """
-    if jax.process_count() > 1 or getattr(
-        jax.distributed, "is_initialized", lambda: False
-    )():
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None and is_init():
         return
     try:
         jax.distributed.initialize(
@@ -62,11 +68,31 @@ def initialize(
         )
     except RuntimeError as e:
         msg = str(e).lower()
-        # Benign no-op cases: runtime already initialized, or an XLA backend
-        # already exists in this (single-process) interpreter session.
-        if ("already initialized" not in msg
-                and "must be called before" not in msg):
-            raise
+        if "already initialized" in msg:
+            return
+        if "must be called before" in msg:
+            if coordinator_address is None and num_processes in (None, 1):
+                # Single-process convenience call after JAX is already in
+                # use: nothing to set up. (On a pod this would be a late
+                # call — warn so the silent-no-op trap is visible.)
+                import warnings
+
+                warnings.warn(
+                    "multihost.initialize() called after the XLA backend "
+                    "was created; distributed runtime not started. On a "
+                    "multi-host pod, call initialize() before any other "
+                    "JAX use.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                return
+            raise RuntimeError(
+                "jax.distributed must be initialized before any JAX "
+                "computation; call flashdeconv_tpu.parallel.multihost."
+                "initialize() at program start, before jax.devices() or "
+                "any jit/device_put."
+            ) from e
+        raise
 
 
 def global_spot_mesh() -> Mesh:
@@ -80,19 +106,29 @@ def global_spot_mesh() -> Mesh:
 
 
 def host_spot_range(
-    n_spots: int, mesh: Optional[Mesh] = None
+    plan, mesh: Optional[Mesh] = None
 ) -> Tuple[int, int]:
     """[start, stop) of ordered-spot rows owned by this process.
 
-    Ordered-spot space is the Morton-permuted, padded layout of a
-    :class:`~flashdeconv_tpu.parallel.partition.ShardPlan` built with
-    ``n_shards = mesh.devices.size``; use ``plan.perm`` to map back to the
-    caller's original spot indices.
+    Parameters
+    ----------
+    plan : :class:`~flashdeconv_tpu.parallel.partition.ShardPlan`
+        The plan the solve will run with (``plan.n_shards`` must equal
+        ``mesh.devices.size``). Using the plan — not a recomputed
+        ``ceil(n/S)`` — matters because the solver may pad ``shard_size``
+        (e.g. to the Pallas block size on TPU).
+
+    Ordered-spot space is the plan's permuted, padded layout; use
+    ``plan.perm`` to map back to the caller's original spot indices.
     """
     if mesh is None:
         mesh = global_spot_mesh()
-    n_shards = mesh.devices.size
-    shard_size = -(-n_spots // n_shards)
+    if plan.n_shards != mesh.devices.size:
+        raise ValueError(
+            f"plan has {plan.n_shards} shards but mesh has "
+            f"{mesh.devices.size} devices"
+        )
+    shard_size = plan.shard_size
     local = [
         i for i, d in enumerate(mesh.devices.ravel())
         if d.process_index == jax.process_index()

@@ -176,11 +176,23 @@ def sharded_bcd_solve(
 
     if strategy not in ("auto", "halo", "banded"):
         raise ValueError(f"Unknown strategy: {strategy!r}")
-    if strategy in ("auto", "banded") and plan is None and n_spots > 0:
+    if strategy == "banded" and plan is not None:
+        raise ValueError(
+            "strategy='banded' does not use a ShardPlan; pass plan only "
+            "with strategy='halo' (or 'auto', which skips the banded path "
+            "when a plan is given)."
+        )
+    degenerate = n_spots == 0 or n_types == 0 or max_iter == 0
+    if (
+        strategy in ("auto", "banded")
+        and plan is None
+        and not degenerate
+    ):
         from flashdeconv_tpu.parallel.gspmd import gspmd_banded_solve
         from flashdeconv_tpu.utils.graph import banded_split
 
-        offsets_chk, _, A_rest_chk = banded_split(A, max_offsets=32)
+        split = banded_split(A, max_offsets=32)
+        offsets_chk, _, A_rest_chk = split
         fully_banded = A.nnz == 0 or (
             offsets_chk.size > 0 and A_rest_chk.nnz == 0
         )
@@ -190,7 +202,7 @@ def sharded_bcd_solve(
             return gspmd_banded_solve(
                 Y_sketch, X_sketch, A, lambda_=lambda_, rho=rho,
                 max_iter=max_iter, tol=tol, mesh=mesh, verbose=verbose,
-                dtype=dtype, beta_init=beta_init,
+                dtype=dtype, beta_init=beta_init, _split=split,
             )
 
     if n_spots == 0 or n_types == 0 or max_iter == 0:

@@ -117,9 +117,11 @@ class TestShardPlan:
         assert (plan.send_idx >= plan.shard_size).all()  # nothing to send
 
 
+@pytest.mark.parametrize("strategy", ["auto", "halo"])
 @pytest.mark.parametrize("n_shards", [1, 4, 8])
-def test_sharded_matches_single_device(n_shards):
-    """Sharded and single-device solves agree to fp rounding (f64)."""
+def test_sharded_matches_single_device(n_shards, strategy):
+    """Sharded and single-device solves agree to fp rounding (f64), for both
+    the GSPMD-banded (auto on grids) and explicit halo-plan strategies."""
     Y_sketch, X_sketch, A, coords = _problem()
     kwargs = dict(lambda_=0.3, rho=0.01, max_iter=60, tol=1e-5)
 
@@ -128,7 +130,7 @@ def test_sharded_matches_single_device(n_shards):
     )
     beta_sh, info_sh = sharded_bcd_solve(
         Y_sketch, X_sketch, A, coords=coords, n_shards=n_shards,
-        dtype=np.float64, **kwargs,
+        dtype=np.float64, strategy=strategy, **kwargs,
     )
 
     assert info_sh["n_shards"] == n_shards
@@ -139,11 +141,12 @@ def test_sharded_matches_single_device(n_shards):
     )
 
 
-def test_sharded_nonnegative_and_converges():
+@pytest.mark.parametrize("strategy", ["auto", "halo"])
+def test_sharded_nonnegative_and_converges(strategy):
     Y_sketch, X_sketch, A, coords = _problem(n_spots=333, seed=11)
     beta, info = sharded_bcd_solve(
         Y_sketch, X_sketch, A, coords=coords, n_shards=8,
-        lambda_=0.5, rho=0.02, max_iter=100, tol=1e-4,
+        lambda_=0.5, rho=0.02, max_iter=100, tol=1e-4, strategy=strategy,
     )
     assert beta.shape == (333, 7)
     assert (beta >= 0).all()
@@ -205,18 +208,46 @@ class TestMultihost:
     def test_host_spot_range_single_process(self):
         from flashdeconv_tpu.parallel import multihost
 
-        n = 1000
-        start, stop = multihost.host_spot_range(n)
-        # single process owns every shard
+        rng = np.random.RandomState(0)
+        coords = rng.rand(1000, 2) * 40
+        A = build_knn_graph(coords, k=4)
         n_shards = len(jax.devices())
-        shard_size = -(-n // n_shards)
-        assert (start, stop) == (0, n_shards * shard_size)
+        plan = plan_shards(A, n_shards, coords=coords)
+        start, stop = multihost.host_spot_range(plan)
+        # single process owns every shard (plan-aligned sizes)
+        assert (start, stop) == (0, plan.n_padded)
+
+        padded = plan_shards(A, n_shards, coords=coords, pad_shard_to=2048)
+        start, stop = multihost.host_spot_range(padded)
+        assert stop == padded.n_padded and padded.shard_size % 2048 == 0
+
+    def test_host_spot_range_mesh_mismatch_raises(self):
+        from flashdeconv_tpu.parallel import multihost
+
+        rng = np.random.RandomState(0)
+        coords = rng.rand(100, 2)
+        plan = plan_shards(build_knn_graph(coords, k=3), 2, coords=coords)
+        if len(jax.devices()) != 2:
+            with pytest.raises(ValueError, match="shards"):
+                multihost.host_spot_range(plan)
 
     def test_initialize_noop_single_process(self):
         from flashdeconv_tpu.parallel import multihost
 
-        multihost.initialize()  # must not raise on a single-process runtime
+        # Late no-arg call on an already-running single-process runtime:
+        # no-op, but warns so the pod-misuse trap is visible.
+        with pytest.warns(RuntimeWarning, match="before any other JAX use"):
+            multihost.initialize()
         assert jax.process_count() == 1
+
+    def test_initialize_late_multiprocess_raises(self):
+        from flashdeconv_tpu.parallel import multihost
+
+        with pytest.raises(RuntimeError, match="before any JAX computation"):
+            multihost.initialize(
+                coordinator_address="127.0.0.1:9999",
+                num_processes=2, process_id=0,
+            )
 
 
 class TestGspmdBanded:
@@ -277,3 +308,35 @@ class TestGspmdBanded:
         X_sketch = rng.randn(4, 16)
         with pytest.raises(ValueError, match="not fully banded"):
             gspmd_banded_solve(Y_sketch, X_sketch, A)
+
+
+class TestShardedDispatch:
+    def test_banded_strategy_with_plan_raises(self):
+        rng = np.random.RandomState(0)
+        coords = rng.rand(100, 2)
+        A = build_knn_graph(coords, k=3)
+        plan = plan_shards(A, 2, coords=coords)
+        with pytest.raises(ValueError, match="ShardPlan"):
+            sharded_bcd_solve(
+                rng.randn(100, 8), rng.randn(3, 8), A,
+                plan=plan, strategy="banded",
+            )
+
+    def test_degenerate_inputs_graceful(self):
+        from scipy import sparse as sp
+
+        # zero cell types on a banded-looking (empty) graph
+        beta, info = sharded_bcd_solve(
+            np.zeros((10, 8)), np.zeros((0, 8)), sp.csr_matrix((10, 10))
+        )
+        assert beta.shape == (10, 0)
+        assert info["n_iterations"] == 0
+        # max_iter=0 keeps the info contract (final_change == 0.0)
+        xs, ys = np.meshgrid(np.arange(5), np.arange(5))
+        coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+        A = build_knn_graph(coords, k=3)
+        rng = np.random.RandomState(0)
+        beta, info = sharded_bcd_solve(
+            rng.rand(25, 8), rng.rand(3, 8), A, max_iter=0
+        )
+        assert info["final_change"] == 0.0 and not info["converged"]
