@@ -37,11 +37,20 @@ def preprocess_data(
     """
     if method == "log_cpm":
         if sparse.issparse(Y):
-            Ycsr = Y.tocsr(copy=True)
+            Ycsr = Y.tocsr() if not sparse.isspmatrix_csr(Y) else Y
             lib = np.asarray(Ycsr.sum(axis=1)).ravel()
             lib[lib == 0] = 1.0
-            Y_norm = sparse.diags(1e4 / lib) @ Ycsr
-            Y_norm.data = np.log1p(Y_norm.data)
+            # Direct per-nnz transform sharing indices/indptr with the
+            # input (only .data is new): avoids the diagonal matmul and the
+            # 2x index copy, which dominate at atlas-scale nnz.
+            counts = np.diff(Ycsr.indptr)
+            new_data = np.log1p(
+                Ycsr.data * np.repeat(1e4 / lib, counts)
+            )
+            Y_norm = sparse.csr_matrix(
+                (new_data, Ycsr.indices, Ycsr.indptr), shape=Ycsr.shape,
+                copy=False,
+            )
         else:
             Yd = np.asarray(Y, dtype=np.float64)
             Y_norm = np.log1p(Yd / (Yd.sum(axis=1, keepdims=True) + 1e-10) * 1e4)

@@ -44,19 +44,39 @@ def _log1p_cpm_moments(Y: ArrayLike) -> Tuple[np.ndarray, np.ndarray]:
         scale = 1e4 / lib
 
         # Stream row blocks: per-nnz temporaries stay cache-sized and the
-        # matrix is never copied (atlas-scale nnz can be ~1e9).
-        col_sum = np.zeros(n_genes)
-        col_sumsq = np.zeros(n_genes)
+        # matrix is never copied (atlas-scale nnz can be ~1e9). Blocks run
+        # on a small thread pool — log1p / multiply / bincount release the
+        # GIL, so this scales with cores on large inputs.
         indptr, indices, data = Ycsr.indptr, Ycsr.indices, Ycsr.data
         block = 65536
-        for r0 in range(0, n_spots, block):
+
+        def _block_moments(r0: int):
             r1 = min(r0 + block, n_spots)
             lo, hi = indptr[r0], indptr[r1]
             counts = np.diff(indptr[r0 : r1 + 1])
             vals = np.log1p(data[lo:hi] * np.repeat(scale[r0:r1], counts))
             cols = indices[lo:hi]
-            col_sum += np.bincount(cols, weights=vals, minlength=n_genes)
-            col_sumsq += np.bincount(cols, weights=vals**2, minlength=n_genes)
+            return (
+                np.bincount(cols, weights=vals, minlength=n_genes),
+                np.bincount(cols, weights=vals**2, minlength=n_genes),
+            )
+
+        starts = range(0, n_spots, block)
+        col_sum = np.zeros(n_genes)
+        col_sumsq = np.zeros(n_genes)
+        if n_spots > 4 * block:
+            import concurrent.futures as cf
+            import os
+
+            workers = min(4, os.cpu_count() or 1)
+            with cf.ThreadPoolExecutor(workers) as pool:
+                for s, sq in pool.map(_block_moments, starts):
+                    col_sum += s
+                    col_sumsq += sq
+        else:
+            for s, sq in map(_block_moments, starts):
+                col_sum += s
+                col_sumsq += sq
 
         means = col_sum / n_spots
         if n_spots >= 2:
