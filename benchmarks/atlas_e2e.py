@@ -66,19 +66,37 @@ def main() -> None:
     p.add_argument("--nnz-per-spot", type=int, default=600)
     p.add_argument("--types", type=int, default=25)
     p.add_argument("--n-shards", type=int, default=None)
+    p.add_argument("--cache", type=str, default=None,
+                   help="npz path to cache the generated problem "
+                        "(saves ~2 min of regeneration per run)")
     args = p.parse_args()
 
+    from scipy import sparse
     from flashdeconv_tpu import FlashDeconv
 
-    print(f"# generating {args.spots} x {args.genes} sparse counts...",
-          file=sys.stderr)
     t0 = time.perf_counter()
-    Y, X, coords = make_sparse_counts(
-        args.spots, args.genes, args.nnz_per_spot, args.types
-    )
-    print(f"# generated in {time.perf_counter() - t0:.1f}s "
-          f"({Y.nnz / 1e6:.0f}M nnz, {1 - Y.nnz / (Y.shape[0] * Y.shape[1]):.1%} sparse)",
-          file=sys.stderr)
+    if args.cache and os.path.exists(args.cache):
+        print(f"# loading cached problem from {args.cache}...", file=sys.stderr)
+        z = np.load(args.cache)
+        Y = sparse.csr_matrix(
+            (z["data"], z["indices"], z["indptr"]),
+            shape=(args.spots, args.genes),
+        )
+        X, coords = z["X"], z["coords"]
+        print(f"# loaded in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    else:
+        print(f"# generating {args.spots} x {args.genes} sparse counts...",
+              file=sys.stderr)
+        Y, X, coords = make_sparse_counts(
+            args.spots, args.genes, args.nnz_per_spot, args.types
+        )
+        print(f"# generated in {time.perf_counter() - t0:.1f}s "
+              f"({Y.nnz / 1e6:.0f}M nnz, "
+              f"{1 - Y.nnz / (Y.shape[0] * Y.shape[1]):.1%} sparse)",
+              file=sys.stderr)
+        if args.cache:
+            np.savez(args.cache, data=Y.data, indices=Y.indices,
+                     indptr=Y.indptr, X=X, coords=coords)
 
     # verbose=False: the solve runs as ONE fused device call (the verbose
     # path syncs every 10 sweeps to log objectives, which on a
