@@ -216,22 +216,20 @@ class FlashDeconv:
     def _preprocess_data(self, Y, X, method):
         return preprocess_data(Y, X, method)
 
-    def fit(
+    def _pipeline_operands(
         self,
         Y: ArrayLike,
         X: np.ndarray,
         coords: np.ndarray,
-        cell_type_names: Optional[np.ndarray] = None,
-    ) -> "FlashDeconv":
-        """Run the full pipeline; stores results on the instance."""
+        cell_type_names: Optional[np.ndarray],
+        timer,
+    ):
+        """Stages 1-4 (validation, gene selection, normalization, sketch,
+        graph); shared by :meth:`fit` and :meth:`fit_lambda_path`."""
         from flashdeconv_tpu.core.sketching import sketch_data
-        from flashdeconv_tpu.core.spatial import auto_tune_lambda
-        from flashdeconv_tpu.core.solver import bcd_solve, normalize_proportions
         from flashdeconv_tpu.utils.genes import select_informative_genes
         from flashdeconv_tpu.utils.graph import coords_to_adjacency
-        from flashdeconv_tpu.utils.timing import StageTimer, trace
-
-        timer = StageTimer()
+        from flashdeconv_tpu.utils.timing import trace
 
         if Y.shape[1] != X.shape[1]:
             raise ValueError(
@@ -305,8 +303,11 @@ class FlashDeconv:
         self.adjacency_ = A
         avg_nbrs = float(np.mean(np.asarray(A.sum(axis=1)).ravel()))
         self._log(f"  Average neighbors per spot: {avg_nbrs:.1f}")
+        return Y_sketch, X_sketch, A
 
-        # [5] lambda
+    def _resolve_lambda(self, Y_sketch, X_sketch, A, timer) -> float:
+        from flashdeconv_tpu.core.spatial import auto_tune_lambda
+
         with timer.stage("lambda_tuning"):
             if self.lambda_spatial == "auto":
                 lambda_ = auto_tune_lambda(Y_sketch, X_sketch, A)
@@ -314,6 +315,24 @@ class FlashDeconv:
             else:
                 lambda_ = float(self.lambda_spatial)
                 self._log(f"Step 5: using lambda = {lambda_:.4f}")
+        return lambda_
+
+    def fit(
+        self,
+        Y: ArrayLike,
+        X: np.ndarray,
+        coords: np.ndarray,
+        cell_type_names: Optional[np.ndarray] = None,
+    ) -> "FlashDeconv":
+        """Run the full pipeline; stores results on the instance."""
+        from flashdeconv_tpu.core.solver import bcd_solve, normalize_proportions
+        from flashdeconv_tpu.utils.timing import StageTimer, trace
+
+        timer = StageTimer()
+        Y_sketch, X_sketch, A = self._pipeline_operands(
+            Y, X, coords, cell_type_names, timer
+        )
+        lambda_ = self._resolve_lambda(Y_sketch, X_sketch, A, timer)
         self.lambda_used_ = lambda_
 
         beta_init = None
@@ -393,6 +412,78 @@ class FlashDeconv:
         """Fit and return the (n_spots, n_cell_types) proportion matrix."""
         self.fit(Y, X, coords, **kwargs)
         return self.proportions_
+
+    def fit_lambda_path(
+        self,
+        Y: ArrayLike,
+        X: np.ndarray,
+        coords: np.ndarray,
+        lambdas: Optional[np.ndarray] = None,
+        cell_type_names: Optional[np.ndarray] = None,
+    ) -> list:
+        """Solve along a path of spatial-regularization strengths.
+
+        Runs the expensive pipeline stages (gene selection, normalization,
+        sketch, graph) ONCE, then solves for each lambda in ascending order,
+        warm-starting every solve from the previous lambda's abundances —
+        each subsequent solve typically converges in a fraction of the
+        cold-start sweeps. The model is left fitted at the final lambda.
+
+        Parameters
+        ----------
+        lambdas : optional ascending array of lambda values; default is the
+            auto-tuned lambda scaled by [0.1, 0.3, 1, 3, 10].
+
+        Returns
+        -------
+        list of dicts: {"lambda", "proportions", "beta", "info"} per value.
+
+        The reference has no equivalent (its solver always cold-starts,
+        reference ``flashdeconv/core/solver.py:372``); this is the
+        warm-start extension suggested by its own design (SURVEY.md §5).
+        """
+        from flashdeconv_tpu.core.solver import bcd_solve, normalize_proportions
+        from flashdeconv_tpu.utils.timing import StageTimer, trace
+
+        timer = StageTimer()
+        Y_sketch, X_sketch, A = self._pipeline_operands(
+            Y, X, coords, cell_type_names, timer
+        )
+        if lambdas is None:
+            base = self._resolve_lambda(Y_sketch, X_sketch, A, timer)
+            lambdas = base * np.array([0.1, 0.3, 1.0, 3.0, 10.0])
+        lambdas = np.sort(np.asarray(lambdas, dtype=float))
+        if lambdas.size == 0:
+            raise ValueError("lambdas must be non-empty")
+
+        results = []
+        beta_prev = None
+        with timer.stage("solve"), trace("bcd_lambda_path"):
+            for lam in lambdas:
+                self._log(f"lambda-path solve at lambda = {lam:.4f}...")
+                beta, info = bcd_solve(
+                    Y_sketch, X_sketch, A,
+                    lambda_=float(lam), rho=self.rho_sparsity,
+                    max_iter=self.max_iter, tol=self.tol,
+                    verbose=False, dtype=self.solver_dtype,
+                    beta_init=beta_prev, coords=coords,
+                )
+                beta_prev = beta
+                results.append({
+                    "lambda": float(lam),
+                    "beta": beta,
+                    "proportions": normalize_proportions(beta),
+                    "info": info,
+                })
+
+        last = results[-1]
+        self.lambda_used_ = last["lambda"]
+        self.beta_ = last["beta"]
+        self.proportions_ = last["proportions"]
+        self.info_ = last["info"]
+        self.timings_ = timer.timings
+        self._fitted = True
+        return results
 
     def get_cell_type_proportions(self) -> np.ndarray:
         """Normalized proportions; raises if not fitted."""

@@ -125,3 +125,58 @@ class TestCheckpoint:
         assert restored.info_["n_iterations"] <= max(
             model.info_["n_iterations"] // 2, 2
         )
+
+
+class TestLambdaPath:
+    def test_path_matches_individual_fits(self, synthetic_small):
+        from flashdeconv_tpu import FlashDeconv
+
+        Y, X, coords, _ = synthetic_small
+        kwargs = dict(**_FIT_KWARGS, solver_dtype=np.float64)
+        model = FlashDeconv(**kwargs)
+        lambdas = np.array([0.5, 2.0, 8.0])
+        path = model.fit_lambda_path(Y, X, coords, lambdas=lambdas)
+
+        assert [r["lambda"] for r in path] == sorted(lambdas.tolist())
+        assert model._fitted and model.lambda_used_ == 8.0
+        np.testing.assert_array_equal(model.proportions_,
+                                      path[-1]["proportions"])
+
+        # warm-started path solutions match cold individual fits
+        for r in path:
+            solo = FlashDeconv(lambda_spatial=r["lambda"], **kwargs)
+            solo.fit(Y, X, coords)
+            np.testing.assert_allclose(
+                r["proportions"], solo.proportions_, atol=1e-4
+            )
+
+    def test_warm_start_cheaper_along_path(self, synthetic_small):
+        from flashdeconv_tpu import FlashDeconv
+
+        Y, X, coords, _ = synthetic_small
+        model = FlashDeconv(**_FIT_KWARGS)
+        path = model.fit_lambda_path(
+            Y, X, coords, lambdas=np.array([1.0, 1.5, 2.0])
+        )
+        first = path[0]["info"]["n_iterations"]
+        later = [r["info"]["n_iterations"] for r in path[1:]]
+        assert max(later) <= first
+
+    def test_default_lambda_grid(self, synthetic_small):
+        from flashdeconv_tpu import FlashDeconv
+
+        Y, X, coords, _ = synthetic_small
+        model = FlashDeconv(**_FIT_KWARGS)
+        path = model.fit_lambda_path(Y, X, coords)
+        assert len(path) == 5
+        lams = [r["lambda"] for r in path]
+        assert lams == sorted(lams)
+
+    def test_empty_lambdas_raises(self, synthetic_small):
+        from flashdeconv_tpu import FlashDeconv
+
+        Y, X, coords, _ = synthetic_small
+        with pytest.raises(ValueError, match="non-empty"):
+            FlashDeconv(**_FIT_KWARGS).fit_lambda_path(
+                Y, X, coords, lambdas=np.array([])
+            )
