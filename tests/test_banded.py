@@ -160,3 +160,23 @@ def test_bcd_solve_reorders_scrambled_grid_with_coords():
         dtype=np.float64, coords=coords[perm],
     )
     np.testing.assert_allclose(beta_shuf[inv], beta_ref, atol=1e-9)
+
+
+def test_banded_solve_bitwise_deterministic():
+    """sha256 of beta bytes identical across runs on the banded path."""
+    import hashlib
+    from flashdeconv_tpu.core.solver import bcd_solve
+
+    side = 96  # 9216 spots -> banded path triggers
+    A, coords = _grid_graph(side=side)
+    n = A.shape[0]
+    rng = np.random.RandomState(7)
+    Xs = rng.randn(5, 24)
+    Ys = np.abs(rng.randn(n, 5)) @ Xs + 0.05 * rng.randn(n, 24)
+
+    digests = set()
+    for _ in range(2):
+        beta, _ = bcd_solve(Ys, Xs, A, lambda_=0.4, rho=0.01, max_iter=20,
+                            dtype=np.float64)
+        digests.add(hashlib.sha256(np.ascontiguousarray(beta)).hexdigest())
+    assert len(digests) == 1
