@@ -227,6 +227,13 @@ def bcd_solve(
     lam_d = jnp.asarray(lambda_, dtype=dtype)
     rho_d = jnp.asarray(rho_eff, dtype=dtype)
     tol_d = jnp.asarray(tol, dtype=dtype)
+    YtY_d = jnp.asarray(YtY, dtype=dtype)
+
+    def eval_objective(beta_d):
+        """Async-dispatches the device objective; returns the jax scalar."""
+        return objective_terms_jit(
+            beta_d, Xty_d, XtX_d, YtY_d, nbr_d, nnb_d, lam_d, rho_d
+        )
 
     if use_banded:
         off_t = tuple(int(o) for o in offsets_np)
@@ -254,9 +261,9 @@ def bcd_solve(
         b0 = np.maximum(np.asarray(beta_init, dtype=dtype), 0.0)
         if perm is not None:
             b0 = b0[perm]
-        if n_solve != n_spots:
+        if pad:
             b0 = np.concatenate(
-                [b0, np.zeros((n_solve - n_spots, n_types), dtype=dtype)]
+                [b0, np.zeros((pad, n_types), dtype=dtype)]
             )
         beta0 = jnp.asarray(b0, dtype=dtype)
     else:
@@ -281,12 +288,7 @@ def bcd_solve(
             beta_d, it_d, rel_d = run_chunk(beta_d, n_chunk)
             rel_change = float(rel_d)
             n_iter += int(it_d)
-            obj = float(
-                objective_terms_jit(
-                    beta_d, Xty_d, XtX_d, jnp.asarray(YtY, dtype=dtype),
-                    nbr_d, nnb_d, lam_d, rho_d,
-                )
-            )
+            obj = float(eval_objective(beta_d))
             objectives.append(obj)
             print(
                 f"Iteration {n_iter - 1}: objective = {obj:.6f}, "
@@ -296,28 +298,19 @@ def bcd_solve(
                 converged = True
                 print(f"Converged at iteration {n_iter - 1}")
                 break
+        # every loop exit just evaluated the objective at the final beta
+        final_obj = objectives[-1]
     else:
         beta_d, n_iter_d, rel_d = run_chunk(beta0, max_iter)
         # Dispatch the objective BEFORE pulling any scalar: JAX queues it
         # behind the solve asynchronously, so the whole non-verbose solve
         # costs a single host<->device round trip (it matters when the
         # accelerator is remote-attached).
-        obj_d = objective_terms_jit(
-            beta_d, Xty_d, XtX_d, jnp.asarray(YtY, dtype=dtype),
-            nbr_d, nnb_d, lam_d, rho_d,
-        )
+        obj_d = eval_objective(beta_d)
         n_iter = int(n_iter_d)
         rel_change = float(rel_d)
         converged = rel_change < tol
         final_obj = float(obj_d)
-
-    if verbose:
-        final_obj = float(
-            objective_terms_jit(
-                beta_d, Xty_d, XtX_d, jnp.asarray(YtY, dtype=dtype),
-                nbr_d, nnb_d, lam_d, rho_d,
-            )
-        )
 
     beta = np.asarray(beta_d, dtype=np.float64)[:n_spots]
     if perm is not None:

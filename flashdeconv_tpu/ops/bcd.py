@@ -288,6 +288,48 @@ def coordinate_descent_pallas(
     return out_t.T
 
 
+def sweep_stats(
+    beta_out: jnp.ndarray,
+    beta_in: jnp.ndarray,
+    spot_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused convergence statistics of one sweep: (max |delta|, max |old|).
+
+    Matches the reference's per-sweep reduction (reference
+    ``flashdeconv/core/solver.py:173-183``); masked rows (padding) are
+    excluded.
+    """
+    diffs = jnp.max(jnp.abs(beta_out - beta_in), axis=1)
+    abs_old = jnp.max(jnp.abs(beta_in), axis=1)
+    if spot_mask is not None:
+        diffs = jnp.where(spot_mask, diffs, 0.0)
+        abs_old = jnp.where(spot_mask, abs_old, 0.0)
+    return jnp.max(diffs), jnp.max(abs_old)
+
+
+def converge_loop(sweep_fn, beta0, tol, max_iter: int):
+    """Fused solve loop shared by every solver variant.
+
+    ``sweep_fn(beta) -> (beta_new, max_diff, max_abs)``. Stops when
+    max_diff / (max_abs + 1e-10) < tol (reference convergence rule,
+    ``flashdeconv/core/solver.py:385-413``); the satisfying sweep is still
+    applied. Returns (beta, n_iterations, rel_change).
+    """
+    big = jnp.asarray(jnp.inf, dtype=beta0.dtype)
+
+    def cond(carry):
+        _, it, rel = carry
+        return jnp.logical_and(it < max_iter, rel >= tol)
+
+    def body(carry):
+        beta, it, _ = carry
+        beta_new, max_diff, max_abs = sweep_fn(beta)
+        rel = max_diff / (max_abs + 1e-10)
+        return beta_new, it + 1, rel
+
+    return lax.while_loop(cond, body, (beta0, jnp.int32(0), big))
+
+
 def bcd_sweep(
     beta_in: jnp.ndarray,
     Xty: jnp.ndarray,
@@ -327,13 +369,7 @@ def bcd_sweep(
         beta_out = coordinate_descent(
             beta_in, Xty, XtX, nbr_sum, n_nbrs, lambda_, rho
         )
-
-    diffs = jnp.max(jnp.abs(beta_out - beta_in), axis=1)
-    abs_old = jnp.max(jnp.abs(beta_in), axis=1)
-    if spot_mask is not None:
-        diffs = jnp.where(spot_mask, diffs, 0.0)
-        abs_old = jnp.where(spot_mask, abs_old, 0.0)
-    return beta_out, jnp.max(diffs), jnp.max(abs_old)
+    return (beta_out, *sweep_stats(beta_out, beta_in, spot_mask))
 
 
 @partial(jax.jit, static_argnames=("max_iter", "use_pallas"))
@@ -359,23 +395,13 @@ def bcd_iterate(
     Returns (beta, n_iterations, rel_change). Runs entirely on device inside
     one compiled while-loop — the host only sees the final state.
     """
-    big = jnp.asarray(jnp.inf, dtype=beta0.dtype)
-
-    def cond(carry):
-        _, it, rel = carry
-        return jnp.logical_and(it < max_iter, rel >= tol)
-
-    def body(carry):
-        beta, it, _ = carry
-        beta_new, max_diff, max_abs = bcd_sweep(
+    return converge_loop(
+        lambda beta: bcd_sweep(
             beta, Xty, XtX, nbr_idx, n_nbrs, lambda_, rho,
             use_pallas=use_pallas,
-        )
-        rel = max_diff / (max_abs + 1e-10)
-        return beta_new, it + 1, rel
-
-    beta, n_iter, rel = lax.while_loop(cond, body, (beta0, jnp.int32(0), big))
-    return beta, n_iter, rel
+        ),
+        beta0, tol, max_iter,
+    )
 
 
 def objective_terms(
@@ -426,9 +452,7 @@ def bcd_sweep_banded(
         beta_out = coordinate_descent(
             beta_in, Xty, XtX, nbr_sum, n_nbrs, lambda_, rho
         )
-    diffs = jnp.max(jnp.abs(beta_out - beta_in), axis=1)
-    abs_old = jnp.max(jnp.abs(beta_in), axis=1)
-    return beta_out, jnp.max(diffs), jnp.max(abs_old)
+    return (beta_out, *sweep_stats(beta_out, beta_in))
 
 
 @partial(jax.jit, static_argnames=("offsets", "max_iter", "halo", "use_pallas"))
@@ -438,23 +462,13 @@ def bcd_iterate_banded(
 ):
     """Fused solve loop over :func:`bcd_sweep_banded`; same convergence
     semantics as :func:`bcd_iterate`."""
-    big = jnp.asarray(jnp.inf, dtype=beta0.dtype)
-
-    def cond(carry):
-        _, it, rel = carry
-        return jnp.logical_and(it < max_iter, rel >= tol)
-
-    def body(carry):
-        beta, it, _ = carry
-        beta_new, max_diff, max_abs = bcd_sweep_banded(
+    return converge_loop(
+        lambda beta: bcd_sweep_banded(
             beta, Xty, XtX, offsets, masks, rest_nbr_idx, n_nbrs,
             lambda_, rho, halo=halo, use_pallas=use_pallas,
-        )
-        rel = max_diff / (max_abs + 1e-10)
-        return beta_new, it + 1, rel
-
-    beta, n_iter, rel = lax.while_loop(cond, body, (beta0, jnp.int32(0), big))
-    return beta, n_iter, rel
+        ),
+        beta0, tol, max_iter,
+    )
 
 
 # Module-level jitted entry points: created once so the trace cache persists

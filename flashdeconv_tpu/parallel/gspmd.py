@@ -30,13 +30,14 @@ from scipy import sparse
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from flashdeconv_tpu.ops.bcd import (
+    converge_loop,
     coordinate_descent,
     coordinate_descent_pallas,
     neighbor_sum_banded,
+    sweep_stats,
 )
 
 _AXIS = "spots"
@@ -62,26 +63,16 @@ def _gspmd_iterate(
     else:
         cd = coordinate_descent
 
-    big = jnp.asarray(jnp.inf, dtype=beta0.dtype)
-
-    def cond(carry):
-        _, it, rel = carry
-        return jnp.logical_and(it < max_iter, rel >= tol)
-
     # (N, 0) rest table: the banded decomposition is required to be complete
     # here, so neighbor_sum_banded's gather branch is statically skipped.
     empty_rest = jnp.zeros((beta0.shape[0], 0), dtype=jnp.int32)
 
-    def body(carry):
-        beta, it, _ = carry
+    def sweep(beta):
         ns = neighbor_sum_banded(beta, offsets, masks, empty_rest, halo)
         beta_new = cd(beta, Xty, XtX, ns, nnb, lam, rho)
-        diffs = jnp.max(jnp.abs(beta_new - beta), axis=1)
-        abs_old = jnp.max(jnp.abs(beta), axis=1)
-        rel = jnp.max(diffs) / (jnp.max(abs_old) + 1e-10)
-        return beta_new, it + 1, rel
+        return (beta_new, *sweep_stats(beta_new, beta))
 
-    return lax.while_loop(cond, body, (beta0, jnp.int32(0), big))
+    return converge_loop(sweep, beta0, tol, max_iter)
 
 
 def gspmd_banded_solve(

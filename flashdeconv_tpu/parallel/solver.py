@@ -27,9 +27,11 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from flashdeconv_tpu.ops.bcd import (
+    converge_loop,
     coordinate_descent,
     coordinate_descent_pallas,
     neighbor_sum,
+    sweep_stats,
 )
 from flashdeconv_tpu.parallel.partition import ShardPlan, plan_shards
 
@@ -82,13 +84,8 @@ def _sharded_sweep(beta_loc, Xty_loc, XtX, nbr_loc, nnb_loc, mask_loc,
         )
     beta_new = jnp.where(mask_loc[:, None], beta_new, 0.0)
 
-    diffs = jnp.max(jnp.abs(beta_new - beta_loc), axis=1)
-    abs_old = jnp.max(jnp.abs(beta_loc), axis=1)
-    diffs = jnp.where(mask_loc, diffs, 0.0)
-    abs_old = jnp.where(mask_loc, abs_old, 0.0)
-    max_diff = lax.pmax(jnp.max(diffs), _AXIS)
-    max_abs = lax.pmax(jnp.max(abs_old), _AXIS)
-    return beta_new, max_diff, max_abs
+    loc_diff, loc_abs = sweep_stats(beta_new, beta_loc, mask_loc)
+    return beta_new, lax.pmax(loc_diff, _AXIS), lax.pmax(loc_abs, _AXIS)
 
 
 def _sharded_iterate(beta_loc, Xty_loc, XtX, nbr_loc, nnb_loc, mask_loc,
@@ -100,25 +97,13 @@ def _sharded_iterate(beta_loc, Xty_loc, XtX, nbr_loc, nnb_loc, mask_loc,
     (``flashdeconv/core/solver.py:385-413``): stop when
     global_max_diff / (global_max_abs + 1e-10) < tol.
     """
-    big = jnp.asarray(jnp.inf, dtype=beta_loc.dtype)
-
-    def cond(carry):
-        _, it, rel = carry
-        return jnp.logical_and(it < max_iter, rel >= tol)
-
-    def body(carry):
-        beta, it, _ = carry
-        beta_new, max_diff, max_abs = _sharded_sweep(
+    return converge_loop(
+        lambda beta: _sharded_sweep(
             beta, Xty_loc, XtX, nbr_loc, nnb_loc, mask_loc, send_idx,
             lambda_, rho, use_pallas=use_pallas,
-        )
-        rel = max_diff / (max_abs + 1e-10)
-        return beta_new, it + 1, rel
-
-    beta, n_iter, rel = lax.while_loop(
-        cond, body, (beta_loc, jnp.int32(0), big)
+        ),
+        beta_loc, tol, max_iter,
     )
-    return beta, n_iter, rel
 
 
 @partial(jax.jit, static_argnames=("mesh", "max_iter", "use_pallas"))
