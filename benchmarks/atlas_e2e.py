@@ -98,6 +98,23 @@ def main() -> None:
             np.savez(args.cache, data=Y.data, indices=Y.indices,
                      indptr=Y.indptr, X=X, coords=coords)
 
+    # Warm-up: on shared/remote-attached accelerators the process's FIRST
+    # sizeable execution can wait minutes for a scheduling slot; absorb that
+    # (plus residual compiles) outside the timed region with a small solve.
+    print("# warm-up solve...", file=sys.stderr)
+    t0 = time.perf_counter()
+    from flashdeconv_tpu.core.solver import bcd_solve
+    from flashdeconv_tpu.utils.graph import build_knn_graph
+
+    rng = np.random.default_rng(1)
+    wn = 20_000
+    wc = np.column_stack([np.repeat(np.arange(200), 100),
+                          np.tile(np.arange(100), 200)]).astype(float)
+    wx = rng.standard_normal((args.types, 64)).astype(np.float32)
+    wy = np.abs(rng.standard_normal((wn, args.types))).astype(np.float32) @ wx
+    bcd_solve(wy, wx, build_knn_graph(wc, k=6), max_iter=10, coords=wc)
+    print(f"# warm-up done in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
     # verbose=False: the solve runs as ONE fused device call (the verbose
     # path syncs every 10 sweeps to log objectives, which on a
     # remote-attached chip costs more than the sweeps).
