@@ -7,6 +7,7 @@ from flashdeconv_tpu.utils.genes import (
     select_markers,
 )
 from flashdeconv_tpu.utils.graph import (
+    banded_split,
     adjacency_to_padded,
     build_grid_graph,
     build_knn_graph,
@@ -35,6 +36,7 @@ __all__ = [
     "build_grid_graph",
     "coords_to_adjacency",
     "adjacency_to_padded",
+    "banded_split",
     "get_neighbor_counts",
     "get_neighbor_indices",
     "compute_rmse",
