@@ -29,8 +29,9 @@ def preprocess_data(
 
     Methods
     -------
-    log_cpm : log1p(counts-per-10k). Sparse Y is rescaled in place on its
-        ``.data`` buffer (log1p(0)=0 preserves sparsity).
+    log_cpm : log1p(counts-per-10k). Sparse Y keeps its sparsity pattern
+        (log1p(0)=0): only the ``.data`` values change, returned as a new
+        CSR matrix; the input is never modified.
     pearson : uncentered Pearson residuals y / sigma with the NB variance
         model sigma^2 = mu + mu^2/theta (theta=100); keeps values >= 0.
     raw : float cast only.
@@ -40,16 +41,18 @@ def preprocess_data(
             Ycsr = Y.tocsr() if not sparse.isspmatrix_csr(Y) else Y
             lib = np.asarray(Ycsr.sum(axis=1)).ravel()
             lib[lib == 0] = 1.0
-            # Direct per-nnz transform sharing indices/indptr with the
-            # input (only .data is new): avoids the diagonal matmul and the
-            # 2x index copy, which dominate at atlas-scale nnz.
+            # Direct per-nnz transform: avoids the diagonal matmul (which
+            # dominates at atlas-scale nnz). Index arrays are copied so the
+            # returned matrix never aliases the caller's buffers (an
+            # in-place structural op like sort_indices() on the result must
+            # not corrupt the input).
             counts = np.diff(Ycsr.indptr)
             new_data = np.log1p(
                 Ycsr.data * np.repeat(1e4 / lib, counts)
             )
             Y_norm = sparse.csr_matrix(
-                (new_data, Ycsr.indices, Ycsr.indptr), shape=Ycsr.shape,
-                copy=False,
+                (new_data, Ycsr.indices.copy(), Ycsr.indptr.copy()),
+                shape=Ycsr.shape, copy=False,
             )
         else:
             Yd = np.asarray(Y, dtype=np.float64)
@@ -231,6 +234,9 @@ class FlashDeconv:
         from flashdeconv_tpu.utils.graph import coords_to_adjacency
         from flashdeconv_tpu.utils.timing import trace
 
+        if sparse.issparse(Y) and not sparse.isspmatrix_csr(Y):
+            # COO/DIA/BSR don't support the column subsetting below.
+            Y = Y.tocsr()
         if Y.shape[1] != X.shape[1]:
             raise ValueError(
                 f"Gene dimension mismatch: Y has {Y.shape[1]} genes but "
@@ -317,6 +323,36 @@ class FlashDeconv:
                 self._log(f"Step 5: using lambda = {lambda_:.4f}")
         return lambda_
 
+    def _solve(self, Y_sketch, X_sketch, A, coords, lambda_, beta_init):
+        """Stage-6 dispatch: single-device vs spot-sharded mesh solve."""
+        from flashdeconv_tpu.core.solver import bcd_solve
+
+        if self.mesh is not None or (
+            self.n_shards is not None and self.n_shards > 1
+        ):
+            from flashdeconv_tpu.parallel import sharded_bcd_solve
+
+            self._log(
+                "Step 6: solving via sharded Block Coordinate Descent "
+                "(spot-parallel mesh)..."
+            )
+            return sharded_bcd_solve(
+                Y_sketch, X_sketch, A,
+                lambda_=lambda_, rho=self.rho_sparsity,
+                max_iter=self.max_iter, tol=self.tol,
+                coords=coords, mesh=self.mesh, n_shards=self.n_shards,
+                verbose=self.verbose, dtype=self.solver_dtype,
+                beta_init=beta_init,
+            )
+        self._log("Step 6: solving via Block Coordinate Descent on device...")
+        return bcd_solve(
+            Y_sketch, X_sketch, A,
+            lambda_=lambda_, rho=self.rho_sparsity,
+            max_iter=self.max_iter, tol=self.tol,
+            verbose=self.verbose, dtype=self.solver_dtype,
+            beta_init=beta_init, coords=coords,
+        )
+
     def fit(
         self,
         Y: ArrayLike,
@@ -325,7 +361,7 @@ class FlashDeconv:
         cell_type_names: Optional[np.ndarray] = None,
     ) -> "FlashDeconv":
         """Run the full pipeline; stores results on the instance."""
-        from flashdeconv_tpu.core.solver import bcd_solve, normalize_proportions
+        from flashdeconv_tpu.core.solver import normalize_proportions
         from flashdeconv_tpu.utils.timing import StageTimer, trace
 
         timer = StageTimer()
@@ -346,47 +382,9 @@ class FlashDeconv:
 
         # [6] solve — multi-device when a mesh / shard count is configured
         with timer.stage("solve"), trace("bcd_solve"):
-            if self.mesh is not None or (
-                self.n_shards is not None and self.n_shards > 1
-            ):
-                from flashdeconv_tpu.parallel import sharded_bcd_solve
-
-                self._log(
-                    "Step 6: solving via sharded Block Coordinate Descent "
-                    "(spot-parallel mesh)..."
-                )
-                beta, info = sharded_bcd_solve(
-                    Y_sketch,
-                    X_sketch,
-                    A,
-                    lambda_=lambda_,
-                    rho=self.rho_sparsity,
-                    max_iter=self.max_iter,
-                    tol=self.tol,
-                    coords=coords,
-                    mesh=self.mesh,
-                    n_shards=self.n_shards,
-                    verbose=self.verbose,
-                    dtype=self.solver_dtype,
-                    beta_init=beta_init,
-                )
-            else:
-                self._log(
-                    "Step 6: solving via Block Coordinate Descent on device..."
-                )
-                beta, info = bcd_solve(
-                    Y_sketch,
-                    X_sketch,
-                    A,
-                    lambda_=lambda_,
-                    rho=self.rho_sparsity,
-                    max_iter=self.max_iter,
-                    tol=self.tol,
-                    verbose=self.verbose,
-                    dtype=self.solver_dtype,
-                    beta_init=beta_init,
-                    coords=coords,
-                )
+            beta, info = self._solve(
+                Y_sketch, X_sketch, A, coords, lambda_, beta_init
+            )
 
         self.beta_ = beta
         self.proportions_ = normalize_proportions(beta)
@@ -442,7 +440,7 @@ class FlashDeconv:
         reference ``flashdeconv/core/solver.py:372``); this is the
         warm-start extension suggested by its own design (SURVEY.md §5).
         """
-        from flashdeconv_tpu.core.solver import bcd_solve, normalize_proportions
+        from flashdeconv_tpu.core.solver import normalize_proportions
         from flashdeconv_tpu.utils.timing import StageTimer, trace
 
         timer = StageTimer()
@@ -455,18 +453,18 @@ class FlashDeconv:
         lambdas = np.sort(np.asarray(lambdas, dtype=float))
         if lambdas.size == 0:
             raise ValueError("lambdas must be non-empty")
+        if lambdas[0] < 0:
+            raise ValueError(
+                f"lambdas must be non-negative, got min {lambdas[0]}"
+            )
 
         results = []
         beta_prev = None
         with timer.stage("solve"), trace("bcd_lambda_path"):
             for lam in lambdas:
                 self._log(f"lambda-path solve at lambda = {lam:.4f}...")
-                beta, info = bcd_solve(
-                    Y_sketch, X_sketch, A,
-                    lambda_=float(lam), rho=self.rho_sparsity,
-                    max_iter=self.max_iter, tol=self.tol,
-                    verbose=False, dtype=self.solver_dtype,
-                    beta_init=beta_prev, coords=coords,
+                beta, info = self._solve(
+                    Y_sketch, X_sketch, A, coords, float(lam), beta_prev
                 )
                 beta_prev = beta
                 results.append({
@@ -528,6 +526,14 @@ class FlashDeconv:
         or a hyperparameter tweak.
         """
         self._check_fitted()
+        A = self.adjacency_.tocsr() if self.adjacency_ is not None else None
+        extra = {}
+        if A is not None:
+            extra.update(
+                adj_data=A.data, adj_indices=A.indices, adj_indptr=A.indptr
+            )
+        if self.cell_type_names_ is not None:
+            extra["cell_type_names"] = np.asarray(self.cell_type_names_)
         np.savez_compressed(
             path,
             beta=self.beta_,
@@ -541,6 +547,7 @@ class FlashDeconv:
             n_spots=self.n_spots_,
             n_genes=self.n_genes_,
             n_cell_types=self.n_cell_types_,
+            **extra,
         )
 
     @classmethod
@@ -559,7 +566,17 @@ class FlashDeconv:
         model.n_spots_ = int(data["n_spots"])
         model.n_genes_ = int(data["n_genes"])
         model.n_cell_types_ = int(data["n_cell_types"])
-        model.cell_type_names_ = None
+        model.cell_type_names_ = (
+            data["cell_type_names"] if "cell_type_names" in data else None
+        )
+        if "adj_data" in data:
+            n = model.n_spots_
+            model.adjacency_ = sparse.csr_matrix(
+                (data["adj_data"], data["adj_indices"], data["adj_indptr"]),
+                shape=(n, n),
+            )
+        else:
+            model.adjacency_ = None
         model.info_ = {
             "converged": bool(data["converged"]),
             "n_iterations": int(data["n_iterations"]),

@@ -207,6 +207,17 @@ def sketch_data(
     else:
         raise ValueError(f"Unknown sketching method: {method}")
 
+    if backend == "device":
+        if sparse.issparse(Y_tilde):
+            raise ValueError(
+                "backend='device' requires dense Y (the device projection "
+                "would densify the whole matrix); sparse inputs use the "
+                "O(nnz) host path — pass backend='host' or 'auto'."
+            )
+        if op is None:
+            raise ValueError(
+                "backend='device' is only available for method='countsketch'."
+            )
     use_device = backend == "device" or (
         backend == "auto"
         and op is not None

@@ -110,6 +110,7 @@ def bcd_solve(
     from flashdeconv_tpu.ops.bcd import (
         bcd_iterate,
         bcd_iterate_banded,
+        objective_terms_banded,
         objective_terms_jit,
     )
     from flashdeconv_tpu.utils.graph import banded_split
@@ -154,7 +155,12 @@ def bcd_solve(
         offsets_np, masks_np, A_rest = banded_split(
             A, max_offsets=16, min_coverage=0.9
         )
-        if offsets_np.size == 0 and coords is not None:
+        if (
+            offsets_np.size == 0
+            and coords is not None
+            and np.asarray(coords).ndim == 2
+            and np.asarray(coords).shape[1] >= 2
+        ):
             cand = np.lexsort(
                 (np.asarray(coords)[:, 0], np.asarray(coords)[:, 1])
             )
@@ -167,8 +173,6 @@ def bcd_solve(
                 A_solve = A_cand
                 offsets_np, masks_np, A_rest = off_c, masks_c, rest_c
         use_banded = offsets_np.size > 0
-
-    nbr_idx, n_nbrs = adjacency_to_padded(A_solve)
 
     # Fused Pallas coordinate-descent kernel: TPU, f32, K within one VMEM
     # block. Requires the spot axis padded to the kernel's block size; the
@@ -185,11 +189,19 @@ def bcd_solve(
         block = 2048
         n_solve = -(-n_spots // block) * block
     pad = n_solve - n_spots
+
+    if use_banded:
+        # No gather table at all on the banded path: degrees suffice.
+        nbr_idx = None
+        n_nbrs = np.asarray(A_solve.sum(axis=1)).ravel().astype(np.int32)
+    else:
+        nbr_idx, n_nbrs = adjacency_to_padded(A_solve)
+        if pad:
+            nbr_idx = np.concatenate(
+                [nbr_idx, np.full((pad, nbr_idx.shape[1]), n_spots,
+                                  dtype=nbr_idx.dtype)], axis=0
+            )
     if pad:
-        nbr_idx = np.concatenate(
-            [nbr_idx, np.full((pad, nbr_idx.shape[1]), n_spots,
-                              dtype=nbr_idx.dtype)], axis=0
-        )
         n_nbrs = np.concatenate([n_nbrs, np.zeros(pad, dtype=n_nbrs.dtype)])
 
     if use_banded:
@@ -222,35 +234,42 @@ def bcd_solve(
         )
     Xty_d = jnp.asarray(Xty_np)  # (N, K)
     XtX_d = jnp.asarray(XtX, dtype=dtype)
-    nbr_d = jnp.asarray(nbr_idx)
     nnb_d = jnp.asarray(n_nbrs, dtype=dtype)
     lam_d = jnp.asarray(lambda_, dtype=dtype)
     rho_d = jnp.asarray(rho_eff, dtype=dtype)
     tol_d = jnp.asarray(tol, dtype=dtype)
     YtY_d = jnp.asarray(YtY, dtype=dtype)
 
-    def eval_objective(beta_d):
-        """Async-dispatches the device objective; returns the jax scalar."""
-        return objective_terms_jit(
-            beta_d, Xty_d, XtX_d, YtY_d, nbr_d, nnb_d, lam_d, rho_d
-        )
-
     if use_banded:
         off_t = tuple(int(o) for o in offsets_np)
         masks_d = jnp.asarray(masks_np, dtype=dtype)
         rest_d = jnp.asarray(rest_nbr_np)
 
-        def run_chunk(beta_d, n_chunk):
+        def run_chunk(beta_d, bound, cap=None):
             return bcd_iterate_banded(
                 beta_d, Xty_d, XtX_d, off_t, masks_d, rest_d, nnb_d,
-                lam_d, rho_d, tol_d, n_chunk, halo, use_pallas,
+                lam_d, rho_d, tol_d, bound, halo, use_pallas, iter_cap=cap,
+            )
+
+        def eval_objective(beta_d):
+            """Async-dispatches the device objective; returns a jax scalar."""
+            return objective_terms_banded(
+                beta_d, Xty_d, XtX_d, YtY_d, off_t, masks_d, rest_d,
+                nnb_d, lam_d, rho_d, halo,
             )
     else:
+        nbr_d = jnp.asarray(nbr_idx)
 
-        def run_chunk(beta_d, n_chunk):
+        def run_chunk(beta_d, bound, cap=None):
             return bcd_iterate(
                 beta_d, Xty_d, XtX_d, nbr_d, nnb_d, lam_d, rho_d, tol_d,
-                n_chunk, use_pallas=use_pallas,
+                bound, use_pallas=use_pallas, iter_cap=cap,
+            )
+
+        def eval_objective(beta_d):
+            """Async-dispatches the device objective; returns a jax scalar."""
+            return objective_terms_jit(
+                beta_d, Xty_d, XtX_d, YtY_d, nbr_d, nnb_d, lam_d, rho_d
             )
     if beta_init is not None:
         if beta_init.shape != (n_spots, n_types):
@@ -284,8 +303,12 @@ def bcd_solve(
         rel_change = float("inf")
         n_iter = 0
         while n_iter < max_iter:
+            # static bound = chunk (one compile); the tail is limited by a
+            # *traced* cap so max_iter % chunk != 0 does not recompile
             n_chunk = min(chunk, max_iter - n_iter)
-            beta_d, it_d, rel_d = run_chunk(beta_d, n_chunk)
+            beta_d, it_d, rel_d = run_chunk(
+                beta_d, chunk, jnp.asarray(n_chunk, dtype=jnp.int32)
+            )
             rel_change = float(rel_d)
             n_iter += int(it_d)
             obj = float(eval_objective(beta_d))

@@ -307,19 +307,26 @@ def sweep_stats(
     return jnp.max(diffs), jnp.max(abs_old)
 
 
-def converge_loop(sweep_fn, beta0, tol, max_iter: int):
+def converge_loop(sweep_fn, beta0, tol, max_iter: int, iter_cap=None):
     """Fused solve loop shared by every solver variant.
 
     ``sweep_fn(beta) -> (beta_new, max_diff, max_abs)``. Stops when
     max_diff / (max_abs + 1e-10) < tol (reference convergence rule,
     ``flashdeconv/core/solver.py:385-413``); the satisfying sweep is still
     applied. Returns (beta, n_iterations, rel_change).
+
+    ``max_iter`` is the static (compile-time) bound; ``iter_cap`` is an
+    optional *traced* bound so callers can run shorter chunks without
+    recompiling (e.g. the verbose driver's tail chunk).
     """
     big = jnp.asarray(jnp.inf, dtype=beta0.dtype)
 
     def cond(carry):
         _, it, rel = carry
-        return jnp.logical_and(it < max_iter, rel >= tol)
+        go = jnp.logical_and(it < max_iter, rel >= tol)
+        if iter_cap is not None:
+            go = jnp.logical_and(go, it < iter_cap)
+        return go
 
     def body(carry):
         beta, it, _ = carry
@@ -384,6 +391,7 @@ def bcd_iterate(
     tol,
     max_iter: int,
     use_pallas: bool = False,
+    iter_cap=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused solve loop: sweeps until rel-change < tol or max_iter sweeps.
 
@@ -400,7 +408,7 @@ def bcd_iterate(
             beta, Xty, XtX, nbr_idx, n_nbrs, lambda_, rho,
             use_pallas=use_pallas,
         ),
-        beta0, tol, max_iter,
+        beta0, tol, max_iter, iter_cap=iter_cap,
     )
 
 
@@ -458,7 +466,7 @@ def bcd_sweep_banded(
 @partial(jax.jit, static_argnames=("offsets", "max_iter", "halo", "use_pallas"))
 def bcd_iterate_banded(
     beta0, Xty, XtX, offsets, masks, rest_nbr_idx, n_nbrs, lambda_, rho, tol,
-    max_iter: int, halo: int, use_pallas: bool = False,
+    max_iter: int, halo: int, use_pallas: bool = False, iter_cap=None,
 ):
     """Fused solve loop over :func:`bcd_sweep_banded`; same convergence
     semantics as :func:`bcd_iterate`."""
@@ -467,12 +475,35 @@ def bcd_iterate_banded(
             beta, Xty, XtX, offsets, masks, rest_nbr_idx, n_nbrs,
             lambda_, rho, halo=halo, use_pallas=use_pallas,
         ),
-        beta0, tol, max_iter,
+        beta0, tol, max_iter, iter_cap=iter_cap,
     )
 
 
-# Module-level jitted entry points: created once so the trace cache persists
+@partial(jax.jit, static_argnames=("offsets", "halo"))
+def objective_terms_banded(
+    beta, Xty, XtX, YtY, offsets, masks, rest_nbr_idx, n_nbrs, lambda_, rho,
+    halo: int,
+):
+    """Objective using the banded neighbor decomposition (no gather table).
+
+    Same algebra as :func:`objective_terms`; lets the banded solve path skip
+    building and transferring the (N, max_deg) padded gather table entirely.
+    """
+    cross = jnp.sum(beta * Xty)
+    BtB = jnp.dot(beta.T, beta, precision=_PREC)
+    quad = jnp.sum(BtB * XtX)
+    fidelity = 0.5 * (YtY - 2.0 * cross + quad)
+
+    ns = neighbor_sum_banded(beta, offsets, masks, rest_nbr_idx, halo)
+    deg_term = jnp.sum(n_nbrs * jnp.sum(beta * beta, axis=1))
+    adj_term = jnp.sum(beta * ns)
+    spatial = 0.5 * lambda_ * (deg_term - adj_term)
+
+    sparsity = rho * jnp.sum(jnp.abs(beta))
+    return fidelity + spatial + sparsity
+
+
+# Module-level jitted entry point: created once so the trace cache persists
 # across bcd_solve calls (a fresh jax.jit wrapper per call would retrace and
 # recompile every solve).
-bcd_sweep_jit = jax.jit(bcd_sweep)
 objective_terms_jit = jax.jit(objective_terms)

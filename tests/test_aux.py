@@ -180,3 +180,88 @@ class TestLambdaPath:
             FlashDeconv(**_FIT_KWARGS).fit_lambda_path(
                 Y, X, coords, lambdas=np.array([])
             )
+
+
+class TestReviewRegressions:
+    def test_one_column_coords_large_n_no_crash(self):
+        """1-D coords at n >= 8192 must not crash the banded re-sort."""
+        from scipy import sparse
+        from flashdeconv_tpu.core.solver import bcd_solve
+
+        rng = np.random.RandomState(0)
+        n = 8192
+        coords = rng.rand(n, 1) * 100  # 1-D positions (e.g. linear probe)
+        # random irregular graph in input order
+        from flashdeconv_tpu.utils.graph import build_knn_graph
+        A = build_knn_graph(coords, k=4)
+        Xs = rng.randn(4, 16)
+        Ys = np.abs(rng.randn(n, 4)) @ Xs
+        beta, info = bcd_solve(Ys, Xs, A, max_iter=3, coords=coords)
+        assert beta.shape == (n, 4)
+
+    def test_coo_input_fit(self, synthetic_small):
+        from scipy import sparse
+
+        Y, X, coords, _ = synthetic_small
+        P = FlashDeconv(**_FIT_KWARGS).fit_transform(
+            sparse.coo_matrix(Y), X, coords
+        )
+        np.testing.assert_allclose(P.sum(axis=1), 1.0, atol=1e-6)
+
+    def test_sketch_device_sparse_raises(self):
+        from scipy import sparse
+        from flashdeconv_tpu.core.sketching import sketch_data
+
+        Y = sparse.random(50, 100, density=0.1, format="csr")
+        X = np.abs(np.random.RandomState(0).randn(3, 100))
+        with pytest.raises(ValueError, match="dense"):
+            sketch_data(Y, X, sketch_dim=32, backend="device")
+
+    def test_lambda_path_respects_n_shards(self, synthetic_small):
+        Y, X, coords, _ = synthetic_small
+        kwargs = dict(**_FIT_KWARGS, solver_dtype=np.float64)
+        lambdas = np.array([1.0, 4.0])
+        p1 = FlashDeconv(**kwargs).fit_lambda_path(Y, X, coords,
+                                                   lambdas=lambdas)
+        p8 = FlashDeconv(n_shards=8, **kwargs).fit_lambda_path(
+            Y, X, coords, lambdas=lambdas
+        )
+        for r1, r8 in zip(p1, p8):
+            assert "n_shards" in r8["info"]
+            np.testing.assert_allclose(
+                r8["proportions"], r1["proportions"], atol=1e-8
+            )
+
+    def test_negative_lambda_path_raises(self, synthetic_small):
+        Y, X, coords, _ = synthetic_small
+        with pytest.raises(ValueError, match="non-negative"):
+            FlashDeconv(**_FIT_KWARGS).fit_lambda_path(
+                Y, X, coords, lambdas=np.array([-1.0, 0.5])
+            )
+
+    def test_save_load_restores_adjacency_and_names(self, synthetic_small,
+                                                    tmp_path):
+        Y, X, coords, _ = synthetic_small
+        names = np.array([f"t{k}" for k in range(X.shape[0])])
+        m = FlashDeconv(**_FIT_KWARGS).fit(Y, X, coords,
+                                           cell_type_names=names)
+        p = tmp_path / "c.npz"
+        m.save(str(p))
+        r = FlashDeconv.load(str(p), **_FIT_KWARGS)
+        assert (r.adjacency_ != m.adjacency_.tocsr()).nnz == 0
+        assert list(r.cell_type_names_) == list(names)
+
+    def test_preprocess_does_not_alias_input(self):
+        from scipy import sparse
+        from flashdeconv_tpu.core.deconv import preprocess_data
+
+        rng = np.random.RandomState(0)
+        Y = sparse.random(40, 60, density=0.2, format="csr",
+                          random_state=rng) * 10
+        X = np.abs(rng.randn(3, 60))
+        Y_before = Y.toarray().copy()
+        Yn, _ = preprocess_data(Y, X, "log_cpm")
+        assert not np.shares_memory(Yn.indices, Y.indices)
+        Yn.sort_indices()           # structural op on the result...
+        Yn.data[:] = -1.0           # ...and value mutation
+        np.testing.assert_array_equal(Y.toarray(), Y_before)  # input intact
