@@ -303,11 +303,12 @@ def bcd_solve(
         rel_change = float("inf")
         n_iter = 0
         while n_iter < max_iter:
-            # static bound = chunk (one compile); the tail is limited by a
-            # *traced* cap so max_iter % chunk != 0 does not recompile
+            # static bound = max_iter (the same executable as the
+            # non-verbose path); chunk length is a *traced* cap, so neither
+            # chunking nor the tail ever triggers a recompile
             n_chunk = min(chunk, max_iter - n_iter)
             beta_d, it_d, rel_d = run_chunk(
-                beta_d, chunk, jnp.asarray(n_chunk, dtype=jnp.int32)
+                beta_d, max_iter, jnp.asarray(n_chunk, dtype=jnp.int32)
             )
             rel_change = float(rel_d)
             n_iter += int(it_d)
@@ -324,7 +325,11 @@ def bcd_solve(
         # every loop exit just evaluated the objective at the final beta
         final_obj = objectives[-1]
     else:
-        beta_d, n_iter_d, rel_d = run_chunk(beta0, max_iter)
+        # cap == bound here; passing it as a traced arg keeps this the SAME
+        # compiled executable as the verbose chunked path.
+        beta_d, n_iter_d, rel_d = run_chunk(
+            beta0, max_iter, jnp.asarray(max_iter, dtype=jnp.int32)
+        )
         # Dispatch the objective BEFORE pulling any scalar: JAX queues it
         # behind the solve asynchronously, so the whole non-verbose solve
         # costs a single host<->device round trip (it matters when the
