@@ -10,11 +10,13 @@ from flashdeconv_tpu.core.sketching import (
     sketch_data,
 )
 from flashdeconv_tpu.core.solver import (
+    BCDProblem,
     bcd_solve,
     compute_objective,
     normalize_proportions,
     precompute_XtY,
     precompute_gram_matrix,
+    prepare_bcd,
     soft_threshold,
 )
 from flashdeconv_tpu.core.spatial import (
@@ -33,7 +35,9 @@ __all__ = [
     "build_sparse_rademacher_matrix",
     "project_to_sketch",
     "sketch_data",
+    "BCDProblem",
     "bcd_solve",
+    "prepare_bcd",
     "compute_objective",
     "normalize_proportions",
     "precompute_XtY",

@@ -422,10 +422,12 @@ class FlashDeconv:
         """Solve along a path of spatial-regularization strengths.
 
         Runs the expensive pipeline stages (gene selection, normalization,
-        sketch, graph) ONCE, then solves for each lambda in ascending order,
-        warm-starting every solve from the previous lambda's abundances —
-        each subsequent solve typically converges in a fraction of the
-        cold-start sweeps. The model is left fitted at the final lambda.
+        sketch, graph) ONCE, prepares the solver operands on device ONCE
+        (:func:`flashdeconv_tpu.core.solver.prepare_bcd`), then solves for
+        each lambda in ascending order, warm-starting every solve from the
+        previous lambda's abundances — each subsequent solve is device-only
+        and typically converges in a fraction of the cold-start sweeps. The
+        model is left fitted at the final lambda.
 
         Parameters
         ----------
@@ -458,14 +460,34 @@ class FlashDeconv:
                 f"lambdas must be non-negative, got min {lambdas[0]}"
             )
 
+        sharded = self.mesh is not None or (
+            self.n_shards is not None and self.n_shards > 1
+        )
+        problem = None
+        if not sharded:
+            from flashdeconv_tpu.core.solver import prepare_bcd
+
+            with timer.stage("solver_prepare"):
+                problem = prepare_bcd(
+                    Y_sketch, X_sketch, A, dtype=self.solver_dtype,
+                    coords=coords,
+                )
+
         results = []
         beta_prev = None
         with timer.stage("solve"), trace("bcd_lambda_path"):
             for lam in lambdas:
                 self._log(f"lambda-path solve at lambda = {lam:.4f}...")
-                beta, info = self._solve(
-                    Y_sketch, X_sketch, A, coords, float(lam), beta_prev
-                )
+                if problem is not None:
+                    beta, info = problem.solve(
+                        lambda_=float(lam), rho=self.rho_sparsity,
+                        max_iter=self.max_iter, tol=self.tol,
+                        verbose=self.verbose, beta_init=beta_prev,
+                    )
+                else:
+                    beta, info = self._solve(
+                        Y_sketch, X_sketch, A, coords, float(lam), beta_prev
+                    )
                 beta_prev = beta
                 results.append({
                     "lambda": float(lam),

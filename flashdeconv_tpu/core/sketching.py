@@ -232,6 +232,22 @@ def sketch_data(
         X_sketch = np.asarray(countsketch_project(np.asarray(X_tilde), op))
         return Y_sketch, X_sketch, Omega
 
+    if op is not None and sparse.issparse(Y_tilde):
+        # Native host scatter (flashdeconv_tpu/native/host_kernels.cpp):
+        # out[r, bucket[g]] += w[g] * Y[r, g] threaded over row blocks —
+        # bit-identical to the scipy CSR matmul (same per-row nnz
+        # accumulation order) at ~30x the throughput. Falls through to
+        # scipy when the native library is unavailable.
+        from flashdeconv_tpu import native
+
+        Y_csr = Y_tilde.tocsr()
+        Y_sketch = native.countsketch_project(
+            Y_csr, op.buckets, op.weights, op.sketch_dim
+        )
+        if Y_sketch is not None:
+            X_sketch = np.asarray(X_tilde @ Omega)
+            return Y_sketch, X_sketch, Omega
+
     Y_sketch, X_sketch = project_to_sketch(Y_tilde, X_tilde, Omega)
     return Y_sketch, X_sketch, Omega
 

@@ -1,0 +1,211 @@
+"""Native (C++) host kernels for the O(nnz) CSR pipeline stages.
+
+The TPU owns the solve; the host owns single-pass CSR reductions (HVG
+moments, CountSketch projection) that numpy runs at a fraction of memory
+bandwidth (per-block temporaries, bincount index conversion, GIL-bounded
+threading). ``host_kernels.cpp`` fuses each pass and threads it with
+deterministic block-ordered reduction — results are bit-identical to the
+numpy implementations they replace (see the .cpp header for the contract).
+
+Build/load strategy (no pip, no pybind11):
+
+* the C++ source ships inside the package;
+* on first use it is compiled with the system ``g++`` into a content-hashed
+  shared object under ``~/.cache/flashdeconv-tpu/native/`` (override with
+  ``FLASHDECONV_NATIVE_CACHE``) and loaded via ctypes;
+* if compilation fails, ``g++`` is missing, or the libm ``log1p`` self-test
+  does not match numpy bit-for-bit, callers transparently fall back to the
+  pure-numpy paths (set ``FLASHDECONV_NO_NATIVE=1`` to force the fallback).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_SRC = Path(__file__).with_name("host_kernels.cpp")
+_lib: Optional[ctypes.CDLL] = None
+_load_attempted = False
+_log1p_matches_numpy = False
+
+
+def _cache_dir() -> Path:
+    root = os.environ.get(
+        "FLASHDECONV_NATIVE_CACHE", "~/.cache/flashdeconv-tpu/native"
+    )
+    return Path(root).expanduser()
+
+
+def _compile(src: Path, out: Path) -> bool:
+    """Compile the kernel library; atomic rename so concurrent processes
+    never load a half-written .so."""
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with tempfile.NamedTemporaryFile(
+        dir=out.parent, suffix=".so", delete=False
+    ) as tmp:
+        tmp_path = Path(tmp.name)
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        str(src), "-o", str(tmp_path),
+    ]
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=120
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        tmp_path.unlink(missing_ok=True)
+        return False
+    if proc.returncode != 0:
+        tmp_path.unlink(missing_ok=True)
+        return False
+    tmp_path.replace(out)
+    return True
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_attempted, _log1p_matches_numpy
+    if _load_attempted:
+        return _lib
+    _load_attempted = True
+    if os.environ.get("FLASHDECONV_NO_NATIVE"):
+        return None
+    try:
+        digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+        so = _cache_dir() / f"host_kernels-{digest}.so"
+        if not so.exists() and not _compile(_SRC, so):
+            return None
+        lib = ctypes.CDLL(str(so))
+    except Exception:
+        return None
+
+    # log1p self-test: the moments kernel is enabled only when the
+    # toolchain's scalar log1p agrees with numpy's float64 log1p to within
+    # 1 ULP (numpy >= 2.0 dispatches a SIMD log1p whose large-argument
+    # results differ from glibc's scalar one by at most the last bit; both
+    # are correctly-rounded-or-adjacent). Each path is individually
+    # deterministic; the gate guards against a genuinely divergent libm.
+    try:
+        rng = np.random.default_rng(0)
+        x = np.concatenate(
+            [rng.random(4096) * 1e4, rng.random(4096) * 1e-8, [0.0, 1.0]]
+        )
+        out = np.empty_like(x)
+        lib.log1p_buffer(
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_int64(x.size),
+        )
+        ulp_diff = np.abs(
+            out.view(np.int64) - np.log1p(x).view(np.int64)
+        )
+        _log1p_matches_numpy = bool(ulp_diff.max() <= 1)
+    except Exception:
+        _log1p_matches_numpy = False
+
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    """True if the native library compiled and loaded."""
+    return _load() is not None
+
+
+def moments_available() -> bool:
+    """True if the native HVG-moments kernel may be used (bitwise-safe)."""
+    return _load() is not None and _log1p_matches_numpy
+
+
+def _n_threads() -> int:
+    return min(os.cpu_count() or 1, 16)
+
+
+def _csr_buffers(Y) -> Tuple[np.ndarray, np.ndarray, np.ndarray, str]:
+    """Contiguous CSR buffers + a dtype-suffix key for the C symbol."""
+    indptr = np.ascontiguousarray(Y.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(Y.indices)
+    if indices.dtype == np.int32:
+        idx_tag = "i32"
+    elif indices.dtype == np.int64:
+        idx_tag = "i64"
+    else:  # unusual index dtype: normalize
+        indices = indices.astype(np.int64)
+        idx_tag = "i64"
+    data = np.ascontiguousarray(Y.data)
+    if data.dtype == np.float32:
+        tag = f"f32_{idx_tag}"
+    elif data.dtype == np.float64:
+        tag = f"f64_{idx_tag}"
+    else:
+        data = data.astype(np.float64)
+        tag = f"f64_{idx_tag}"
+    return indptr, indices, data, tag
+
+
+def log1p_cpm_moments(
+    Y, scale: np.ndarray
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Per-gene (sum, sum-of-squares) of log1p(data * scale[row]) over CSR Y.
+
+    Returns None when the native path is unavailable; the caller falls back
+    to the numpy block implementation (bit-identical results either way).
+    """
+    lib = _load()
+    if lib is None or not _log1p_matches_numpy:
+        return None
+    n_rows, n_genes = Y.shape
+    indptr, indices, data, tag = _csr_buffers(Y)
+    scale = np.ascontiguousarray(scale, dtype=np.float64)
+    out_sum = np.empty(n_genes, dtype=np.float64)
+    out_sumsq = np.empty(n_genes, dtype=np.float64)
+    fn = getattr(lib, f"log1p_cpm_moments_{tag}")
+    fn(
+        indptr.ctypes.data_as(ctypes.c_void_p),
+        indices.ctypes.data_as(ctypes.c_void_p),
+        data.ctypes.data_as(ctypes.c_void_p),
+        scale.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(n_rows),
+        ctypes.c_int64(n_genes),
+        ctypes.c_int(_n_threads()),
+        out_sum.ctypes.data_as(ctypes.c_void_p),
+        out_sumsq.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out_sum, out_sumsq
+
+
+def countsketch_project(
+    Y, buckets: np.ndarray, weights: np.ndarray, sketch_dim: int
+) -> Optional[np.ndarray]:
+    """CountSketch projection of CSR Y: out[r, buckets[g]] += weights[g]*Y[r,g].
+
+    Returns the dense (n_rows, sketch_dim) float64 sketch, or None when the
+    native path is unavailable (caller falls back to the scipy matmul).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n_rows = Y.shape[0]
+    indptr, indices, data, tag = _csr_buffers(Y)
+    buckets = np.ascontiguousarray(buckets, dtype=np.int32)
+    weights = np.ascontiguousarray(weights, dtype=np.float64)
+    out = np.empty((n_rows, sketch_dim), dtype=np.float64)
+    fn = getattr(lib, f"countsketch_project_{tag}")
+    fn(
+        indptr.ctypes.data_as(ctypes.c_void_p),
+        indices.ctypes.data_as(ctypes.c_void_p),
+        data.ctypes.data_as(ctypes.c_void_p),
+        buckets.ctypes.data_as(ctypes.c_void_p),
+        weights.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(n_rows),
+        ctypes.c_int64(sketch_dim),
+        ctypes.c_int(_n_threads()),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out

@@ -1,0 +1,169 @@
+// Native host kernels for the O(nnz) CSR passes that feed the TPU solver.
+//
+// The TPU owns the iterative solve; these kernels own the single-pass host
+// stages whose numpy implementations are memory-bound and GIL-threaded:
+//
+//   * log1p_cpm_moments_*  — per-gene sum / sum-of-squares of
+//     log1p(count * per-row scale) over a CSR matrix (the Seurat-v3 HVG
+//     moments, reference flashdeconv/utils/genes.py:52-83). One fused pass:
+//     scale -> log1p -> two column accumulations, instead of numpy's four
+//     materialized temporaries + two bincounts per block.
+//
+//   * countsketch_project_* — CountSketch projection out[r, bucket[g]] +=
+//     weight[g] * Y[r, g] (reference flashdeconv/core/sketching.py:160-206).
+//     Each CSR row writes one 8 KB output row: a pure scatter that a
+//     sparse-sparse matmul (scipy) pays hash/sort overhead for.
+//
+// Determinism contract: results are bit-identical to the numpy block
+// implementation they replace. Both kernels accumulate in float64 in nnz
+// order within each 65536-row block / row, and block partials are reduced
+// in block order on the calling thread — the same association order as the
+// numpy path (bincount over blocks + ordered block reduction), so the f64
+// pipeline stays byte-stable regardless of thread scheduling.
+//
+// Parallelism: std::thread over contiguous block ranges; each thread writes
+// only its own blocks' partials (moments) or its own rows (projection), so
+// there is no sharing and no atomics.
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC -pthread (see native/__init__.py;
+// loaded via ctypes — no pybind11 dependency).
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int64_t kBlockRows = 65536;  // mirrors the numpy block size
+
+inline int64_t n_blocks(int64_t n_rows) {
+  return (n_rows + kBlockRows - 1) / kBlockRows;
+}
+
+// Launch `fn(block_index)` over all blocks on `n_threads` threads with a
+// static contiguous partition (deterministic ownership, zero contention).
+template <typename Fn>
+void parallel_blocks(int64_t blocks, int n_threads, Fn fn) {
+  if (n_threads <= 1 || blocks <= 1) {
+    for (int64_t b = 0; b < blocks; ++b) fn(b);
+    return;
+  }
+  int t_used = static_cast<int>(
+      std::min<int64_t>(n_threads, blocks));
+  std::vector<std::thread> threads;
+  threads.reserve(t_used);
+  for (int t = 0; t < t_used; ++t) {
+    threads.emplace_back([=]() {
+      // interleaved assignment balances skewed nnz distributions
+      for (int64_t b = t; b < blocks; b += t_used) fn(b);
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
+template <typename DataT, typename IdxT>
+void log1p_cpm_moments_impl(const int64_t* indptr, const IdxT* indices,
+                            const DataT* data, const double* scale,
+                            int64_t n_rows, int64_t n_genes, int n_threads,
+                            double* out_sum, double* out_sumsq) {
+  const int64_t blocks = n_blocks(n_rows);
+  // Per-block partials, reduced in block order afterwards (determinism).
+  std::vector<double> partial(static_cast<size_t>(blocks) * n_genes * 2, 0.0);
+
+  parallel_blocks(blocks, n_threads, [&](int64_t b) {
+    double* psum = partial.data() + static_cast<size_t>(b) * n_genes * 2;
+    double* psq = psum + n_genes;
+    const int64_t r0 = b * kBlockRows;
+    const int64_t r1 = std::min(r0 + kBlockRows, n_rows);
+    for (int64_t r = r0; r < r1; ++r) {
+      const double s = scale[r];
+      for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+        const double v = std::log1p(static_cast<double>(data[i]) * s);
+        const IdxT g = indices[i];
+        psum[g] += v;
+        psq[g] += v * v;
+      }
+    }
+  });
+
+  std::memset(out_sum, 0, sizeof(double) * n_genes);
+  std::memset(out_sumsq, 0, sizeof(double) * n_genes);
+  for (int64_t b = 0; b < blocks; ++b) {
+    const double* psum = partial.data() + static_cast<size_t>(b) * n_genes * 2;
+    const double* psq = psum + n_genes;
+    for (int64_t g = 0; g < n_genes; ++g) {
+      out_sum[g] += psum[g];
+      out_sumsq[g] += psq[g];
+    }
+  }
+}
+
+template <typename DataT, typename IdxT>
+void countsketch_project_impl(const int64_t* indptr, const IdxT* indices,
+                              const DataT* data, const int32_t* buckets,
+                              const double* weights, int64_t n_rows,
+                              int64_t sketch_dim, int n_threads,
+                              double* out) {
+  // Rows are independent outputs: parallelize over row blocks directly.
+  std::memset(out, 0,
+              sizeof(double) * static_cast<size_t>(n_rows) * sketch_dim);
+  parallel_blocks(n_blocks(n_rows), n_threads, [&](int64_t b) {
+    const int64_t r0 = b * kBlockRows;
+    const int64_t r1 = std::min(r0 + kBlockRows, n_rows);
+    for (int64_t r = r0; r < r1; ++r) {
+      double* row = out + static_cast<size_t>(r) * sketch_dim;
+      for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+        const IdxT g = indices[i];
+        row[buckets[g]] += weights[g] * static_cast<double>(data[i]);
+      }
+    }
+  });
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---- moments: data {f32, f64} x indices {i32, i64} ------------------------
+#define DEFINE_MOMENTS(SUFFIX, DATA_T, IDX_T)                                \
+  void log1p_cpm_moments_##SUFFIX(                                           \
+      const int64_t* indptr, const IDX_T* indices, const DATA_T* data,       \
+      const double* scale, int64_t n_rows, int64_t n_genes, int n_threads,   \
+      double* out_sum, double* out_sumsq) {                                  \
+    log1p_cpm_moments_impl<DATA_T, IDX_T>(indptr, indices, data, scale,      \
+                                          n_rows, n_genes, n_threads,        \
+                                          out_sum, out_sumsq);               \
+  }
+
+DEFINE_MOMENTS(f32_i32, float, int32_t)
+DEFINE_MOMENTS(f32_i64, float, int64_t)
+DEFINE_MOMENTS(f64_i32, double, int32_t)
+DEFINE_MOMENTS(f64_i64, double, int64_t)
+#undef DEFINE_MOMENTS
+
+// ---- CountSketch projection: data {f32, f64} x indices {i32, i64} ---------
+#define DEFINE_PROJECT(SUFFIX, DATA_T, IDX_T)                                \
+  void countsketch_project_##SUFFIX(                                         \
+      const int64_t* indptr, const IDX_T* indices, const DATA_T* data,       \
+      const int32_t* buckets, const double* weights, int64_t n_rows,         \
+      int64_t sketch_dim, int n_threads, double* out) {                      \
+    countsketch_project_impl<DATA_T, IDX_T>(indptr, indices, data, buckets,  \
+                                            weights, n_rows, sketch_dim,     \
+                                            n_threads, out);                 \
+  }
+
+DEFINE_PROJECT(f32_i32, float, int32_t)
+DEFINE_PROJECT(f32_i64, float, int64_t)
+DEFINE_PROJECT(f64_i32, double, int32_t)
+DEFINE_PROJECT(f64_i64, double, int64_t)
+#undef DEFINE_PROJECT
+
+// Self-test hook: log1p over a buffer so the loader can verify bitwise
+// agreement with numpy's float64 log1p before enabling the moments path.
+void log1p_buffer(const double* in, double* out, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) out[i] = std::log1p(in[i]);
+}
+
+}  // extern "C"

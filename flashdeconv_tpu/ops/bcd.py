@@ -68,6 +68,33 @@ def neighbor_sum(beta_ext: jnp.ndarray, nbr_idx: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
+def overflow_sum(
+    beta_ext: jnp.ndarray,
+    ov_src: jnp.ndarray,
+    ov_dst: jnp.ndarray,
+    n_spots: int,
+) -> jnp.ndarray:
+    """Neighbor-sum contribution of overflow edges (degree-capped graphs).
+
+    When the padded neighbor table is capped at a quantile degree
+    (:func:`flashdeconv_tpu.utils.graph.adjacency_to_padded_capped`), the few
+    edges of pathological hub spots that do not fit are carried as an edge
+    list and accumulated here with one deterministic ``segment_sum`` —
+    keeping solver memory O(N * cap) regardless of the max degree, the role
+    CSR plays in the reference (reference
+    ``flashdeconv/core/solver.py:363-365``).
+
+    Parameters
+    ----------
+    beta_ext : (M, K) — beta with the zero sentinel row appended
+    ov_src : (E,) int32 destination spot of each overflow edge
+    ov_dst : (E,) int32 neighbor index (gathers from ``beta_ext``)
+    n_spots : static int, number of output rows
+    """
+    contrib = jnp.take(beta_ext, ov_dst, axis=0)
+    return jax.ops.segment_sum(contrib, ov_src, num_segments=n_spots)
+
+
 def neighbor_sum_banded(
     beta: jnp.ndarray,
     offsets: Tuple[int, ...],
@@ -337,6 +364,56 @@ def converge_loop(sweep_fn, beta0, tol, max_iter: int, iter_cap=None):
     return lax.while_loop(cond, body, (beta0, jnp.int32(0), big))
 
 
+def chunked_verbose_solve(run_chunk, eval_objective, beta0, max_iter: int,
+                          tol: float, log=print):
+    """Host-chunked fused loop on the reference logging cadence.
+
+    Shared by every solver variant's ``verbose=True`` path: runs the fused
+    device loop in chunks whose boundaries land on the reference's objective
+    cadence (after sweeps 0, 10, 20, ..., reference
+    ``flashdeconv/core/solver.py:399-404``) so the trajectory is observable
+    without a host round-trip per sweep. One divergence from the reference:
+    when the solve converges mid-chunk, the objective is also sampled at the
+    converged sweep.
+
+    Parameters
+    ----------
+    run_chunk : callable(beta, cap_traced) -> (beta, n_done, rel_change) —
+        the jitted fused loop with a *traced* iteration cap (same compiled
+        executable as the non-verbose full solve).
+    eval_objective : callable(beta) -> jax scalar (async-dispatched).
+    beta0 : initial device buffer.
+    max_iter, tol : solve budget and stopping rule.
+
+    Returns (beta, n_iter, rel_change, converged, objectives).
+    """
+    objectives: list = []
+    beta_d = beta0
+    converged = False
+    rel_change = float("inf")
+    n_iter = 0
+    next_chunk = 1  # first boundary = sweep 0, then every 10
+    while n_iter < max_iter:
+        n_chunk = min(next_chunk, max_iter - n_iter)
+        next_chunk = 10
+        beta_d, it_d, rel_d = run_chunk(
+            beta_d, jnp.asarray(n_chunk, dtype=jnp.int32)
+        )
+        rel_change = float(rel_d)
+        n_iter += int(it_d)
+        obj = float(eval_objective(beta_d))
+        objectives.append(obj)
+        log(
+            f"Iteration {n_iter - 1}: objective = {obj:.6f}, "
+            f"rel_change = {rel_change:.6e}"
+        )
+        if rel_change < tol:
+            converged = True
+            log(f"Converged at iteration {n_iter - 1}")
+            break
+    return beta_d, n_iter, rel_change, converged, objectives
+
+
 def bcd_sweep(
     beta_in: jnp.ndarray,
     Xty: jnp.ndarray,
@@ -347,6 +424,8 @@ def bcd_sweep(
     rho,
     spot_mask: Optional[jnp.ndarray] = None,
     use_pallas: bool = False,
+    ov_src: Optional[jnp.ndarray] = None,
+    ov_dst: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One BCD sweep with fused convergence statistics (single device).
 
@@ -359,6 +438,8 @@ def bcd_sweep(
     n_nbrs : (N,) float, true neighbor counts
     spot_mask : optional (N,) bool — False rows are padding (sharded solver);
         their convergence stats are ignored.
+    ov_src, ov_dst : optional (E,) int32 overflow edge lists for
+        degree-capped neighbor tables (see :func:`overflow_sum`).
 
     Returns
     -------
@@ -367,6 +448,10 @@ def bcd_sweep(
     zero_row = jnp.zeros((1, beta_in.shape[1]), dtype=beta_in.dtype)
     beta_ext = jnp.concatenate([beta_in, zero_row], axis=0)
     nbr_sum = neighbor_sum(beta_ext, nbr_idx)
+    if ov_src is not None:
+        nbr_sum = nbr_sum + overflow_sum(
+            beta_ext, ov_src, ov_dst, beta_in.shape[0]
+        )
 
     if use_pallas:
         beta_out = coordinate_descent_pallas(
@@ -392,6 +477,8 @@ def bcd_iterate(
     max_iter: int,
     use_pallas: bool = False,
     iter_cap=None,
+    ov_src: Optional[jnp.ndarray] = None,
+    ov_dst: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused solve loop: sweeps until rel-change < tol or max_iter sweeps.
 
@@ -406,7 +493,7 @@ def bcd_iterate(
     return converge_loop(
         lambda beta: bcd_sweep(
             beta, Xty, XtX, nbr_idx, n_nbrs, lambda_, rho,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, ov_src=ov_src, ov_dst=ov_dst,
         ),
         beta0, tol, max_iter, iter_cap=iter_cap,
     )
@@ -421,6 +508,8 @@ def objective_terms(
     n_nbrs: jnp.ndarray,
     lambda_,
     rho,
+    ov_src: Optional[jnp.ndarray] = None,
+    ov_dst: Optional[jnp.ndarray] = None,
 ):
     """Objective value from precomputed matrices and the neighbor table.
 
@@ -438,6 +527,8 @@ def objective_terms(
     zero_row = jnp.zeros((1, beta.shape[1]), dtype=beta.dtype)
     beta_ext = jnp.concatenate([beta, zero_row], axis=0)
     ns = neighbor_sum(beta_ext, nbr_idx)
+    if ov_src is not None:
+        ns = ns + overflow_sum(beta_ext, ov_src, ov_dst, beta.shape[0])
     deg_term = jnp.sum(n_nbrs * jnp.sum(beta * beta, axis=1))
     adj_term = jnp.sum(beta * ns)
     spatial = 0.5 * lambda_ * (deg_term - adj_term)

@@ -48,7 +48,7 @@ _AXIS = "spots"
     static_argnames=("offsets", "halo", "max_iter", "mesh", "use_pallas"),
 )
 def _gspmd_iterate(
-    beta0, Xty, XtX, masks, nnb, lam, rho, tol,
+    beta0, Xty, XtX, masks, nnb, lam, rho, tol, iter_cap,
     offsets: Tuple[int, ...], halo: int, max_iter: int, mesh: Mesh,
     use_pallas: bool,
 ):
@@ -72,7 +72,7 @@ def _gspmd_iterate(
         beta_new = cd(beta, Xty, XtX, ns, nnb, lam, rho)
         return (beta_new, *sweep_stats(beta_new, beta))
 
-    return converge_loop(sweep, beta0, tol, max_iter)
+    return converge_loop(sweep, beta0, tol, max_iter, iter_cap=iter_cap)
 
 
 def gspmd_banded_solve(
@@ -145,7 +145,9 @@ def gspmd_banded_solve(
     rho_eff = float(rho) * float(np.mean(np.diag(XtX)))
 
     Xty = np.asarray(Y_sketch @ X_sketch.T, dtype=dtype)
-    nnb = np.asarray(A.sum(axis=1), dtype=dtype).ravel()
+    # Binary degree (nnz per row), NOT edge-weight sums: the sweep kernels
+    # treat every edge as weight 1 (reference CSR-index semantics).
+    nnb = np.diff(A.tocsr().indptr).astype(dtype)
     if pad:
         Xty = np.concatenate([Xty, np.zeros((pad, n_types), dtype=dtype)])
         nnb = np.concatenate([nnb, np.zeros(pad, dtype=dtype)])
@@ -192,10 +194,46 @@ def gspmd_banded_solve(
             f"spots, {len(offsets)} bands, halo {halo}"
         )
 
-    beta_d, n_iter_d, rel_d = _gspmd_iterate(
-        beta0_d, Xty_d, XtX_d, masks_d, nnb_d, lam_d, rho_d, tol_d,
-        offsets, halo, max_iter, mesh, use_pallas,
-    )
+    YtY_d = put(np.asarray(YtY, dtype=dtype), repl)
+    empty_rest = np.zeros((n_pad, 0), dtype=np.int32)
+    rest_d = put(empty_rest, shard)
+
+    def run_chunk(beta_d, cap):
+        return _gspmd_iterate(
+            beta_d, Xty_d, XtX_d, masks_d, nnb_d, lam_d, rho_d, tol_d, cap,
+            offsets, halo, max_iter, mesh, use_pallas,
+        )
+
+    def eval_objective(beta_d):
+        # Global banded objective over spot-sharded operands; GSPMD
+        # partitions the shifted slices and all-reduces the scalars.
+        from flashdeconv_tpu.ops.bcd import objective_terms_banded
+
+        return objective_terms_banded(
+            beta_d, Xty_d, XtX_d, YtY_d, offsets, masks_d, rest_d,
+            nnb_d, lam_d, rho_d, halo,
+        )
+
+    objectives: list = []
+    if verbose:
+        from flashdeconv_tpu.ops.bcd import chunked_verbose_solve
+
+        beta_d, n_iter, rel_change, converged, objectives = (
+            chunked_verbose_solve(
+                run_chunk, eval_objective, beta0_d, max_iter, tol
+            )
+        )
+        final_obj = objectives[-1]
+    else:
+        beta_d, n_iter_d, rel_d = run_chunk(
+            beta0_d, jnp.asarray(max_iter, dtype=jnp.int32)
+        )
+        obj_d = eval_objective(beta_d)
+        n_iter_h, rel_h, obj_h = jax.device_get((n_iter_d, rel_d, obj_d))
+        n_iter = int(n_iter_h)
+        rel_change = float(rel_h)
+        final_obj = float(obj_h)
+        converged = rel_change < tol
 
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
@@ -206,23 +244,13 @@ def gspmd_banded_solve(
         )[:n_spots]
     else:
         beta = np.asarray(beta_d, dtype=np.float64)[:n_spots]
-    n_iter = int(n_iter_d)
-    rel_change = float(rel_d)
-
-    from flashdeconv_tpu.core.solver import compute_objective
-    from flashdeconv_tpu.core.spatial import compute_laplacian
-
-    final_obj = compute_objective(
-        beta, np.asarray(X_sketch) @ np.asarray(Y_sketch).T, XtX, YtY,
-        compute_laplacian(A), lambda_, rho_eff,
-    )
 
     info = {
-        "converged": bool(rel_change < tol),
-        "n_iterations": n_iter,
+        "converged": bool(converged),
+        "n_iterations": int(n_iter),
         "final_objective": float(final_obj),
-        "objectives": [],
-        "final_change": rel_change,
+        "objectives": objectives,
+        "final_change": float(rel_change),
         "n_shards": n_shards,
         "n_bands": len(offsets),
         "halo_width": halo,

@@ -89,38 +89,88 @@ def _sharded_sweep(beta_loc, Xty_loc, XtX, nbr_loc, nnb_loc, mask_loc,
 
 
 def _sharded_iterate(beta_loc, Xty_loc, XtX, nbr_loc, nnb_loc, mask_loc,
-                     send_idx, lambda_, rho, tol, max_iter: int,
-                     use_pallas: bool = False):
+                     send_idx, lambda_, rho, tol, iter_cap,
+                     max_iter: int, use_pallas: bool = False):
     """Per-shard body of the fused solve loop (runs inside shard_map).
 
     Convergence semantics match the reference driver
     (``flashdeconv/core/solver.py:385-413``): stop when
-    global_max_diff / (global_max_abs + 1e-10) < tol.
+    global_max_diff / (global_max_abs + 1e-10) < tol. ``iter_cap`` is a
+    *traced* chunk bound (see :func:`ops.bcd.converge_loop`) so the verbose
+    chunked driver reuses the same executable.
     """
     return converge_loop(
         lambda beta: _sharded_sweep(
             beta, Xty_loc, XtX, nbr_loc, nnb_loc, mask_loc, send_idx,
             lambda_, rho, use_pallas=use_pallas,
         ),
-        beta_loc, tol, max_iter,
+        beta_loc, tol, max_iter, iter_cap=iter_cap,
     )
 
 
 @partial(jax.jit, static_argnames=("mesh", "max_iter", "use_pallas"))
 def _sharded_solve_jit(beta0, Xty, XtX, nbr, nnb, mask, send_idx,
-                       lambda_, rho, tol, mesh: Mesh, max_iter: int,
-                       use_pallas: bool = False):
+                       lambda_, rho, tol, iter_cap, mesh: Mesh,
+                       max_iter: int, use_pallas: bool = False):
     shard = P(_AXIS)
     repl = P()
     fn = jax.shard_map(
         partial(_sharded_iterate, max_iter=max_iter, use_pallas=use_pallas),
         mesh=mesh,
         in_specs=(shard, shard, repl, shard, shard, shard, shard,
-                  repl, repl, repl),
+                  repl, repl, repl, repl),
         out_specs=(shard, repl, repl),
         check_vma=not use_pallas,
     )
-    return fn(beta0, Xty, XtX, nbr, nnb, mask, send_idx, lambda_, rho, tol)
+    return fn(beta0, Xty, XtX, nbr, nnb, mask, send_idx, lambda_, rho, tol,
+              iter_cap)
+
+
+def _sharded_objective(beta_loc, Xty_loc, XtX, nbr_loc, nnb_loc, send_idx,
+                       YtY, lambda_, rho):
+    """Per-shard objective terms, globally reduced with ``psum``.
+
+    Same algebra as :func:`flashdeconv_tpu.ops.bcd.objective_terms`
+    (fidelity via the precomputed expansions, spatial via the D - A
+    neighbor-table expansion); padded rows hold zero beta/Xty/nnb and
+    contribute nothing. Device-side so atlas-scale sharded runs never pay
+    the host (K, N) matmul + Laplacian build per objective sample.
+    """
+    pool = _halo_exchange(beta_loc, send_idx)
+    zero = jnp.zeros((1, beta_loc.shape[1]), dtype=beta_loc.dtype)
+    beta_ext = jnp.concatenate([beta_loc, pool, zero], axis=0)
+    ns = neighbor_sum(beta_ext, nbr_loc)
+
+    cross = lax.psum(jnp.sum(beta_loc * Xty_loc), _AXIS)
+    BtB = lax.psum(
+        jnp.dot(beta_loc.T, beta_loc, precision=lax.Precision.HIGHEST), _AXIS
+    )
+    quad = jnp.sum(BtB * XtX)
+    fidelity = 0.5 * (YtY - 2.0 * cross + quad)
+
+    deg_term = lax.psum(
+        jnp.sum(nnb_loc * jnp.sum(beta_loc * beta_loc, axis=1)), _AXIS
+    )
+    adj_term = lax.psum(jnp.sum(beta_loc * ns), _AXIS)
+    spatial = 0.5 * lambda_ * (deg_term - adj_term)
+
+    sparsity = rho * lax.psum(jnp.sum(jnp.abs(beta_loc)), _AXIS)
+    return fidelity + spatial + sparsity
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def _sharded_objective_jit(beta, Xty, XtX, nbr, nnb, send_idx, YtY,
+                           lambda_, rho, mesh: Mesh):
+    shard = P(_AXIS)
+    repl = P()
+    fn = jax.shard_map(
+        _sharded_objective,
+        mesh=mesh,
+        in_specs=(shard, shard, repl, shard, shard, shard,
+                  repl, repl, repl),
+        out_specs=repl,
+    )
+    return fn(beta, Xty, XtX, nbr, nnb, send_idx, YtY, lambda_, rho)
 
 
 def sharded_bcd_solve(
@@ -176,11 +226,45 @@ def sharded_bcd_solve(
         from flashdeconv_tpu.parallel.gspmd import gspmd_banded_solve
         from flashdeconv_tpu.utils.graph import banded_split
 
-        split = banded_split(A, max_offsets=32)
+        # min_coverage=1.0 makes this a cheap pre-check: the (U, N) masks are
+        # only materialized when the graph really is 100% banded (the offset
+        # histogram + coverage test run first and bail otherwise), so an
+        # irregular graph never pays for masks it would discard.
+        split = banded_split(A, max_offsets=32, min_coverage=1.0)
         offsets_chk, _, A_rest_chk = split
         fully_banded = A.nnz == 0 or (
             offsets_chk.size > 0 and A_rest_chk.nnz == 0
         )
+        if not fully_banded and coords is not None and strategy == "auto":
+            # Scrambled-grid re-sort: a shuffled grid / hex lattice becomes
+            # fully banded under a row-major (y, x) sort (mirrors the
+            # single-device driver's re-sort). The permutation composes with
+            # the solve below; beta returns in the original order.
+            c = np.asarray(coords)
+            if beta_init is not None and beta_init.shape != (n_spots, n_types):
+                raise ValueError(
+                    f"beta_init shape {beta_init.shape} does not match "
+                    f"({n_spots}, {n_types})"
+                )
+            if c.ndim == 2 and c.shape[1] >= 2:
+                cand = np.lexsort((c[:, 0], c[:, 1]))
+                A_cand = A.tocsr()[cand][:, cand]
+                split_c = banded_split(A_cand, max_offsets=32, min_coverage=1.0)
+                if split_c[0].size > 0 and split_c[2].nnz == 0:
+                    if mesh is None:
+                        mesh = default_mesh(n_shards)
+                    beta_p, info = gspmd_banded_solve(
+                        Y_sketch[cand], X_sketch, A_cand, lambda_=lambda_,
+                        rho=rho, max_iter=max_iter, tol=tol, mesh=mesh,
+                        verbose=verbose, dtype=dtype,
+                        beta_init=(
+                            beta_init[cand] if beta_init is not None else None
+                        ),
+                        _split=split_c,
+                    )
+                    beta = np.empty_like(beta_p)
+                    beta[cand] = beta_p
+                    return beta, info
         if strategy == "banded" or fully_banded:
             if mesh is None:
                 mesh = default_mesh(n_shards)
@@ -269,14 +353,45 @@ def sharded_bcd_solve(
     mask_d = put(plan.spot_mask, shard)
     send_d = put(plan.send_idx, shard)
     XtX_d = put(XtX64.astype(dtype), repl)
+    YtY_d = put(np.asarray(YtY, dtype=dtype), repl)
     lam_d = put(np.asarray(lambda_, dtype=dtype), repl)
     rho_d = put(np.asarray(rho_eff, dtype=dtype), repl)
     tol_d = put(np.asarray(tol, dtype=dtype), repl)
 
-    beta_d, n_iter_d, rel_d = _sharded_solve_jit(
-        beta0_d, Xty_d, XtX_d, nbr_d, nnb_d, mask_d, send_d,
-        lam_d, rho_d, tol_d, mesh, max_iter, use_pallas,
-    )
+    def run_chunk(beta_d, cap):
+        return _sharded_solve_jit(
+            beta_d, Xty_d, XtX_d, nbr_d, nnb_d, mask_d, send_d,
+            lam_d, rho_d, tol_d, cap, mesh, max_iter, use_pallas,
+        )
+
+    def eval_objective(beta_d):
+        return _sharded_objective_jit(
+            beta_d, Xty_d, XtX_d, nbr_d, nnb_d, send_d, YtY_d,
+            lam_d, rho_d, mesh,
+        )
+
+    objectives: list = []
+    if verbose:
+        from flashdeconv_tpu.ops.bcd import chunked_verbose_solve
+
+        beta_d, n_iter, rel_change, converged, objectives = (
+            chunked_verbose_solve(
+                run_chunk, eval_objective, beta0_d, max_iter, tol
+            )
+        )
+        final_obj = objectives[-1]
+    else:
+        beta_d, n_iter_d, rel_d = run_chunk(
+            beta0_d, jnp.asarray(max_iter, dtype=jnp.int32)
+        )
+        # Device objective, async-dispatched behind the solve; one bundled
+        # fetch for all three scalars (no host (K, N) matmul / Laplacian).
+        obj_d = eval_objective(beta_d)
+        n_iter_h, rel_h, obj_h = jax.device_get((n_iter_d, rel_d, obj_d))
+        n_iter = int(n_iter_h)
+        rel_change = float(rel_h)
+        final_obj = float(obj_h)
+        converged = rel_change < tol
 
     if jax.process_count() > 1:
         # Global array spans non-addressable devices: gather across hosts.
@@ -289,25 +404,13 @@ def sharded_bcd_solve(
     else:
         beta_pad = np.asarray(beta_d, dtype=np.float64)
     beta = plan.gather(beta_pad)
-    n_iter = int(n_iter_d)
-    rel_change = float(rel_d)
-
-    # Final objective on host float64 (one-shot; matches single-device form).
-    from flashdeconv_tpu.core.solver import compute_objective
-    from flashdeconv_tpu.core.spatial import compute_laplacian
-
-    L = compute_laplacian(A)
-    final_obj = compute_objective(
-        beta, (np.asarray(X_sketch) @ np.asarray(Y_sketch).T),
-        XtX64, YtY, L, lambda_, rho_eff,
-    )
 
     info = {
-        "converged": bool(rel_change < tol),
-        "n_iterations": n_iter,
+        "converged": bool(converged),
+        "n_iterations": int(n_iter),
         "final_objective": float(final_obj),
-        "objectives": [],
-        "final_change": rel_change,
+        "objectives": objectives,
+        "final_change": float(rel_change),
         "n_shards": n_shards,
         "halo_width": plan.halo_width,
     }

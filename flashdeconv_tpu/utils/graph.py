@@ -162,6 +162,61 @@ def adjacency_to_padded(
     return nbr, counts
 
 
+def adjacency_to_padded_capped(
+    A: sparse.spmatrix,
+    max_degree: Optional[int] = None,
+    quantile: float = 0.999,
+    slack: float = 1.5,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Padded neighbor table with a degree cap + overflow edge list.
+
+    Radius/hub graphs can contain a few spots whose degree dwarfs the typical
+    one (a dense cluster under ``spatial_method="radius"``); padding the whole
+    (N, max_deg) table to that outlier makes solver memory O(N * max_deg).
+    Here the table is capped at ``slack * quantile``-degree (or an explicit
+    ``max_degree``) and the excess edges of hub spots spill into a flat edge
+    list consumed by :func:`flashdeconv_tpu.ops.bcd.overflow_sum` — memory
+    becomes O(N * cap + E_overflow), the role CSR plays in the reference
+    (reference ``flashdeconv/core/solver.py:363-365``).
+
+    Returns
+    -------
+    nbr_idx : (n_spots, cap) int32 — first ``cap`` neighbors per spot,
+        padding slots == n_spots (the zero-sentinel row). When the cap does
+        not bind this is byte-identical to :func:`adjacency_to_padded`.
+    n_neighbors : (n_spots,) int32 — TRUE degree (table + overflow).
+    ov_src : (E,) int32 — spot index of each overflow edge.
+    ov_dst : (E,) int32 — neighbor index of each overflow edge.
+    """
+    A_csr = A.tocsr()
+    n = A_csr.shape[0]
+    counts = np.diff(A_csr.indptr).astype(np.int32)
+    max_deg = int(counts.max()) if n > 0 and A_csr.nnz > 0 else 0
+
+    if max_degree is None:
+        cap = int(np.ceil(slack * np.quantile(counts, quantile))) if n else 0
+    else:
+        cap = int(max_degree)
+    cap = max(cap, 1)
+
+    if max_deg <= cap:
+        nbr, n_nbrs = adjacency_to_padded(A_csr)
+        empty = np.zeros(0, dtype=np.int32)
+        return nbr, n_nbrs, empty, empty
+
+    nbr = np.full((n, cap), n, dtype=np.int32)
+    row_of = np.repeat(np.arange(n), counts)
+    pos_in_row = np.arange(A_csr.nnz) - np.repeat(A_csr.indptr[:-1], counts)
+    in_table = pos_in_row < cap
+    nbr[row_of[in_table], pos_in_row[in_table]] = A_csr.indices[
+        in_table
+    ].astype(np.int32)
+    ov = ~in_table
+    ov_src = row_of[ov].astype(np.int32)
+    ov_dst = A_csr.indices[ov].astype(np.int32)
+    return nbr, counts, ov_src, ov_dst
+
+
 def banded_split(
     A: sparse.spmatrix,
     max_offsets: int = 16,
@@ -178,7 +233,9 @@ def banded_split(
 
     Returns
     -------
-    offsets : (U,) int64, sorted — the retained diagonal offsets (≠ 0)
+    offsets : (U,) int64, sorted — the retained diagonal offsets. Offset 0
+        appears iff the adjacency has explicit diagonal entries (self-loops
+        are kept, matching the gather path's treatment of CSR diagonals).
     masks : (U, N) float32 — ``masks[u, i] = 1`` iff edge (i, i+offsets[u])
         exists (both endpoints in range)
     A_rest : CSR with every edge not covered by the bands (possibly empty)

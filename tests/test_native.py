@@ -1,0 +1,144 @@
+"""Native C++ host-kernel contracts: equality with the numpy paths.
+
+The native library (flashdeconv_tpu/native/host_kernels.cpp) replaces the
+numpy implementations of the HVG moments and the CountSketch projection; it
+must produce identical results (projection: bit-identical; moments: <=1 ULP
+through log1p, identical selection downstream) and the package must work
+with the library disabled.
+"""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from scipy import sparse
+
+from flashdeconv_tpu import native
+
+
+def _random_csr(n_rows=300, n_cols=500, density=0.05, seed=0, dtype=np.float64):
+    rng = np.random.default_rng(seed)
+    Y = sparse.random(
+        n_rows, n_cols, density=density, format="csr", random_state=42,
+        data_rvs=lambda k: rng.exponential(3.0, k) + 1.0,
+    )
+    return Y.astype(dtype)
+
+
+needs_native = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable (no g++?)"
+)
+
+
+@needs_native
+class TestNativeMoments:
+    @pytest.mark.parametrize("dtype", [np.float32, np.float64])
+    def test_matches_f64_math(self, dtype):
+        """Native moments == f64-accumulated reference (any data dtype:
+        the kernel always computes log1p(double(data) * scale) in f64)."""
+        Y = _random_csr(dtype=dtype)
+        lib = np.maximum(
+            np.asarray(Y.sum(axis=1)).ravel().astype(np.float64), 1.0
+        )
+        scale = 1e4 / lib
+
+        nat = native.log1p_cpm_moments(Y, scale)
+        if nat is None:
+            pytest.skip("moments gated off (log1p self-test)")
+
+        counts = np.diff(Y.indptr)
+        vals = np.log1p(
+            Y.data.astype(np.float64) * np.repeat(scale, counts)
+        )
+        ref_sum = np.bincount(Y.indices, weights=vals, minlength=Y.shape[1])
+        ref_sq = np.bincount(Y.indices, weights=vals**2, minlength=Y.shape[1])
+        np.testing.assert_allclose(nat[0], ref_sum, rtol=1e-13)
+        np.testing.assert_allclose(nat[1], ref_sq, rtol=1e-13)
+
+    def test_gene_selection_uses_native(self):
+        """select_hvg gives identical indices with and without native."""
+        from flashdeconv_tpu.utils.genes import select_hvg
+
+        Y = _random_csr(n_rows=2000, n_cols=800, density=0.1, seed=3)
+        idx_native = select_hvg(Y, n_top=200)
+        idx_dense = select_hvg(Y.toarray(), n_top=200)
+        np.testing.assert_array_equal(idx_native, idx_dense)
+
+    def test_int64_indices(self):
+        Y = _random_csr()
+        Y.indices = Y.indices.astype(np.int64)
+        Y.indptr = Y.indptr.astype(np.int64)
+        lib = np.maximum(np.asarray(Y.sum(axis=1)).ravel(), 1.0)
+        scale = 1e4 / lib
+        nat = native.log1p_cpm_moments(Y, scale)
+        if nat is None:
+            pytest.skip("moments gated off")
+        Y32 = _random_csr()
+        ref = native.log1p_cpm_moments(Y32, scale)
+        np.testing.assert_array_equal(nat[0], ref[0])
+
+
+@needs_native
+class TestNativeProjection:
+    @pytest.mark.parametrize("dtype", [np.float32, np.float64])
+    def test_bitwise_vs_scipy(self, dtype):
+        Y = _random_csr(n_rows=500, n_cols=300, dtype=dtype, seed=1)
+        rng = np.random.default_rng(2)
+        d = 64
+        buckets = rng.integers(0, d, size=300).astype(np.int32)
+        weights = rng.standard_normal(300)
+        Om = sparse.csr_matrix(
+            (weights, (np.arange(300), buckets)), shape=(300, d)
+        )
+        ref = np.asarray((Y @ Om).todense())
+        nat = native.countsketch_project(Y, buckets, weights, d)
+        np.testing.assert_array_equal(nat, ref)
+
+    def test_sketch_data_native_path_matches_scipy(self):
+        """sketch_data on sparse Y (native scatter) == dense Y (scipy path)."""
+        from flashdeconv_tpu.core.sketching import sketch_data
+
+        Y = _random_csr(n_rows=400, n_cols=600, density=0.08, seed=5)
+        X = np.random.RandomState(0).gamma(2.0, 1.0, size=(6, 600))
+        lev = np.random.RandomState(1).rand(600)
+        lev /= lev.sum()
+
+        Ys_sparse, Xs_sparse, _ = sketch_data(
+            Y, X, sketch_dim=128, leverage_scores=lev, random_state=0,
+            backend="host",
+        )
+        Ys_dense, Xs_dense, _ = sketch_data(
+            np.asarray(Y.todense()), X, sketch_dim=128, leverage_scores=lev,
+            random_state=0, backend="host",
+        )
+        np.testing.assert_allclose(Ys_sparse, Ys_dense, rtol=1e-10, atol=1e-12)
+        np.testing.assert_array_equal(Xs_sparse, Xs_dense)
+
+
+class TestNativeDisabled:
+    def test_pipeline_works_without_native(self):
+        """FLASHDECONV_NO_NATIVE=1 must leave every caller on the numpy
+        path with identical gene selection (subprocess so the loader's
+        module-level cache is fresh)."""
+        code = (
+            "import os; os.environ['FLASHDECONV_NO_NATIVE'] = '1'\n"
+            "import numpy as np\n"
+            "from scipy import sparse\n"
+            "from flashdeconv_tpu import native\n"
+            "assert not native.available()\n"
+            "assert native.log1p_cpm_moments(None, None) is None\n"
+            "from flashdeconv_tpu.utils.genes import select_hvg\n"
+            "rng = np.random.default_rng(0)\n"
+            "Y = sparse.random(500, 300, density=0.1, format='csr',\n"
+            "                  random_state=1,\n"
+            "                  data_rvs=lambda k: rng.exponential(3.0, k)+1)\n"
+            "idx = select_hvg(Y, n_top=50)\n"
+            "print('OK', len(idx))\n"
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=120,
+        )
+        assert proc.returncode == 0, proc.stderr
+        assert "OK 50" in proc.stdout

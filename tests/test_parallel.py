@@ -340,3 +340,116 @@ class TestShardedDispatch:
             rng.rand(25, 8), rng.rand(3, 8), A, max_iter=0
         )
         assert info["final_change"] == 0.0 and not info["converged"]
+
+
+class TestShardedVerbose:
+    """Sharded solves report observable objective trajectories (both
+    strategies), on the single-device verbose contract."""
+
+    @pytest.mark.parametrize("strategy", ["halo", "auto"])
+    def test_objectives_populated(self, strategy, capsys):
+        Y_sketch, X_sketch, A, coords = _problem(n_spots=400, seed=5)
+        beta, info = sharded_bcd_solve(
+            Y_sketch, X_sketch, A, coords=coords, n_shards=4,
+            lambda_=0.3, max_iter=40, tol=1e-6, strategy=strategy,
+            verbose=True, dtype=np.float64,
+        )
+        assert len(info["objectives"]) >= 1
+        assert info["final_objective"] == info["objectives"][-1]
+        assert info["final_objective"] <= info["objectives"][0] + 1e-6
+        out = capsys.readouterr().out
+        assert "Iteration 0: objective" in out
+
+    def test_verbose_matches_nonverbose(self, capsys):
+        Y_sketch, X_sketch, A, coords = _problem(n_spots=300, seed=6)
+        kwargs = dict(
+            coords=coords, n_shards=4, lambda_=0.2, max_iter=50, tol=1e-5,
+            dtype=np.float64,
+        )
+        beta_q, info_q = sharded_bcd_solve(Y_sketch, X_sketch, A, **kwargs)
+        beta_v, info_v = sharded_bcd_solve(
+            Y_sketch, X_sketch, A, verbose=True, **kwargs
+        )
+        capsys.readouterr()
+        np.testing.assert_array_equal(beta_v, beta_q)
+        assert info_v["n_iterations"] == info_q["n_iterations"]
+
+    def test_device_objective_matches_host_form(self):
+        """The psum'd device objective equals the host f64 expansion."""
+        from flashdeconv_tpu.core.solver import compute_objective
+        from flashdeconv_tpu.core.spatial import compute_laplacian
+
+        Y_sketch, X_sketch, A, coords = _problem(n_spots=300, seed=8)
+        beta, info = sharded_bcd_solve(
+            Y_sketch, X_sketch, A, coords=coords, n_shards=4,
+            lambda_=0.3, rho=0.01, max_iter=50, strategy="halo",
+            dtype=np.float64,
+        )
+        XtX = X_sketch @ X_sketch.T
+        rho_eff = 0.01 * float(np.mean(np.diag(XtX)))
+        host_obj = compute_objective(
+            beta, X_sketch @ Y_sketch.T, XtX,
+            float(np.einsum("ij,ij->", Y_sketch, Y_sketch)),
+            compute_laplacian(A), 0.3, rho_eff,
+        )
+        np.testing.assert_allclose(
+            info["final_objective"], host_obj, rtol=1e-9
+        )
+
+
+class TestScrambledGridResort:
+    """A shuffled grid input must still hit the GSPMD banded path at mesh
+    scale (mirrors the single-device driver's (y, x) re-sort)."""
+
+    def _scrambled_grid(self, side=24, k_types=5, d=32, seed=9):
+        xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+        coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+        n = coords.shape[0]
+        rng = np.random.RandomState(seed)
+        perm = rng.permutation(n)
+        coords = coords[perm]
+        X_sketch = rng.randn(k_types, d)
+        Y_sketch = np.abs(rng.randn(n, k_types)) @ X_sketch \
+            + 0.05 * rng.randn(n, d)
+        A = build_knn_graph(coords, k=4)
+        return Y_sketch, X_sketch, A, coords
+
+    def test_dispatches_to_banded(self):
+        from flashdeconv_tpu.utils.graph import banded_split
+
+        Y_sketch, X_sketch, A, coords = self._scrambled_grid()
+        # precondition: not banded in input order
+        off, _, _ = banded_split(A, max_offsets=32, min_coverage=1.0)
+        assert off.size == 0
+
+        beta_sh, info = sharded_bcd_solve(
+            Y_sketch, X_sketch, A, coords=coords, n_shards=8,
+            lambda_=0.3, max_iter=50, tol=1e-5, dtype=np.float64,
+        )
+        assert "n_bands" in info  # GSPMD banded path was used
+        assert info["n_shards"] == 8
+
+        beta_ref, info_ref = bcd_solve(
+            Y_sketch, X_sketch, A, lambda_=0.3, max_iter=50, tol=1e-5,
+            dtype=np.float64,
+        )
+        np.testing.assert_allclose(beta_sh, beta_ref, atol=1e-8)
+        assert abs(info["n_iterations"] - info_ref["n_iterations"]) <= 1
+
+    def test_resort_with_beta_init(self):
+        Y_sketch, X_sketch, A, coords = self._scrambled_grid(side=16)
+        n, k = Y_sketch.shape[0], X_sketch.shape[0]
+        beta0, _ = sharded_bcd_solve(
+            Y_sketch, X_sketch, A, coords=coords, n_shards=4,
+            lambda_=0.3, max_iter=30, dtype=np.float64,
+        )
+        beta_w, info_w = sharded_bcd_solve(
+            Y_sketch, X_sketch, A, coords=coords, n_shards=4,
+            lambda_=0.3, max_iter=30, dtype=np.float64, beta_init=beta0,
+        )
+        assert beta_w.shape == (n, k)
+        with pytest.raises(ValueError, match="beta_init shape"):
+            sharded_bcd_solve(
+                Y_sketch, X_sketch, A, coords=coords, n_shards=4,
+                beta_init=np.zeros((3, 3)), dtype=np.float64,
+            )
