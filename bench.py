@@ -76,6 +76,13 @@ def main() -> None:
     backend = jax.default_backend()
     print(f"# backend={backend} devices={jax.devices()}", file=sys.stderr)
 
+    from flashdeconv_tpu.utils.hostmem import reserve_host_arena
+
+    t0 = time.perf_counter()
+    if reserve_host_arena(10):
+        print(f"# host arena reserved in {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+
     n = N_SPOTS if backend == "tpu" else 100_000  # CPU fallback stays quick
     print(f"# generating {n}-spot problem...", file=sys.stderr)
     Y_sketch, X_sketch, coords = make_problem(n, N_TYPES, SKETCH_DIM)

@@ -154,14 +154,21 @@ def log1p_cpm_moments(
 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """Per-gene (sum, sum-of-squares) of log1p(data * scale[row]) over CSR Y.
 
+    Intermediate precision follows the data dtype, matching the numpy block
+    implementation's promotion behavior: float64 data -> f64 products/log1p;
+    float32 data -> f32 products/log1p/squares, accumulated in f64 (what
+    bincount does with f32 weights).
+
     Returns None when the native path is unavailable; the caller falls back
-    to the numpy block implementation (bit-identical results either way).
+    to the numpy block implementation (equivalent results either way).
     """
     lib = _load()
     if lib is None or not _log1p_matches_numpy:
         return None
     n_rows, n_genes = Y.shape
     indptr, indices, data, tag = _csr_buffers(Y)
+    if data.dtype == np.float32:
+        tag = tag.replace("f32", "f32m")  # f32-intermediates kernel
     scale = np.ascontiguousarray(scale, dtype=np.float64)
     out_sum = np.empty(n_genes, dtype=np.float64)
     out_sumsq = np.empty(n_genes, dtype=np.float64)
@@ -178,6 +185,24 @@ def log1p_cpm_moments(
         out_sumsq.ctypes.data_as(ctypes.c_void_p),
     )
     return out_sum, out_sumsq
+
+
+def zero_fill(arr: np.ndarray) -> bool:
+    """Zero an array with parallel page-faulting (see C++ ``zero_fill``).
+
+    Returns False (and leaves the array untouched) when the native library
+    is unavailable — callers fall back to single-threaded initialization.
+    """
+    lib = _load()
+    if lib is None:
+        return False
+    arr = np.ascontiguousarray(arr)
+    lib.zero_fill(
+        arr.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(arr.nbytes),
+        ctypes.c_int(_n_threads()),
+    )
+    return True
 
 
 def countsketch_project(

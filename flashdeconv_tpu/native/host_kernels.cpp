@@ -63,7 +63,10 @@ void parallel_blocks(int64_t blocks, int n_threads, Fn fn) {
   for (auto& th : threads) th.join();
 }
 
-template <typename DataT, typename IdxT>
+// CalcT is the intermediate precision: double mirrors numpy's float64 path
+// (f64 data x f64 scale); float mirrors its float32 path (f32 CSR data, f32
+// scale -> f32 product/log1p/square, accumulated in f64 by bincount).
+template <typename DataT, typename IdxT, typename CalcT = double>
 void log1p_cpm_moments_impl(const int64_t* indptr, const IdxT* indices,
                             const DataT* data, const double* scale,
                             int64_t n_rows, int64_t n_genes, int n_threads,
@@ -78,12 +81,12 @@ void log1p_cpm_moments_impl(const int64_t* indptr, const IdxT* indices,
     const int64_t r0 = b * kBlockRows;
     const int64_t r1 = std::min(r0 + kBlockRows, n_rows);
     for (int64_t r = r0; r < r1; ++r) {
-      const double s = scale[r];
+      const CalcT s = static_cast<CalcT>(scale[r]);
       for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
-        const double v = std::log1p(static_cast<double>(data[i]) * s);
+        const CalcT v = std::log1p(static_cast<CalcT>(data[i]) * s);
         const IdxT g = indices[i];
-        psum[g] += v;
-        psq[g] += v * v;
+        psum[g] += static_cast<double>(v);
+        psq[g] += static_cast<double>(v * v);
       }
     }
   });
@@ -107,11 +110,15 @@ void countsketch_project_impl(const int64_t* indptr, const IdxT* indices,
                               int64_t sketch_dim, int n_threads,
                               double* out) {
   // Rows are independent outputs: parallelize over row blocks directly.
-  std::memset(out, 0,
-              sizeof(double) * static_cast<size_t>(n_rows) * sketch_dim);
+  // Each worker zeroes its own block region (not one big memset up front):
+  // the output is a fresh allocation, and first-touch page faults serialize
+  // brutally on ballooned/overcommitted VMs — faulting from all threads is
+  // the difference between ~0.5 s and ~40 s at a 4 GB output.
   parallel_blocks(n_blocks(n_rows), n_threads, [&](int64_t b) {
     const int64_t r0 = b * kBlockRows;
     const int64_t r1 = std::min(r0 + kBlockRows, n_rows);
+    std::memset(out + static_cast<size_t>(r0) * sketch_dim, 0,
+                sizeof(double) * static_cast<size_t>(r1 - r0) * sketch_dim);
     for (int64_t r = r0; r < r1; ++r) {
       double* row = out + static_cast<size_t>(r) * sketch_dim;
       for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
@@ -143,6 +150,22 @@ DEFINE_MOMENTS(f64_i32, double, int32_t)
 DEFINE_MOMENTS(f64_i64, double, int64_t)
 #undef DEFINE_MOMENTS
 
+// f32-intermediates variants (numpy float32-path semantics, see CalcT note).
+#define DEFINE_MOMENTS_F32M(SUFFIX, IDX_T)                                   \
+  void log1p_cpm_moments_##SUFFIX(                                           \
+      const int64_t* indptr, const IDX_T* indices, const float* data,        \
+      const double* scale, int64_t n_rows, int64_t n_genes, int n_threads,   \
+      double* out_sum, double* out_sumsq) {                                  \
+    log1p_cpm_moments_impl<float, IDX_T, float>(indptr, indices, data,       \
+                                                scale, n_rows, n_genes,      \
+                                                n_threads, out_sum,          \
+                                                out_sumsq);                  \
+  }
+
+DEFINE_MOMENTS_F32M(f32m_i32, int32_t)
+DEFINE_MOMENTS_F32M(f32m_i64, int64_t)
+#undef DEFINE_MOMENTS_F32M
+
 // ---- CountSketch projection: data {f32, f64} x indices {i32, i64} ---------
 #define DEFINE_PROJECT(SUFFIX, DATA_T, IDX_T)                                \
   void countsketch_project_##SUFFIX(                                         \
@@ -164,6 +187,18 @@ DEFINE_PROJECT(f64_i64, double, int64_t)
 // agreement with numpy's float64 log1p before enabling the moments path.
 void log1p_buffer(const double* in, double* out, int64_t n) {
   for (int64_t i = 0; i < n; ++i) out[i] = std::log1p(in[i]);
+}
+
+// Zero a buffer from many threads. Functionally memset; exists because
+// faulting fresh pages from one thread can run two orders of magnitude
+// slower than from several on virtualized hosts (see
+// utils/hostmem.reserve_host_arena, which uses this to pre-fault the heap).
+void zero_fill(char* p, int64_t n, int n_threads) {
+  const int64_t chunk = 64 * 1024 * 1024;
+  parallel_blocks((n + chunk - 1) / chunk, n_threads, [&](int64_t b) {
+    const int64_t lo = b * chunk;
+    std::memset(p + lo, 0, std::min(chunk, n - lo));
+  });
 }
 
 }  // extern "C"

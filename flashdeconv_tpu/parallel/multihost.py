@@ -105,6 +105,78 @@ def global_spot_mesh() -> Mesh:
     return Mesh(np.asarray(jax.devices()), (_AXIS,))
 
 
+def allreduce_sums(*arrays: np.ndarray) -> Tuple[np.ndarray, ...]:
+    """Element-wise sum of small host arrays across all processes.
+
+    Single-process: identity. Multi-process: one fused
+    ``process_allgather`` over the concatenation (the arrays are O(n_genes)
+    — a few hundred KB — so one DCN round trip covers the whole reduction).
+    """
+    if jax.process_count() == 1:
+        return arrays
+    from jax.experimental import multihost_utils
+
+    flat = np.concatenate([np.asarray(a, np.float64).ravel() for a in arrays])
+    summed = np.asarray(
+        multihost_utils.process_allgather(flat)
+    ).sum(axis=0)
+    out = []
+    offset = 0
+    for a in arrays:
+        n = np.asarray(a).size
+        out.append(summed[offset : offset + n].reshape(np.shape(a)))
+        offset += n
+    return tuple(out)
+
+
+def distributed_gene_moments(Y_local) -> Tuple[np.ndarray, np.ndarray]:
+    """HVG moments over a spot-sharded sparse count matrix.
+
+    Each host computes the additive log1p-CPM column sums for its own spot
+    slice (O(local nnz), using the native kernel when available) and the
+    sums are all-reduced — the full matrix never exists on any single host.
+    The per-spot CPM scaling only needs each row's own library size, so the
+    host-local pass is exact. Returns the same (means, variances) the
+    single-host path produces for the concatenated matrix.
+    """
+    from flashdeconv_tpu.utils.genes import log1p_cpm_sums, moments_from_sums
+
+    col_sum, col_sumsq = log1p_cpm_sums(Y_local)
+    n_local = np.asarray([float(Y_local.shape[0])])
+    col_sum, col_sumsq, n_total = allreduce_sums(col_sum, col_sumsq, n_local)
+    return moments_from_sums(col_sum, col_sumsq, int(n_total[0]))
+
+
+def distributed_select_informative_genes(
+    Y_local,
+    X: np.ndarray,
+    n_hvg: int = 2000,
+    n_markers_per_type: int = 50,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Multi-host :func:`~flashdeconv_tpu.utils.genes.select_informative_genes`.
+
+    ``Y_local`` is this host's spot slice (see :func:`host_spot_range`); the
+    reference ``X`` is replicated, so marker selection and leverage scores
+    are computed identically on every host, and the HVG moments are the one
+    cross-host reduction. Every host returns the same gene set.
+    """
+    from flashdeconv_tpu.utils.genes import (
+        compute_leverage_scores,
+        hvg_from_moments,
+        select_markers,
+    )
+
+    means, variances = distributed_gene_moments(Y_local)
+    hvg_idx = hvg_from_moments(means, variances, n_top=n_hvg)
+    marker_idx, _ = select_markers(X, n_markers=n_markers_per_type)
+    gene_idx = np.union1d(hvg_idx, marker_idx).astype(np.intp)
+    if gene_idx.size == 0:
+        raise ValueError(
+            "No genes selected. Increase n_hvg or n_markers_per_type."
+        )
+    return gene_idx, compute_leverage_scores(X[:, gene_idx])
+
+
 def host_spot_range(
     plan, mesh: Optional[Mesh] = None
 ) -> Tuple[int, int]:

@@ -28,6 +28,100 @@ ArrayLike = Union[np.ndarray, sparse.spmatrix]
 _N_DISPERSION_BINS = 20
 
 
+def moments_from_sums(
+    col_sum: np.ndarray, col_sumsq: np.ndarray, n_spots: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-gene (mean, sample variance) from additive column sums.
+
+    The sums are additive over disjoint spot slices, which is what makes the
+    multi-host gene-selection reduction possible
+    (:func:`flashdeconv_tpu.parallel.multihost.distributed_gene_moments`):
+    each host computes sums for its rows, the sums are all-reduced, and
+    every host derives identical moments.
+    """
+    n_genes = col_sum.shape[0]
+    means = col_sum / n_spots
+    if n_spots >= 2:
+        variances = n_spots / (n_spots - 1) * (col_sumsq / n_spots - means**2)
+        variances = np.maximum(variances, 0.0)
+    else:
+        variances = np.zeros(n_genes)
+    return means, variances
+
+
+def log1p_cpm_sums(Y: ArrayLike) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-gene sum and sum-of-squares of log1p(CPM*1e4) over sparse rows.
+
+    The additive half of the HVG moments (see :func:`moments_from_sums`);
+    sparse-path numerics (f32 data -> f32 intermediates, f64 accumulation).
+    """
+    Ycsr = Y.tocsr() if not sparse.isspmatrix_csr(Y) else Y
+    lib = np.asarray(Ycsr.sum(axis=1)).ravel()
+    lib = np.maximum(lib, 1.0)
+    scale = 1e4 / lib
+    return _log1p_cpm_sums_impl(Ycsr, scale)
+
+
+def _log1p_cpm_sums_impl(
+    Ycsr: sparse.csr_matrix, scale: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Column sums of log1p(data * scale[row]) and its square, f64.
+
+    Native fused pass when available (C++,
+    ``flashdeconv_tpu/native/host_kernels.cpp``): one
+    scale->log1p->accumulate sweep over the nnz instead of four materialized
+    temporaries + two bincounts per block; ~20x the numpy throughput at
+    atlas scale. The kernel mirrors this function's dtype semantics (f64
+    data -> f64 intermediates; f32 data -> f32 intermediates with f64
+    accumulation) and its block-ordered reduction, so results are identical
+    either way.
+    """
+    n_spots, n_genes = Ycsr.shape
+
+    from flashdeconv_tpu import native
+
+    if Ycsr.data.dtype in (np.float32, np.float64):
+        native_sums = native.log1p_cpm_moments(Ycsr, scale)
+        if native_sums is not None:
+            return native_sums
+
+    # Numpy fallback: stream row blocks so per-nnz temporaries stay
+    # cache-sized and the matrix is never copied (atlas-scale nnz can be
+    # ~1e9). Blocks run on a small thread pool — log1p / multiply /
+    # bincount release the GIL, so this scales with cores.
+    indptr, indices, data = Ycsr.indptr, Ycsr.indices, Ycsr.data
+    block = 65536
+
+    def _block_sums(r0: int):
+        r1 = min(r0 + block, n_spots)
+        lo, hi = indptr[r0], indptr[r1]
+        counts = np.diff(indptr[r0 : r1 + 1])
+        vals = np.log1p(data[lo:hi] * np.repeat(scale[r0:r1], counts))
+        cols = indices[lo:hi]
+        return (
+            np.bincount(cols, weights=vals, minlength=n_genes),
+            np.bincount(cols, weights=vals**2, minlength=n_genes),
+        )
+
+    starts = range(0, n_spots, block)
+    col_sum = np.zeros(n_genes)
+    col_sumsq = np.zeros(n_genes)
+    if n_spots > 4 * block:
+        import concurrent.futures as cf
+        import os
+
+        workers = min(4, os.cpu_count() or 1)
+        with cf.ThreadPoolExecutor(workers) as pool:
+            for s, sq in pool.map(_block_sums, starts):
+                col_sum += s
+                col_sumsq += sq
+    else:
+        for s, sq in map(_block_sums, starts):
+            col_sum += s
+            col_sumsq += sq
+    return col_sum, col_sumsq
+
+
 def _log1p_cpm_moments(Y: ArrayLike) -> Tuple[np.ndarray, np.ndarray]:
     """Per-gene mean and sample variance of log1p(CPM*1e4) counts.
 
@@ -42,79 +136,8 @@ def _log1p_cpm_moments(Y: ArrayLike) -> Tuple[np.ndarray, np.ndarray]:
         lib = np.asarray(Ycsr.sum(axis=1)).ravel()
         lib = np.maximum(lib, 1.0)
         scale = 1e4 / lib
-
-        # Native fused pass (C++, flashdeconv_tpu/native/host_kernels.cpp):
-        # one scale->log1p->accumulate sweep over the nnz instead of four
-        # materialized temporaries + two bincounts per block; ~20x the numpy
-        # throughput at atlas scale. Same block structure and reduction
-        # order as the fallback below — results are identical (the loader
-        # gates on a <=1-ULP log1p self-test).
-        from flashdeconv_tpu import native
-
-        # f64 data only: with float32 CSR data the numpy path below computes
-        # float32 intermediates (scipy's row sum returns f32 -> f32 scale ->
-        # f32 log1p), and matching that bit-for-bit is what keeps HVG
-        # selection identical to the reference; the native kernel computes
-        # in f64. Real count matrices are f64, so this gate rarely binds.
-        native_moments = (
-            native.log1p_cpm_moments(Ycsr, scale)
-            if Ycsr.data.dtype == np.float64
-            else None
-        )
-        if native_moments is not None:
-            col_sum, col_sumsq = native_moments
-            means = col_sum / n_spots
-            if n_spots >= 2:
-                variances = (
-                    n_spots / (n_spots - 1) * (col_sumsq / n_spots - means**2)
-                )
-                variances = np.maximum(variances, 0.0)
-            else:
-                variances = np.zeros(n_genes)
-            return means, variances
-
-        # Numpy fallback: stream row blocks so per-nnz temporaries stay
-        # cache-sized and the matrix is never copied (atlas-scale nnz can be
-        # ~1e9). Blocks run on a small thread pool — log1p / multiply /
-        # bincount release the GIL, so this scales with cores.
-        indptr, indices, data = Ycsr.indptr, Ycsr.indices, Ycsr.data
-        block = 65536
-
-        def _block_moments(r0: int):
-            r1 = min(r0 + block, n_spots)
-            lo, hi = indptr[r0], indptr[r1]
-            counts = np.diff(indptr[r0 : r1 + 1])
-            vals = np.log1p(data[lo:hi] * np.repeat(scale[r0:r1], counts))
-            cols = indices[lo:hi]
-            return (
-                np.bincount(cols, weights=vals, minlength=n_genes),
-                np.bincount(cols, weights=vals**2, minlength=n_genes),
-            )
-
-        starts = range(0, n_spots, block)
-        col_sum = np.zeros(n_genes)
-        col_sumsq = np.zeros(n_genes)
-        if n_spots > 4 * block:
-            import concurrent.futures as cf
-            import os
-
-            workers = min(4, os.cpu_count() or 1)
-            with cf.ThreadPoolExecutor(workers) as pool:
-                for s, sq in pool.map(_block_moments, starts):
-                    col_sum += s
-                    col_sumsq += sq
-        else:
-            for s, sq in map(_block_moments, starts):
-                col_sum += s
-                col_sumsq += sq
-
-        means = col_sum / n_spots
-        if n_spots >= 2:
-            variances = n_spots / (n_spots - 1) * (col_sumsq / n_spots - means**2)
-            variances = np.maximum(variances, 0.0)
-        else:
-            variances = np.zeros(n_genes)
-        return means, variances
+        col_sum, col_sumsq = _log1p_cpm_sums_impl(Ycsr, scale)
+        return moments_from_sums(col_sum, col_sumsq, n_spots)
 
     Yd = np.asarray(Y, dtype=np.float64)
     lib = np.maximum(Yd.sum(axis=1, keepdims=True), 1.0)
@@ -170,6 +193,26 @@ def select_hvg(
     (n_hvg,) int array of sorted gene indices.
     """
     means, variances = _log1p_cpm_moments(Y)
+    return hvg_from_moments(
+        means, variances, n_top=n_top, min_mean=min_mean, max_mean=max_mean,
+        min_disp=min_disp,
+    )
+
+
+def hvg_from_moments(
+    means: np.ndarray,
+    variances: np.ndarray,
+    n_top: int = 2000,
+    min_mean: float = 0.0125,
+    max_mean: float = 3.0,
+    min_disp: float = 0.5,
+) -> np.ndarray:
+    """HVG ranking/filtering given precomputed per-gene moments.
+
+    Split out of :func:`select_hvg` so the multi-host path
+    (:func:`flashdeconv_tpu.parallel.multihost.distributed_gene_moments`)
+    applies the identical selection rule to its all-reduced moments.
+    """
     dispersion = _binned_dispersion(means, variances)
 
     valid = np.flatnonzero(

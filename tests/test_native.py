@@ -33,11 +33,10 @@ needs_native = pytest.mark.skipif(
 
 @needs_native
 class TestNativeMoments:
-    @pytest.mark.parametrize("dtype", [np.float32, np.float64])
-    def test_matches_f64_math(self, dtype):
-        """Native moments == f64-accumulated reference (any data dtype:
-        the kernel always computes log1p(double(data) * scale) in f64)."""
-        Y = _random_csr(dtype=dtype)
+    def test_matches_f64_math(self):
+        """Native moments == f64 reference for float64 data (float32 data
+        uses f32 intermediates — see test_f32_matches_numpy_f32_semantics)."""
+        Y = _random_csr(dtype=np.float64)
         lib = np.maximum(
             np.asarray(Y.sum(axis=1)).ravel().astype(np.float64), 1.0
         )
@@ -64,6 +63,27 @@ class TestNativeMoments:
         idx_native = select_hvg(Y, n_top=200)
         idx_dense = select_hvg(Y.toarray(), n_top=200)
         np.testing.assert_array_equal(idx_native, idx_dense)
+
+    def test_f32_matches_numpy_f32_semantics(self):
+        """f32 CSR data -> f32 intermediates (the numpy float32 path),
+        accumulated in f64; agreement is ULP-level through log1pf."""
+        Y = _random_csr(n_rows=800, n_cols=400, dtype=np.float32, seed=7)
+        lib = np.maximum(np.asarray(Y.sum(axis=1)).ravel(), 1.0)  # f32
+        scale = (np.float32(1e4) / lib).astype(np.float32)
+
+        nat = native.log1p_cpm_moments(Y, scale)
+        if nat is None:
+            pytest.skip("moments gated off")
+
+        counts = np.diff(Y.indptr)
+        vals = np.log1p(Y.data * np.repeat(scale, counts).astype(np.float32))
+        assert vals.dtype == np.float32
+        ref_sum = np.bincount(Y.indices, weights=vals, minlength=400)
+        ref_sq = np.bincount(
+            Y.indices, weights=vals * vals, minlength=400
+        )
+        np.testing.assert_allclose(nat[0], ref_sum, rtol=2e-6)
+        np.testing.assert_allclose(nat[1], ref_sq, rtol=4e-6)
 
     def test_int64_indices(self):
         Y = _random_csr()

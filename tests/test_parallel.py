@@ -453,3 +453,62 @@ class TestScrambledGridResort:
                 Y_sketch, X_sketch, A, coords=coords, n_shards=4,
                 beta_init=np.zeros((3, 3)), dtype=np.float64,
             )
+
+
+class TestDistributedGeneSelection:
+    """Multi-host gene-selection reduction: host-local additive sums must
+    reproduce the single-host moments exactly (single-process identity) and
+    under arbitrary row slicing (the multi-host decomposition)."""
+
+    def _sparse_counts(self, n=700, g=400, seed=0):
+        from scipy import sparse as sp
+
+        rng = np.random.default_rng(seed)
+        Y = sp.random(
+            n, g, density=0.08, format="csr", random_state=3,
+            data_rvs=lambda k: np.round(rng.exponential(4.0, k)) + 1.0,
+        )
+        return Y
+
+    def test_sliced_sums_match_full(self):
+        from flashdeconv_tpu.utils.genes import (
+            _log1p_cpm_moments, log1p_cpm_sums, moments_from_sums,
+        )
+
+        Y = self._sparse_counts()
+        means_full, var_full = _log1p_cpm_moments(Y)
+
+        cuts = [0, 150, 400, 700]  # 3 unequal "hosts"
+        col_sum = col_sq = 0.0
+        for a, b in zip(cuts[:-1], cuts[1:]):
+            s, sq = log1p_cpm_sums(Y[a:b])
+            col_sum = col_sum + s
+            col_sq = col_sq + sq
+        means, var = moments_from_sums(col_sum, col_sq, Y.shape[0])
+        np.testing.assert_allclose(means, means_full, rtol=1e-12)
+        np.testing.assert_allclose(var, var_full, rtol=1e-10, atol=1e-14)
+
+    def test_single_process_identity(self):
+        from flashdeconv_tpu.parallel.multihost import (
+            distributed_select_informative_genes,
+        )
+        from flashdeconv_tpu.utils.genes import select_informative_genes
+
+        Y = self._sparse_counts(seed=1)
+        X = np.random.RandomState(2).gamma(2.0, 1.0, size=(6, 400))
+        idx_d, lev_d = distributed_select_informative_genes(
+            Y, X, n_hvg=100, n_markers_per_type=10
+        )
+        idx_s, lev_s = select_informative_genes(
+            Y, X, n_hvg=100, n_markers_per_type=10
+        )
+        np.testing.assert_array_equal(idx_d, idx_s)
+        np.testing.assert_allclose(lev_d, lev_s, rtol=1e-12)
+
+    def test_allreduce_sums_single_process(self):
+        from flashdeconv_tpu.parallel.multihost import allreduce_sums
+
+        a, b = np.arange(5.0), np.ones((2, 3))
+        out = allreduce_sums(a, b)
+        np.testing.assert_array_equal(out[0], a)
+        np.testing.assert_array_equal(out[1], b)

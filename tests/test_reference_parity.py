@@ -124,6 +124,28 @@ class TestGraphParity:
         theirs = ref_graph.build_radius_graph(coords, radius=0.15)
         assert (ours != theirs).nnz == 0
 
+    def test_grid_parity(self, ref):
+        """build_grid_graph parity (reference utils/graph.py:136-172):
+        square lattice, hex-offset lattice, explicit spacing, and the
+        jittered-coordinates auto-detection path."""
+        from flashdeconv_tpu.utils.graph import build_grid_graph
+        import flashdeconv.utils.graph as ref_graph
+
+        xs, ys = np.meshgrid(np.arange(12.0), np.arange(10.0))
+        square = np.column_stack([xs.ravel(), ys.ravel()])
+        hexa = square.copy()
+        hexa[:, 0] += (hexa[:, 1] % 2) * 0.5  # offset rows (Visium-like)
+        jitter = square + np.random.RandomState(9).normal(
+            0, 0.03, size=square.shape
+        )
+        for coords in (square, hexa, jitter):
+            ours = build_grid_graph(coords)
+            theirs = ref_graph.build_grid_graph(coords)
+            assert (ours != theirs).nnz == 0
+        ours = build_grid_graph(square, grid_spacing=2.0)
+        theirs = ref_graph.build_grid_graph(square, grid_spacing=2.0)
+        assert (ours != theirs).nnz == 0
+
 
 class TestPreprocessParity:
     @pytest.mark.parametrize("method", ["log_cpm", "pearson", "raw"])
