@@ -277,10 +277,21 @@ class FlashDeconv:
                 Y, X, n_hvg=self.n_hvg, n_markers_per_type=self.n_markers_per_type
             )
             self.gene_idx_ = gene_idx
-            Y_subset = Y[:, gene_idx]
-            if sparse.issparse(Y_subset) and not sparse.isspmatrix_csr(Y_subset):
-                Y_subset = Y_subset.tocsr()
             X_subset = X[:, gene_idx]
+            Y_subset = None
+            if sparse.isspmatrix_csr(Y):
+                # Threaded native column subset (bit-identical to scipy's
+                # fancy indexing, which runs as a selection-matrix matmul
+                # and dominates this stage at atlas-scale nnz).
+                from flashdeconv_tpu import native
+
+                Y_subset = native.csr_column_subset(Y, gene_idx)
+            if Y_subset is None:
+                Y_subset = Y[:, gene_idx]
+                if sparse.issparse(Y_subset) and not sparse.isspmatrix_csr(
+                    Y_subset
+                ):
+                    Y_subset = Y_subset.tocsr()
         self._log(f"  Selected {len(gene_idx)} genes (HVG + markers)")
 
         # [2] normalization

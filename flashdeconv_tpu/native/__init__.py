@@ -205,6 +205,60 @@ def zero_fill(arr: np.ndarray) -> bool:
     return True
 
 
+def csr_column_subset(Y, gene_idx: np.ndarray):
+    """``Y[:, gene_idx]`` for CSR ``Y`` and sorted unique ``gene_idx``.
+
+    Bit-identical to the scipy fancy-column indexing it replaces (kept
+    entries stay in row order with unchanged values; the kernel only
+    counts, remaps, and copies — no floating-point math) but runs as two
+    threaded O(nnz) passes instead of scipy's selection-matrix matmul —
+    ~20x at atlas scale. Returns None when the native path is unavailable.
+    """
+    from scipy import sparse as _sparse
+
+    lib = _load()
+    if lib is None:
+        return None
+    if Y.data.dtype not in (np.float32, np.float64):
+        return None  # scipy preserves int dtypes; don't silently promote
+    n_rows, n_genes = Y.shape
+    indptr, indices, data, tag = _csr_buffers(Y)
+    new_col = np.full(n_genes, -1, dtype=np.int32)
+    new_col[np.asarray(gene_idx, dtype=np.int64)] = np.arange(
+        len(gene_idx), dtype=np.int32
+    )
+    row_counts = np.empty(n_rows, dtype=np.int64)
+    getattr(lib, f"csr_subset_count_{tag}")(
+        indptr.ctypes.data_as(ctypes.c_void_p),
+        indices.ctypes.data_as(ctypes.c_void_p),
+        new_col.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(n_rows),
+        ctypes.c_int(_n_threads()),
+        row_counts.ctypes.data_as(ctypes.c_void_p),
+    )
+    out_indptr = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(row_counts, out=out_indptr[1:])
+    nnz = int(out_indptr[-1])
+    out_indices = np.empty(nnz, dtype=np.int32)
+    out_data = np.empty(nnz, dtype=data.dtype)
+    getattr(lib, f"csr_subset_fill_{tag}")(
+        indptr.ctypes.data_as(ctypes.c_void_p),
+        indices.ctypes.data_as(ctypes.c_void_p),
+        data.ctypes.data_as(ctypes.c_void_p),
+        new_col.ctypes.data_as(ctypes.c_void_p),
+        out_indptr.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(n_rows),
+        ctypes.c_int(_n_threads()),
+        out_indices.ctypes.data_as(ctypes.c_void_p),
+        out_data.ctypes.data_as(ctypes.c_void_p),
+    )
+    return _sparse.csr_matrix(
+        (out_data, out_indices, out_indptr),
+        shape=(n_rows, len(gene_idx)),
+        copy=False,
+    )
+
+
 def countsketch_project(
     Y, buckets: np.ndarray, weights: np.ndarray, sketch_dim: int
 ) -> Optional[np.ndarray]:

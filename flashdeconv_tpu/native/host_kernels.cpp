@@ -129,6 +129,53 @@ void countsketch_project_impl(const int64_t* indptr, const IdxT* indices,
   });
 }
 
+// Column-subset of a CSR matrix via a gene lookup table (new_col[g] < 0
+// drops gene g). Bit-identical to scipy's ``Y[:, gene_idx]`` for sorted
+// unique gene_idx: kept entries stay in row order with unchanged values —
+// the kernel only counts, remaps, and copies (no floating-point math, so
+// no accumulation-order or libm concerns). Pass 1 counts kept entries per
+// row; the caller exclusive-scans the counts into the output indptr;
+// pass 2 writes remapped indices + values at final offsets.
+template <typename DataT, typename IdxT>
+void csr_subset_count_impl(const int64_t* indptr, const IdxT* indices,
+                           const int32_t* new_col, int64_t n_rows,
+                           int n_threads, int64_t* row_counts) {
+  parallel_blocks(n_blocks(n_rows), n_threads, [&](int64_t b) {
+    const int64_t r0 = b * kBlockRows;
+    const int64_t r1 = std::min(r0 + kBlockRows, n_rows);
+    for (int64_t r = r0; r < r1; ++r) {
+      int64_t cnt = 0;
+      for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+        cnt += new_col[indices[i]] >= 0;
+      }
+      row_counts[r] = cnt;
+    }
+  });
+}
+
+template <typename DataT, typename IdxT>
+void csr_subset_fill_impl(const int64_t* indptr, const IdxT* indices,
+                          const DataT* data, const int32_t* new_col,
+                          const int64_t* out_indptr, int64_t n_rows,
+                          int n_threads, int32_t* out_indices,
+                          DataT* out_data) {
+  parallel_blocks(n_blocks(n_rows), n_threads, [&](int64_t b) {
+    const int64_t r0 = b * kBlockRows;
+    const int64_t r1 = std::min(r0 + kBlockRows, n_rows);
+    for (int64_t r = r0; r < r1; ++r) {
+      int64_t o = out_indptr[r];
+      for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+        const int32_t c = new_col[indices[i]];
+        if (c >= 0) {
+          out_indices[o] = c;
+          out_data[o] = data[i];
+          ++o;
+        }
+      }
+    }
+  });
+}
+
 }  // namespace
 
 extern "C" {
@@ -182,6 +229,29 @@ DEFINE_PROJECT(f32_i64, float, int64_t)
 DEFINE_PROJECT(f64_i32, double, int32_t)
 DEFINE_PROJECT(f64_i64, double, int64_t)
 #undef DEFINE_PROJECT
+
+// ---- CSR column subset: data {f32, f64} x indices {i32, i64} --------------
+#define DEFINE_SUBSET(SUFFIX, DATA_T, IDX_T)                                 \
+  void csr_subset_count_##SUFFIX(                                            \
+      const int64_t* indptr, const IDX_T* indices, const int32_t* new_col,   \
+      int64_t n_rows, int n_threads, int64_t* row_counts) {                  \
+    csr_subset_count_impl<DATA_T, IDX_T>(indptr, indices, new_col, n_rows,   \
+                                         n_threads, row_counts);             \
+  }                                                                          \
+  void csr_subset_fill_##SUFFIX(                                             \
+      const int64_t* indptr, const IDX_T* indices, const DATA_T* data,       \
+      const int32_t* new_col, const int64_t* out_indptr, int64_t n_rows,     \
+      int n_threads, int32_t* out_indices, DATA_T* out_data) {               \
+    csr_subset_fill_impl<DATA_T, IDX_T>(indptr, indices, data, new_col,      \
+                                        out_indptr, n_rows, n_threads,       \
+                                        out_indices, out_data);              \
+  }
+
+DEFINE_SUBSET(f32_i32, float, int32_t)
+DEFINE_SUBSET(f32_i64, float, int64_t)
+DEFINE_SUBSET(f64_i32, double, int32_t)
+DEFINE_SUBSET(f64_i64, double, int64_t)
+#undef DEFINE_SUBSET
 
 // Self-test hook: log1p over a buffer so the loader can verify bitwise
 // agreement with numpy's float64 log1p before enabling the moments path.

@@ -136,6 +136,95 @@ class TestNativeProjection:
         np.testing.assert_array_equal(Xs_sparse, Xs_dense)
 
 
+@needs_native
+class TestNativeColumnSubset:
+    @pytest.mark.parametrize("dtype", [np.float32, np.float64])
+    @pytest.mark.parametrize("idx_dtype", [np.int32, np.int64])
+    def test_bitwise_vs_scipy(self, dtype, idx_dtype):
+        Y = _random_csr(n_rows=400, n_cols=700, dtype=dtype, seed=2)
+        Y.indices = Y.indices.astype(idx_dtype)
+        Y.indptr = Y.indptr.astype(idx_dtype)
+        rng = np.random.default_rng(3)
+        idx = np.sort(rng.choice(700, 180, replace=False))
+        ref = Y[:, idx].tocsr()
+        nat = native.csr_column_subset(Y, idx)
+        assert nat is not None and nat.data.dtype == ref.data.dtype
+        np.testing.assert_array_equal(nat.data, ref.data)
+        np.testing.assert_array_equal(nat.indices, ref.indices)
+        np.testing.assert_array_equal(
+            np.asarray(nat.indptr, np.int64), np.asarray(ref.indptr, np.int64)
+        )
+
+    def test_int_dtype_falls_back(self):
+        """Integer data must not be silently promoted — scipy keeps it."""
+        Y = _random_csr(n_rows=50, n_cols=60)
+        Y = sparse.csr_matrix(
+            ((Y.data * 10).astype(np.int64) + 1, Y.indices, Y.indptr),
+            shape=Y.shape,
+        )
+        assert native.csr_column_subset(Y, np.array([1, 5, 9])) is None
+
+    def test_empty_matrix_and_empty_selection(self):
+        Yz = sparse.csr_matrix((5, 10), dtype=np.float64)
+        out = native.csr_column_subset(Yz, np.array([1, 3]))
+        assert out.shape == (5, 2) and out.nnz == 0
+        Y = _random_csr(n_rows=20, n_cols=30)
+        out = native.csr_column_subset(Y, np.array([], dtype=np.int64))
+        assert out.shape == (20, 0) and out.nnz == 0
+
+    def test_pipeline_equals_scipy_subset_pipeline(self):
+        """End-to-end fit with the native subset == the scipy-subset fit."""
+        from flashdeconv_tpu import FlashDeconv
+
+        rng = np.random.default_rng(11)
+        N, G, K = 300, 400, 5
+        X = rng.gamma(2.0, 1.0, size=(K, G)) * (rng.random((K, G)) < 0.4)
+        props = rng.dirichlet(np.ones(K), size=N)
+        mean = props @ X
+        Y = sparse.csr_matrix(
+            rng.poisson(mean / mean.sum(1, keepdims=True) * 800).astype(
+                np.float64
+            )
+        )
+        side = int(np.ceil(np.sqrt(N)))
+        xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+        coords = np.column_stack([xs.ravel(), ys.ravel()])[:N].astype(float)
+
+        kw = dict(sketch_dim=128, n_hvg=150, max_iter=25, random_state=0)
+        P_native = FlashDeconv(**kw).fit_transform(Y, X, coords)
+
+        import subprocess as sp
+        import sys as _sys
+
+        # Same fit with native disabled (fresh process so the loader cache
+        # resets); proportions must match exactly — the subset is bitwise.
+        code = (
+            "import os; os.environ['FLASHDECONV_NO_NATIVE']='1'\n"
+            "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+            "import numpy as np\n"
+            "from scipy import sparse\n"
+            "from flashdeconv_tpu import FlashDeconv\n"
+            "rng = np.random.default_rng(11)\n"
+            "N, G, K = 300, 400, 5\n"
+            "X = rng.gamma(2.0, 1.0, size=(K, G)) * (rng.random((K, G)) < 0.4)\n"
+            "props = rng.dirichlet(np.ones(K), size=N)\n"
+            "mean = props @ X\n"
+            "Y = sparse.csr_matrix(rng.poisson(\n"
+            "    mean / mean.sum(1, keepdims=True) * 800).astype(np.float64))\n"
+            "side = int(np.ceil(np.sqrt(N)))\n"
+            "xs, ys = np.meshgrid(np.arange(side), np.arange(side))\n"
+            "coords = np.column_stack([xs.ravel(), ys.ravel()])[:N].astype(float)\n"
+            "P = FlashDeconv(sketch_dim=128, n_hvg=150, max_iter=25,\n"
+            "                random_state=0).fit_transform(Y, X, coords)\n"
+            "np.save('/tmp/_subset_parity_P.npy', P)\n"
+        )
+        proc = sp.run([_sys.executable, "-c", code], capture_output=True,
+                      text=True, timeout=300)
+        assert proc.returncode == 0, proc.stderr
+        P_scipy = np.load("/tmp/_subset_parity_P.npy")
+        np.testing.assert_allclose(P_native, P_scipy, rtol=1e-6, atol=1e-8)
+
+
 class TestNativeDisabled:
     def test_pipeline_works_without_native(self):
         """FLASHDECONV_NO_NATIVE=1 must leave every caller on the numpy
