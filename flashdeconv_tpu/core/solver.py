@@ -269,7 +269,12 @@ class BCDProblem:
         self.nnb_d = jnp.asarray(n_nbrs, dtype=self.dtype)
         self.YtY_d = jnp.asarray(self.YtY, dtype=self.dtype)
         if use_banded:
-            self.masks_d = jnp.asarray(masks_np, dtype=self.dtype)
+            # The masks are 0/1 floats: ship them as uint8 (4x less tunnel
+            # traffic at 1M spots) and widen on device; the f32 copy stays
+            # resident for every sweep.
+            self.masks_d = jnp.asarray(masks_np.astype(np.uint8)).astype(
+                self.dtype
+            )
             self.rest_d = jnp.asarray(rest_nbr_np)
         else:
             self.nbr_d = jnp.asarray(nbr_idx)

@@ -182,7 +182,11 @@ def gspmd_banded_solve(
     beta0_d = put(beta0_np, shard)
     Xty_d = put(Xty, shard)
     nnb_d = put(nnb, shard)
-    masks_d = put(masks_np.astype(dtype), shard_cols)
+    # 0/1 masks travel as uint8 (4x less host->device traffic) and widen
+    # on device, staying sharded.
+    masks_d = jax.jit(
+        lambda m: m.astype(dtype), out_shardings=shard_cols
+    )(put(masks_np.astype(np.uint8), shard_cols))
     XtX_d = put(XtX.astype(dtype), repl)
     lam_d = put(np.asarray(lambda_, dtype=dtype), repl)
     rho_d = put(np.asarray(rho_eff, dtype=dtype), repl)
