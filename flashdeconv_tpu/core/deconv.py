@@ -38,18 +38,28 @@ def preprocess_data(
     """
     if method == "log_cpm":
         if sparse.issparse(Y):
+            from flashdeconv_tpu import native
+
             Ycsr = Y.tocsr() if not sparse.isspmatrix_csr(Y) else Y
-            lib = np.asarray(Ycsr.sum(axis=1)).ravel()
+            lib = native.csr_row_sums(Ycsr)
+            if lib is None:
+                lib = np.asarray(Ycsr.sum(axis=1)).ravel()
             lib[lib == 0] = 1.0
             # Direct per-nnz transform: avoids the diagonal matmul (which
             # dominates at atlas-scale nnz). Index arrays are copied so the
             # returned matrix never aliases the caller's buffers (an
             # in-place structural op like sort_indices() on the result must
-            # not corrupt the input).
-            counts = np.diff(Ycsr.indptr)
-            new_data = np.log1p(
-                Ycsr.data * np.repeat(1e4 / lib, counts)
-            )
+            # not corrupt the input). Native kernel when available
+            # (threaded, element-wise, bit-identical); numpy otherwise.
+            # scale dtype follows numpy promotion: f32 data keeps the f32
+            # library sizes (scipy's .sum semantics), anything else is f64.
+            scale = 1e4 / np.asarray(lib, dtype=np.float64) \
+                if Ycsr.data.dtype != np.float32 else 1e4 / lib.astype(
+                    np.float32, copy=False)
+            new_data = native.log1p_cpm_transform(Ycsr, scale)
+            if new_data is None:
+                counts = np.diff(Ycsr.indptr)
+                new_data = np.log1p(Ycsr.data * np.repeat(scale, counts))
             Y_norm = sparse.csr_matrix(
                 (new_data, Ycsr.indices.copy(), Ycsr.indptr.copy()),
                 shape=Ycsr.shape, copy=False,

@@ -144,11 +144,6 @@ class BCDProblem:
         n_spots, n_types = self.n_spots, self.n_types
 
         XtX = precompute_gram_matrix(np.asarray(X_sketch, dtype=np.float64))
-        # f64-accumulated without materializing a float64 copy of Y_sketch
-        # (the copy costs ~8 GB and ~60 s at 1M x 512; einsum is ~1 s).
-        self.YtY = float(
-            np.einsum("ij,ij->", Y_sketch, Y_sketch, dtype=np.float64)
-        )
         self.XtX64 = XtX
         # rho is user-facing dimensionless: rescaled by the Gram diagonal so
         # the soft threshold is commensurate with the residual magnitude.
@@ -256,7 +251,10 @@ class BCDProblem:
 
         # Device operands (uploaded once). Xty is computed in the input
         # order, then permuted / padded on its (N, K) form — never on the
-        # (N, d) sketch.
+        # (N, d) sketch. Uploads are dispatched BEFORE the YtY reduction:
+        # jnp.asarray returns as soon as the transfer is enqueued, so the
+        # ~100 MB Xty transfer (the prepare phase's interconnect cost on a
+        # remote-attached chip) streams while the host reduces Y_sketch.
         Xty_np = np.asarray(Y_sketch @ X_sketch.T, dtype=self.dtype)
         if perm is not None:
             Xty_np = Xty_np[perm]
@@ -267,7 +265,6 @@ class BCDProblem:
         self.Xty_d = jnp.asarray(Xty_np)  # (n_solve, K)
         self.XtX_d = jnp.asarray(XtX, dtype=self.dtype)
         self.nnb_d = jnp.asarray(n_nbrs, dtype=self.dtype)
-        self.YtY_d = jnp.asarray(self.YtY, dtype=self.dtype)
         if use_banded:
             # The masks are 0/1 floats: ship them as uint8 (4x less tunnel
             # traffic at 1M spots) and widen on device; the f32 copy stays
@@ -284,6 +281,24 @@ class BCDProblem:
             inv = np.empty(n_spots, dtype=np.int32)
             inv[perm] = np.arange(n_spots, dtype=np.int32)
             self._inv_perm_d = jnp.asarray(inv)
+
+        # YtY: f64-accumulated without materializing a float64 copy of
+        # Y_sketch (the copy costs ~8 GB at 1M x 512). The threaded native
+        # reduction takes over at atlas scale (different last-ULP
+        # association than einsum — it only feeds the objective constant);
+        # small problems keep einsum's exact sequential accumulation.
+        self.YtY = None
+        if Y_sketch.size >= (1 << 27):
+            from flashdeconv_tpu import native
+
+            ys = np.asarray(Y_sketch)
+            if ys.dtype == np.float64 and ys.flags.c_contiguous:
+                self.YtY = native.sq_sum(ys.ravel())
+        if self.YtY is None:
+            self.YtY = float(
+                np.einsum("ij,ij->", Y_sketch, Y_sketch, dtype=np.float64)
+            )
+        self.YtY_d = jnp.asarray(self.YtY, dtype=self.dtype)
 
     # -- internal device closures -----------------------------------------
     def _run_chunk(self, beta_d, lam_d, rho_d, tol_d, max_iter: int, cap):
@@ -373,6 +388,7 @@ class BCDProblem:
         beta0 = self._beta0(beta_init)
 
         objectives: list = []
+        beta_h = None
         if verbose:
             # Chunked fused loop on the reference cadence (see
             # flashdeconv_tpu.ops.bcd.chunked_verbose_solve). The static
@@ -399,12 +415,20 @@ class BCDProblem:
                 beta0, lam_d, rho_d, tol_d, max_iter,
                 jnp.asarray(max_iter, dtype=jnp.int32),
             )
-            # Dispatch the objective BEFORE pulling any scalar: JAX queues it
+            # Dispatch the objective BEFORE pulling anything: JAX queues it
             # behind the solve asynchronously, then one bundled device_get
-            # fetches all three scalars in a single host<->device round trip
-            # (it matters when the accelerator is remote-attached).
+            # fetches the scalars — and, when the caller wants beta on host,
+            # beta itself — in a single host<->device round trip (it matters
+            # when the accelerator is remote-attached).
             obj_d = self._eval_objective(beta_d, lam_d, rho_d)
-            n_iter_h, rel_h, obj_h = jax.device_get((n_iter_d, rel_d, obj_d))
+            if return_device:
+                n_iter_h, rel_h, obj_h = jax.device_get(
+                    (n_iter_d, rel_d, obj_d)
+                )
+            else:
+                n_iter_h, rel_h, obj_h, beta_h = jax.device_get(
+                    (n_iter_d, rel_d, obj_d, beta_d)
+                )
             n_iter = int(n_iter_h)
             rel_change = float(rel_h)
             final_obj = float(obj_h)
@@ -424,7 +448,9 @@ class BCDProblem:
                 beta_out = jnp.take(beta_out, self._inv_perm_d, axis=0)
             return beta_out, info
 
-        beta = np.asarray(beta_d, dtype=np.float64)[: self.n_spots]
+        if beta_h is None:  # verbose path fetched scalars separately
+            beta_h = np.asarray(beta_d)
+        beta = np.asarray(beta_h, dtype=np.float64)[: self.n_spots]
         if self.perm is not None:
             unperm = np.empty_like(beta)
             unperm[self.perm] = beta

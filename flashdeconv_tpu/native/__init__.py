@@ -1,11 +1,13 @@
 """Native (C++) host kernels for the O(nnz) CSR pipeline stages.
 
 The TPU owns the solve; the host owns single-pass CSR reductions (HVG
-moments, CountSketch projection) that numpy runs at a fraction of memory
-bandwidth (per-block temporaries, bincount index conversion, GIL-bounded
-threading). ``host_kernels.cpp`` fuses each pass and threads it with
-deterministic block-ordered reduction — results are bit-identical to the
-numpy implementations they replace (see the .cpp header for the contract).
+moments, CountSketch projection, row sums, the log_cpm transform, column
+subset) that numpy runs at a fraction of memory bandwidth (per-block
+temporaries, bincount index conversion, GIL-bounded threading).
+``host_kernels.cpp`` fuses each pass and threads it with deterministic
+block-ordered reduction; kernels without cross-row accumulation are
+bit-identical to the numpy/scipy implementations they replace (see the
+.cpp header for the exact per-kernel contract).
 
 Build/load strategy (no pip, no pybind11):
 
@@ -185,6 +187,92 @@ def log1p_cpm_moments(
         out_sumsq.ctypes.data_as(ctypes.c_void_p),
     )
     return out_sum, out_sumsq
+
+
+def csr_row_sums(Y) -> Optional[np.ndarray]:
+    """Per-row sums of CSR ``Y`` in the data dtype.
+
+    Bit-identical to ``np.asarray(Y.sum(axis=1)).ravel()`` (scipy computes
+    each row sequentially in nnz order in the input dtype; rows are
+    independent, so threading cannot change a single bit) but threaded.
+    Returns None when the native path is unavailable or the data dtype is
+    not float32/float64.
+    """
+    lib = _load()
+    if lib is None or Y.data.dtype not in (np.float32, np.float64):
+        return None
+    n_rows = Y.shape[0]
+    indptr = np.ascontiguousarray(Y.indptr, dtype=np.int64)
+    data = np.ascontiguousarray(Y.data)
+    out = np.empty(n_rows, dtype=data.dtype)
+    tag = "f32" if data.dtype == np.float32 else "f64"
+    getattr(lib, f"csr_row_sums_{tag}")(
+        indptr.ctypes.data_as(ctypes.c_void_p),
+        data.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(n_rows),
+        ctypes.c_int(_n_threads()),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
+
+
+def log1p_cpm_transform(Y, scale: np.ndarray) -> Optional[np.ndarray]:
+    """``log1p(Y.data * scale[row])`` in the data dtype, as a new array.
+
+    The sparse log_cpm preprocess map. Element-wise (no accumulation), so
+    the threaded result is bit-identical to the numpy expression
+    ``np.log1p(Y.data * np.repeat(scale, np.diff(Y.indptr)))`` — provided
+    ``scale`` already has the data dtype (the caller owns that promotion
+    rule). Returns None when unavailable; requires the libm/log1p self-test
+    to have passed (same gate as the moments kernel).
+    """
+    lib = _load()
+    if (
+        lib is None
+        or not _log1p_matches_numpy
+        or Y.data.dtype not in (np.float32, np.float64)
+    ):
+        return None
+    n_rows = Y.shape[0]
+    indptr = np.ascontiguousarray(Y.indptr, dtype=np.int64)
+    data = np.ascontiguousarray(Y.data)
+    scale = np.ascontiguousarray(scale, dtype=data.dtype)
+    out = np.empty_like(data)
+    tag = "f32" if data.dtype == np.float32 else "f64"
+    getattr(lib, f"log1p_cpm_transform_{tag}")(
+        indptr.ctypes.data_as(ctypes.c_void_p),
+        data.ctypes.data_as(ctypes.c_void_p),
+        scale.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(n_rows),
+        ctypes.c_int(_n_threads()),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
+
+
+def sq_sum(x: np.ndarray) -> Optional[float]:
+    """Threaded float64 sum of squares of a contiguous float64 buffer.
+
+    Deterministic per length (fixed 4M-element chunks reduced in chunk
+    order) but NOT bit-identical to ``np.einsum``'s single sequential
+    accumulation — callers gate this on large inputs where the last-ULP
+    difference is irrelevant (it feeds only the objective constant).
+    Returns None when unavailable or the dtype is not float64.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x)
+    if x.dtype != np.float64:
+        return None
+    out = np.empty(1, dtype=np.float64)
+    lib.sq_sum_f64(
+        x.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(x.size),
+        ctypes.c_int(_n_threads()),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return float(out[0])
 
 
 def zero_fill(arr: np.ndarray) -> bool:

@@ -14,12 +14,28 @@
 //     Each CSR row writes one 8 KB output row: a pure scatter that a
 //     sparse-sparse matmul (scipy) pays hash/sort overhead for.
 //
-// Determinism contract: results are bit-identical to the numpy block
-// implementation they replace. Both kernels accumulate in float64 in nnz
-// order within each 65536-row block / row, and block partials are reduced
-// in block order on the calling thread — the same association order as the
-// numpy path (bincount over blocks + ordered block reduction), so the f64
-// pipeline stays byte-stable regardless of thread scheduling.
+//   * csr_row_sums_* — per-row sums in the data dtype (scipy's
+//     ``.sum(axis=1)`` semantics: sequential nnz-order accumulation per
+//     row). Rows are independent outputs, so threading is bitwise-free.
+//
+//   * log1p_cpm_transform_* — out[i] = log1p(data[i] * scale[row]) in the
+//     data dtype (the log_cpm preprocess on CSR ``.data``,
+//     reference flashdeconv/core/deconv.py:177-197). Pure element-wise map:
+//     threading is bitwise-free and the numpy path's 8-byte-per-nnz
+//     ``np.repeat`` temporary is never materialized.
+//
+//   * sq_sum_f64 — float64 sum of squares of a dense buffer (the YtY
+//     objective constant), chunk-ordered reduction.
+//
+// Determinism contract: every kernel is a pure function of its operands —
+// accumulation happens in fixed nnz/element order within a block whose size
+// is a pure function of the row count (block_rows below), and block
+// partials are reduced in block order on the calling thread, regardless of
+// thread count or scheduling. Kernels with no cross-row accumulation
+// (projection rows, row sums, the transform) are additionally bit-identical
+// to their numpy/scipy counterparts at any block size; the moments kernel's
+// column sums follow the documented block order (matching the numpy block
+// implementation when block_rows == 65536, i.e. beyond ~4M rows).
 //
 // Parallelism: std::thread over contiguous block ranges; each thread writes
 // only its own blocks' partials (moments) or its own rows (projection), so
@@ -36,10 +52,18 @@
 
 namespace {
 
-constexpr int64_t kBlockRows = 65536;  // mirrors the numpy block size
+// Rows per block: a pure function of the row count (so reductions are
+// deterministic per shape), sized to expose ~64 blocks once the input is
+// big enough to be worth threading. The old constant 65536 starved small
+// inputs — a 38k-spot Stereo-seq section ran single-threaded.
+inline int64_t block_rows(int64_t n_rows) {
+  const int64_t b = (n_rows + 63) / 64;
+  return std::min<int64_t>(65536, std::max<int64_t>(2048, b));
+}
 
 inline int64_t n_blocks(int64_t n_rows) {
-  return (n_rows + kBlockRows - 1) / kBlockRows;
+  const int64_t br = block_rows(n_rows);
+  return (n_rows + br - 1) / br;
 }
 
 // Launch `fn(block_index)` over all blocks on `n_threads` threads with a
@@ -78,8 +102,8 @@ void log1p_cpm_moments_impl(const int64_t* indptr, const IdxT* indices,
   parallel_blocks(blocks, n_threads, [&](int64_t b) {
     double* psum = partial.data() + static_cast<size_t>(b) * n_genes * 2;
     double* psq = psum + n_genes;
-    const int64_t r0 = b * kBlockRows;
-    const int64_t r1 = std::min(r0 + kBlockRows, n_rows);
+    const int64_t r0 = b * block_rows(n_rows);
+    const int64_t r1 = std::min(r0 + block_rows(n_rows), n_rows);
     for (int64_t r = r0; r < r1; ++r) {
       const CalcT s = static_cast<CalcT>(scale[r]);
       for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
@@ -115,8 +139,8 @@ void countsketch_project_impl(const int64_t* indptr, const IdxT* indices,
   // brutally on ballooned/overcommitted VMs — faulting from all threads is
   // the difference between ~0.5 s and ~40 s at a 4 GB output.
   parallel_blocks(n_blocks(n_rows), n_threads, [&](int64_t b) {
-    const int64_t r0 = b * kBlockRows;
-    const int64_t r1 = std::min(r0 + kBlockRows, n_rows);
+    const int64_t r0 = b * block_rows(n_rows);
+    const int64_t r1 = std::min(r0 + block_rows(n_rows), n_rows);
     std::memset(out + static_cast<size_t>(r0) * sketch_dim, 0,
                 sizeof(double) * static_cast<size_t>(r1 - r0) * sketch_dim);
     for (int64_t r = r0; r < r1; ++r) {
@@ -141,8 +165,8 @@ void csr_subset_count_impl(const int64_t* indptr, const IdxT* indices,
                            const int32_t* new_col, int64_t n_rows,
                            int n_threads, int64_t* row_counts) {
   parallel_blocks(n_blocks(n_rows), n_threads, [&](int64_t b) {
-    const int64_t r0 = b * kBlockRows;
-    const int64_t r1 = std::min(r0 + kBlockRows, n_rows);
+    const int64_t r0 = b * block_rows(n_rows);
+    const int64_t r1 = std::min(r0 + block_rows(n_rows), n_rows);
     for (int64_t r = r0; r < r1; ++r) {
       int64_t cnt = 0;
       for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
@@ -160,8 +184,8 @@ void csr_subset_fill_impl(const int64_t* indptr, const IdxT* indices,
                           int n_threads, int32_t* out_indices,
                           DataT* out_data) {
   parallel_blocks(n_blocks(n_rows), n_threads, [&](int64_t b) {
-    const int64_t r0 = b * kBlockRows;
-    const int64_t r1 = std::min(r0 + kBlockRows, n_rows);
+    const int64_t r0 = b * block_rows(n_rows);
+    const int64_t r1 = std::min(r0 + block_rows(n_rows), n_rows);
     for (int64_t r = r0; r < r1; ++r) {
       int64_t o = out_indptr[r];
       for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
@@ -176,9 +200,84 @@ void csr_subset_fill_impl(const int64_t* indptr, const IdxT* indices,
   });
 }
 
+// Per-row sums in the data dtype: scipy ``.sum(axis=1)`` computes each row
+// as a sequential nnz-order accumulation in the input dtype (csr_matvec
+// against ones); rows are independent, so any thread partition is
+// bit-identical to the scipy result.
+template <typename DataT>
+void csr_row_sums_impl(const int64_t* indptr, const DataT* data,
+                       int64_t n_rows, int n_threads, DataT* out) {
+  parallel_blocks(n_blocks(n_rows), n_threads, [&](int64_t b) {
+    const int64_t r0 = b * block_rows(n_rows);
+    const int64_t r1 = std::min(r0 + block_rows(n_rows), n_rows);
+    for (int64_t r = r0; r < r1; ++r) {
+      DataT acc = 0;
+      for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) acc += data[i];
+      out[r] = acc;
+    }
+  });
+}
+
+// out[i] = log1p(data[i] * scale[row]) in the data dtype — the sparse
+// log_cpm preprocess. Element-wise (no accumulation): bit-identical to the
+// numpy expression ``np.log1p(data * np.repeat(scale, counts))`` without
+// materializing the per-nnz scale vector.
+template <typename DataT>
+void log1p_cpm_transform_impl(const int64_t* indptr, const DataT* data,
+                              const DataT* scale, int64_t n_rows,
+                              int n_threads, DataT* out) {
+  parallel_blocks(n_blocks(n_rows), n_threads, [&](int64_t b) {
+    const int64_t r0 = b * block_rows(n_rows);
+    const int64_t r1 = std::min(r0 + block_rows(n_rows), n_rows);
+    for (int64_t r = r0; r < r1; ++r) {
+      const DataT s = scale[r];
+      for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+        out[i] = std::log1p(data[i] * s);
+      }
+    }
+  });
+}
+
 }  // namespace
 
 extern "C" {
+
+// ---- row sums / preprocess transform: data {f32, f64} ---------------------
+#define DEFINE_ROWWISE(SUFFIX, DATA_T)                                       \
+  void csr_row_sums_##SUFFIX(const int64_t* indptr, const DATA_T* data,      \
+                             int64_t n_rows, int n_threads, DATA_T* out) {   \
+    csr_row_sums_impl<DATA_T>(indptr, data, n_rows, n_threads, out);         \
+  }                                                                          \
+  void log1p_cpm_transform_##SUFFIX(                                         \
+      const int64_t* indptr, const DATA_T* data, const DATA_T* scale,        \
+      int64_t n_rows, int n_threads, DATA_T* out) {                          \
+    log1p_cpm_transform_impl<DATA_T>(indptr, data, scale, n_rows, n_threads, \
+                                     out);                                   \
+  }
+
+DEFINE_ROWWISE(f32, float)
+DEFINE_ROWWISE(f64, double)
+#undef DEFINE_ROWWISE
+
+// float64 sum of squares of a dense buffer (the YtY objective constant).
+// Fixed 4M-element chunks accumulated left-to-right per chunk, chunk
+// partials reduced in chunk order — deterministic per length at any thread
+// count. (Large-array fast path; small solves keep the numpy einsum.)
+void sq_sum_f64(const double* x, int64_t n, int n_threads, double* out) {
+  const int64_t chunk = 1 << 22;
+  const int64_t chunks = (n + chunk - 1) / chunk;
+  std::vector<double> partial(static_cast<size_t>(chunks), 0.0);
+  parallel_blocks(chunks, n_threads, [&](int64_t c) {
+    const int64_t lo = c * chunk;
+    const int64_t hi = std::min(lo + chunk, n);
+    double acc = 0.0;
+    for (int64_t i = lo; i < hi; ++i) acc += x[i] * x[i];
+    partial[static_cast<size_t>(c)] = acc;
+  });
+  double total = 0.0;
+  for (int64_t c = 0; c < chunks; ++c) total += partial[static_cast<size_t>(c)];
+  *out = total;
+}
 
 // ---- moments: data {f32, f64} x indices {i32, i64} ------------------------
 #define DEFINE_MOMENTS(SUFFIX, DATA_T, IDX_T)                                \

@@ -56,10 +56,22 @@ def log1p_cpm_sums(Y: ArrayLike) -> Tuple[np.ndarray, np.ndarray]:
     sparse-path numerics (f32 data -> f32 intermediates, f64 accumulation).
     """
     Ycsr = Y.tocsr() if not sparse.isspmatrix_csr(Y) else Y
-    lib = np.asarray(Ycsr.sum(axis=1)).ravel()
+    lib = _csr_row_sums(Ycsr)
     lib = np.maximum(lib, 1.0)
     scale = 1e4 / lib
     return _log1p_cpm_sums_impl(Ycsr, scale)
+
+
+def _csr_row_sums(Ycsr: sparse.csr_matrix) -> np.ndarray:
+    """Row sums of a CSR matrix (library sizes) — threaded native kernel
+    when available (bit-identical to scipy's ``.sum(axis=1)``; rows are
+    independent, see ``native/host_kernels.cpp``), scipy otherwise."""
+    from flashdeconv_tpu import native
+
+    sums = native.csr_row_sums(Ycsr)
+    if sums is None:
+        sums = np.asarray(Ycsr.sum(axis=1)).ravel()
+    return sums
 
 
 def _log1p_cpm_sums_impl(
@@ -133,7 +145,7 @@ def _log1p_cpm_moments(Y: ArrayLike) -> Tuple[np.ndarray, np.ndarray]:
 
     if sparse.issparse(Y):
         Ycsr = Y.tocsr() if not sparse.isspmatrix_csr(Y) else Y
-        lib = np.asarray(Ycsr.sum(axis=1)).ravel()
+        lib = _csr_row_sums(Ycsr)
         lib = np.maximum(lib, 1.0)
         scale = 1e4 / lib
         col_sum, col_sumsq = _log1p_cpm_sums_impl(Ycsr, scale)
