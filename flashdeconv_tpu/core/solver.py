@@ -145,6 +145,16 @@ class BCDProblem:
 
         XtX = precompute_gram_matrix(np.asarray(X_sketch, dtype=np.float64))
         self.XtX64 = XtX
+
+        # Compute Xty and dispatch its upload FIRST: at atlas scale the
+        # (N, K) transfer is the prepare phase's interconnect cost on a
+        # remote-attached chip, and jnp.asarray returns as soon as the
+        # transfer is enqueued — the graph decomposition and YtY reduction
+        # below run on the host while the bytes stream. Any banded re-sort
+        # permutation is applied to the device copy afterwards (an exact
+        # row gather, sub-ms on device).
+        Xty_np = np.asarray(Y_sketch @ X_sketch.T, dtype=self.dtype)
+        Xty_raw_d = jnp.asarray(Xty_np)  # (n_spots, K), input order
         # rho is user-facing dimensionless: rescaled by the Gram diagonal so
         # the soft threshold is commensurate with the residual magnitude.
         self.mean_diag = float(np.mean(np.diag(XtX)))
@@ -249,20 +259,18 @@ class BCDProblem:
                 )
             self.offsets = tuple(int(o) for o in offsets_np)
 
-        # Device operands (uploaded once). Xty is computed in the input
-        # order, then permuted / padded on its (N, K) form — never on the
-        # (N, d) sketch. Uploads are dispatched BEFORE the YtY reduction:
-        # jnp.asarray returns as soon as the transfer is enqueued, so the
-        # ~100 MB Xty transfer (the prepare phase's interconnect cost on a
-        # remote-attached chip) streams while the host reduces Y_sketch.
-        Xty_np = np.asarray(Y_sketch @ X_sketch.T, dtype=self.dtype)
+        # Remaining device operands (uploaded once). The already-streaming
+        # Xty copy is permuted / padded on device in its (N, K) form —
+        # never on the (N, d) sketch.
+        Xty_d = Xty_raw_d
         if perm is not None:
-            Xty_np = Xty_np[perm]
+            Xty_d = jnp.take(Xty_d, jnp.asarray(perm, dtype=jnp.int32),
+                             axis=0)
         if pad:
-            Xty_np = np.concatenate(
-                [Xty_np, np.zeros((pad, n_types), dtype=self.dtype)]
+            Xty_d = jnp.concatenate(
+                [Xty_d, jnp.zeros((pad, n_types), dtype=self.dtype)]
             )
-        self.Xty_d = jnp.asarray(Xty_np)  # (n_solve, K)
+        self.Xty_d = Xty_d  # (n_solve, K)
         self.XtX_d = jnp.asarray(XtX, dtype=self.dtype)
         self.nnb_d = jnp.asarray(n_nbrs, dtype=self.dtype)
         if use_banded:

@@ -189,6 +189,86 @@ def log1p_cpm_moments(
     return out_sum, out_sumsq
 
 
+def log1p_cpm_moments_auto(
+    Y,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Self-scaled HVG moments: library sizes fused into the moments pass.
+
+    Equivalent to ``csr_row_sums`` -> ``np.maximum(lib, 1)`` -> ``1e4/lib``
+    -> :func:`log1p_cpm_moments` (bit-identical scale per row, same nnz /
+    block accumulation order) but one full O(nnz) sweep cheaper. Returns
+    None when the native path is unavailable.
+    """
+    lib = _load()
+    if lib is None or not _log1p_matches_numpy:
+        return None
+    if Y.data.dtype not in (np.float32, np.float64):
+        return None
+    n_rows, n_genes = Y.shape
+    indptr, indices, data, tag = _csr_buffers(Y)
+    if data.dtype == np.float32:
+        tag = tag.replace("f32", "f32m")  # f32-intermediates kernel
+    out_sum = np.empty(n_genes, dtype=np.float64)
+    out_sumsq = np.empty(n_genes, dtype=np.float64)
+    fn = getattr(lib, f"log1p_cpm_moments_auto_{tag}")
+    fn(
+        indptr.ctypes.data_as(ctypes.c_void_p),
+        indices.ctypes.data_as(ctypes.c_void_p),
+        data.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(n_rows),
+        ctypes.c_int64(n_genes),
+        ctypes.c_int(_n_threads()),
+        out_sum.ctypes.data_as(ctypes.c_void_p),
+        out_sumsq.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out_sum, out_sumsq
+
+
+def fused_log1pcpm_project(
+    Y, gene_idx: np.ndarray, buckets: np.ndarray, weights: np.ndarray,
+    sketch_dim: int,
+) -> Optional[np.ndarray]:
+    """Gene subset -> log_cpm -> CountSketch projection in ONE O(nnz) pass.
+
+    Equivalent to ``csr_column_subset(Y, gene_idx)`` ->
+    ``preprocess_data(..., "log_cpm")`` -> ``countsketch_project`` —
+    bit-identical (the subset preserves nnz order; every float op runs in
+    the same precision and order — see ``host_kernels.cpp``) — without ever
+    materializing the subset CSR or the normalized copy. ``buckets`` /
+    ``weights`` are indexed by SUBSET column (position in ``gene_idx``).
+    Returns the dense (n_rows, sketch_dim) float64 sketch, or None when the
+    native path is unavailable.
+    """
+    lib = _load()
+    if lib is None or not _log1p_matches_numpy:
+        return None
+    if Y.data.dtype not in (np.float32, np.float64):
+        return None
+    n_rows, n_genes = Y.shape
+    indptr, indices, data, tag = _csr_buffers(Y)
+    new_col = np.full(n_genes, -1, dtype=np.int32)
+    new_col[np.asarray(gene_idx, dtype=np.int64)] = np.arange(
+        len(gene_idx), dtype=np.int32
+    )
+    buckets = np.ascontiguousarray(buckets, dtype=np.int32)
+    weights = np.ascontiguousarray(weights, dtype=np.float64)
+    out = np.empty((n_rows, sketch_dim), dtype=np.float64)
+    fn = getattr(lib, f"fused_log1pcpm_project_{tag}")
+    fn(
+        indptr.ctypes.data_as(ctypes.c_void_p),
+        indices.ctypes.data_as(ctypes.c_void_p),
+        data.ctypes.data_as(ctypes.c_void_p),
+        new_col.ctypes.data_as(ctypes.c_void_p),
+        buckets.ctypes.data_as(ctypes.c_void_p),
+        weights.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(n_rows),
+        ctypes.c_int64(sketch_dim),
+        ctypes.c_int(_n_threads()),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
+
+
 def csr_row_sums(Y) -> Optional[np.ndarray]:
     """Per-row sums of CSR ``Y`` in the data dtype.
 

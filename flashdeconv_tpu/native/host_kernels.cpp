@@ -90,6 +90,10 @@ void parallel_blocks(int64_t blocks, int n_threads, Fn fn) {
 // CalcT is the intermediate precision: double mirrors numpy's float64 path
 // (f64 data x f64 scale); float mirrors its float32 path (f32 CSR data, f32
 // scale -> f32 product/log1p/square, accumulated in f64 by bincount).
+// scale == nullptr fuses the library-size pass in: per-row
+// scale = 1e4 / max(row_sum, 1) with the row sum accumulated in the data
+// dtype in nnz order — bit-identical to csr_row_sums -> np.maximum(lib, 1)
+// -> 1e4/lib done separately, one full sweep cheaper.
 template <typename DataT, typename IdxT, typename CalcT = double>
 void log1p_cpm_moments_impl(const int64_t* indptr, const IdxT* indices,
                             const DataT* data, const double* scale,
@@ -105,7 +109,14 @@ void log1p_cpm_moments_impl(const int64_t* indptr, const IdxT* indices,
     const int64_t r0 = b * block_rows(n_rows);
     const int64_t r1 = std::min(r0 + block_rows(n_rows), n_rows);
     for (int64_t r = r0; r < r1; ++r) {
-      const CalcT s = static_cast<CalcT>(scale[r]);
+      CalcT s;
+      if (scale) {
+        s = static_cast<CalcT>(scale[r]);
+      } else {
+        DataT acc = 0;
+        for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) acc += data[i];
+        s = static_cast<CalcT>(DataT(1e4) / std::max(acc, DataT(1)));
+      }
       for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
         const CalcT v = std::log1p(static_cast<CalcT>(data[i]) * s);
         const IdxT g = indices[i];
@@ -218,6 +229,47 @@ void csr_row_sums_impl(const int64_t* indptr, const DataT* data,
   });
 }
 
+// Fused gene-subset -> log_cpm -> CountSketch projection: one pass over the
+// FULL count matrix that never materializes the subset CSR or the
+// normalized copy. Per row: (1) library size = sum of KEPT entries in nnz
+// order (the subset's row sum, preprocess clamp lib==0 -> 1); (2) scatter
+// out[r, bucket[new_col[g]]] += weight[new_col[g]] * log1p(data * 1e4/lib).
+// Bit-identical to the staged pipeline (csr_subset -> log1p_cpm_transform
+// -> countsketch_project): the subset preserves nnz order, every float op
+// (DataT-precision product/log1p, f64 widen, f64 scatter accumulation) is
+// performed in the same order with the same precision as the staged
+// kernels, and rows are independent so threading changes nothing.
+template <typename DataT, typename IdxT>
+void fused_log1pcpm_project_impl(const int64_t* indptr, const IdxT* indices,
+                                 const DataT* data, const int32_t* new_col,
+                                 const int32_t* buckets,
+                                 const double* weights, int64_t n_rows,
+                                 int64_t sketch_dim, int n_threads,
+                                 double* out) {
+  parallel_blocks(n_blocks(n_rows), n_threads, [&](int64_t b) {
+    const int64_t r0 = b * block_rows(n_rows);
+    const int64_t r1 = std::min(r0 + block_rows(n_rows), n_rows);
+    std::memset(out + static_cast<size_t>(r0) * sketch_dim, 0,
+                sizeof(double) * static_cast<size_t>(r1 - r0) * sketch_dim);
+    for (int64_t r = r0; r < r1; ++r) {
+      DataT acc = 0;
+      for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+        if (new_col[indices[i]] >= 0) acc += data[i];
+      }
+      const DataT lib = (acc == DataT(0)) ? DataT(1) : acc;
+      const DataT s = DataT(1e4) / lib;
+      double* row = out + static_cast<size_t>(r) * sketch_dim;
+      for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+        const int32_t c = new_col[indices[i]];
+        if (c >= 0) {
+          const DataT v = std::log1p(data[i] * s);
+          row[buckets[c]] += weights[c] * static_cast<double>(v);
+        }
+      }
+    }
+  });
+}
+
 // out[i] = log1p(data[i] * scale[row]) in the data dtype — the sparse
 // log_cpm preprocess. Element-wise (no accumulation): bit-identical to the
 // numpy expression ``np.log1p(data * np.repeat(scale, counts))`` without
@@ -312,6 +364,24 @@ DEFINE_MOMENTS_F32M(f32m_i32, int32_t)
 DEFINE_MOMENTS_F32M(f32m_i64, int64_t)
 #undef DEFINE_MOMENTS_F32M
 
+// Self-scaled variants: scale == nullptr, per-row 1e4/max(row_sum, 1)
+// computed in the fused pass (see log1p_cpm_moments_impl).
+#define DEFINE_MOMENTS_AUTO(SUFFIX, DATA_T, IDX_T, CALC_T)                   \
+  void log1p_cpm_moments_auto_##SUFFIX(                                      \
+      const int64_t* indptr, const IDX_T* indices, const DATA_T* data,       \
+      int64_t n_rows, int64_t n_genes, int n_threads, double* out_sum,       \
+      double* out_sumsq) {                                                   \
+    log1p_cpm_moments_impl<DATA_T, IDX_T, CALC_T>(                           \
+        indptr, indices, data, nullptr, n_rows, n_genes, n_threads,          \
+        out_sum, out_sumsq);                                                 \
+  }
+
+DEFINE_MOMENTS_AUTO(f32m_i32, float, int32_t, float)
+DEFINE_MOMENTS_AUTO(f32m_i64, float, int64_t, float)
+DEFINE_MOMENTS_AUTO(f64_i32, double, int32_t, double)
+DEFINE_MOMENTS_AUTO(f64_i64, double, int64_t, double)
+#undef DEFINE_MOMENTS_AUTO
+
 // ---- CountSketch projection: data {f32, f64} x indices {i32, i64} ---------
 #define DEFINE_PROJECT(SUFFIX, DATA_T, IDX_T)                                \
   void countsketch_project_##SUFFIX(                                         \
@@ -328,6 +398,24 @@ DEFINE_PROJECT(f32_i64, float, int64_t)
 DEFINE_PROJECT(f64_i32, double, int32_t)
 DEFINE_PROJECT(f64_i64, double, int64_t)
 #undef DEFINE_PROJECT
+
+// ---- fused subset -> log_cpm -> projection ---------------------------------
+#define DEFINE_FUSED(SUFFIX, DATA_T, IDX_T)                                  \
+  void fused_log1pcpm_project_##SUFFIX(                                      \
+      const int64_t* indptr, const IDX_T* indices, const DATA_T* data,       \
+      const int32_t* new_col, const int32_t* buckets,                        \
+      const double* weights, int64_t n_rows, int64_t sketch_dim,             \
+      int n_threads, double* out) {                                          \
+    fused_log1pcpm_project_impl<DATA_T, IDX_T>(                              \
+        indptr, indices, data, new_col, buckets, weights, n_rows,            \
+        sketch_dim, n_threads, out);                                         \
+  }
+
+DEFINE_FUSED(f32_i32, float, int32_t)
+DEFINE_FUSED(f32_i64, float, int64_t)
+DEFINE_FUSED(f64_i32, double, int32_t)
+DEFINE_FUSED(f64_i64, double, int64_t)
+#undef DEFINE_FUSED
 
 // ---- CSR column subset: data {f32, f64} x indices {i32, i64} --------------
 #define DEFINE_SUBSET(SUFFIX, DATA_T, IDX_T)                                 \

@@ -56,6 +56,15 @@ def log1p_cpm_sums(Y: ArrayLike) -> Tuple[np.ndarray, np.ndarray]:
     sparse-path numerics (f32 data -> f32 intermediates, f64 accumulation).
     """
     Ycsr = Y.tocsr() if not sparse.isspmatrix_csr(Y) else Y
+
+    # Fully fused native pass (library sizes + moments in one O(nnz)
+    # sweep); bit-identical to the staged computation below.
+    from flashdeconv_tpu import native
+
+    fused = native.log1p_cpm_moments_auto(Ycsr)
+    if fused is not None:
+        return fused
+
     lib = _csr_row_sums(Ycsr)
     lib = np.maximum(lib, 1.0)
     scale = 1e4 / lib
@@ -144,11 +153,7 @@ def _log1p_cpm_moments(Y: ArrayLike) -> Tuple[np.ndarray, np.ndarray]:
     n_spots, n_genes = Y.shape
 
     if sparse.issparse(Y):
-        Ycsr = Y.tocsr() if not sparse.isspmatrix_csr(Y) else Y
-        lib = _csr_row_sums(Ycsr)
-        lib = np.maximum(lib, 1.0)
-        scale = 1e4 / lib
-        col_sum, col_sumsq = _log1p_cpm_sums_impl(Ycsr, scale)
+        col_sum, col_sumsq = log1p_cpm_sums(Y)
         return moments_from_sums(col_sum, col_sumsq, n_spots)
 
     Yd = np.asarray(Y, dtype=np.float64)

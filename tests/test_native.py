@@ -225,6 +225,56 @@ class TestNativeColumnSubset:
         np.testing.assert_allclose(P_native, P_scipy, rtol=1e-6, atol=1e-8)
 
 
+@needs_native
+class TestFusedKernels:
+    """The single-pass fused kernels must equal their staged compositions
+    bitwise (same precision, same accumulation order — the whole point)."""
+
+    @pytest.mark.parametrize("dtype", [np.float32, np.float64])
+    def test_moments_auto_equals_staged(self, dtype):
+        Y = _random_csr(n_rows=1200, n_cols=400, dtype=dtype, seed=11)
+        if native.log1p_cpm_moments_auto(Y) is None:
+            pytest.skip("moments gated off (log1p self-test)")
+        lib = native.csr_row_sums(Y)
+        scale = 1e4 / np.maximum(lib, 1.0)
+        staged = native.log1p_cpm_moments(Y, scale)
+        fused = native.log1p_cpm_moments_auto(Y)
+        np.testing.assert_array_equal(fused[0], staged[0])
+        np.testing.assert_array_equal(fused[1], staged[1])
+
+    @pytest.mark.parametrize("dtype", [np.float32, np.float64])
+    def test_fused_project_equals_staged(self, dtype):
+        from flashdeconv_tpu.core.deconv import preprocess_data
+        from flashdeconv_tpu.core.sketching import make_countsketch_op
+
+        Y = _random_csr(n_rows=900, n_cols=600, density=0.08, dtype=dtype,
+                        seed=5)
+        gene_idx = np.sort(
+            np.random.RandomState(3).choice(600, size=180, replace=False)
+        )
+        op = make_countsketch_op(len(gene_idx), 64, random_state=0)
+
+        fused = native.fused_log1pcpm_project(
+            Y, gene_idx, op.buckets, op.weights, op.sketch_dim
+        )
+        if fused is None:
+            pytest.skip("fused kernel gated off (log1p self-test)")
+
+        Y_sub = native.csr_column_subset(Y, gene_idx)
+        Y_tilde, _ = preprocess_data(
+            Y_sub, np.ones((3, len(gene_idx))), "log_cpm"
+        )
+        staged = native.countsketch_project(
+            Y_tilde, op.buckets, op.weights, op.sketch_dim
+        )
+        np.testing.assert_array_equal(fused, staged)
+
+    # End-to-end coverage: TestNativeColumnSubset.
+    # test_pipeline_equals_scipy_subset_pipeline compares a full fit through
+    # this fused path against a FLASHDECONV_NO_NATIVE subprocess (pure
+    # scipy staged pipeline) at rtol 1e-6.
+
+
 class TestNativeDisabled:
     def test_pipeline_works_without_native(self):
         """FLASHDECONV_NO_NATIVE=1 must leave every caller on the numpy
