@@ -141,7 +141,17 @@ def gspmd_banded_solve(
     pad = n_pad - n_spots
 
     XtX = np.asarray(X_sketch, np.float64) @ np.asarray(X_sketch, np.float64).T
-    YtY = float(np.einsum("ij,ij->", Y_sketch, Y_sketch, dtype=np.float64))
+    # Threaded native reduction at atlas scale (objective constant only);
+    # small problems keep einsum's exact sequential accumulation.
+    YtY = None
+    if Y_sketch.size >= (1 << 27):
+        from flashdeconv_tpu import native
+
+        ys = np.asarray(Y_sketch)
+        if ys.dtype == np.float64 and ys.flags.c_contiguous:
+            YtY = native.sq_sum(ys.ravel())
+    if YtY is None:
+        YtY = float(np.einsum("ij,ij->", Y_sketch, Y_sketch, dtype=np.float64))
     rho_eff = float(rho) * float(np.mean(np.diag(XtX)))
 
     Xty = np.asarray(Y_sketch @ X_sketch.T, dtype=dtype)
@@ -219,6 +229,7 @@ def gspmd_banded_solve(
         )
 
     objectives: list = []
+    beta_pad = None
     if verbose:
         from flashdeconv_tpu.ops.bcd import chunked_verbose_solve
 
@@ -233,7 +244,13 @@ def gspmd_banded_solve(
             beta0_d, jnp.asarray(max_iter, dtype=jnp.int32)
         )
         obj_d = eval_objective(beta_d)
-        n_iter_h, rel_h, obj_h = jax.device_get((n_iter_d, rel_d, obj_d))
+        # Single-process meshes bundle beta into the scalar round trip.
+        if jax.process_count() > 1:
+            n_iter_h, rel_h, obj_h = jax.device_get((n_iter_d, rel_d, obj_d))
+        else:
+            n_iter_h, rel_h, obj_h, beta_pad = jax.device_get(
+                (n_iter_d, rel_d, obj_d, beta_d)
+            )
         n_iter = int(n_iter_h)
         rel_change = float(rel_h)
         final_obj = float(obj_h)
@@ -242,12 +259,10 @@ def gspmd_banded_solve(
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
-        beta = np.asarray(
-            multihost_utils.process_allgather(beta_d, tiled=True),
-            dtype=np.float64,
-        )[:n_spots]
-    else:
-        beta = np.asarray(beta_d, dtype=np.float64)[:n_spots]
+        beta_pad = multihost_utils.process_allgather(beta_d, tiled=True)
+    elif beta_pad is None:  # verbose path fetched scalars separately
+        beta_pad = np.asarray(beta_d)
+    beta = np.asarray(beta_pad, dtype=np.float64)[:n_spots]
 
     info = {
         "converged": bool(converged),

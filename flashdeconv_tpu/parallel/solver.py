@@ -312,8 +312,17 @@ def sharded_bcd_solve(
         )
 
     XtX64 = np.asarray(X_sketch, np.float64) @ np.asarray(X_sketch, np.float64).T
-    # f64-accumulated without materializing a float64 copy of Y_sketch.
-    YtY = float(np.einsum("ij,ij->", Y_sketch, Y_sketch, dtype=np.float64))
+    # f64-accumulated without materializing a float64 copy of Y_sketch;
+    # threaded native reduction at atlas scale (objective constant only).
+    YtY = None
+    if Y_sketch.size >= (1 << 27):
+        from flashdeconv_tpu import native
+
+        ys = np.asarray(Y_sketch)
+        if ys.dtype == np.float64 and ys.flags.c_contiguous:
+            YtY = native.sq_sum(ys.ravel())
+    if YtY is None:
+        YtY = float(np.einsum("ij,ij->", Y_sketch, Y_sketch, dtype=np.float64))
     rho_eff = float(rho) * float(np.mean(np.diag(XtX64)))
 
     Xty = plan.scatter(
@@ -371,6 +380,7 @@ def sharded_bcd_solve(
         )
 
     objectives: list = []
+    beta_pad = None
     if verbose:
         from flashdeconv_tpu.ops.bcd import chunked_verbose_solve
 
@@ -386,8 +396,14 @@ def sharded_bcd_solve(
         )
         # Device objective, async-dispatched behind the solve; one bundled
         # fetch for all three scalars (no host (K, N) matmul / Laplacian).
+        # Single-process meshes bundle beta into the same round trip.
         obj_d = eval_objective(beta_d)
-        n_iter_h, rel_h, obj_h = jax.device_get((n_iter_d, rel_d, obj_d))
+        if jax.process_count() > 1:
+            n_iter_h, rel_h, obj_h = jax.device_get((n_iter_d, rel_d, obj_d))
+        else:
+            n_iter_h, rel_h, obj_h, beta_pad = jax.device_get(
+                (n_iter_d, rel_d, obj_d, beta_d)
+            )
         n_iter = int(n_iter_h)
         rel_change = float(rel_h)
         final_obj = float(obj_h)
@@ -397,12 +413,10 @@ def sharded_bcd_solve(
         # Global array spans non-addressable devices: gather across hosts.
         from jax.experimental import multihost_utils
 
-        beta_pad = np.asarray(
-            multihost_utils.process_allgather(beta_d, tiled=True),
-            dtype=np.float64,
-        )
-    else:
-        beta_pad = np.asarray(beta_d, dtype=np.float64)
+        beta_pad = multihost_utils.process_allgather(beta_d, tiled=True)
+    elif beta_pad is None:  # verbose path fetched scalars separately
+        beta_pad = np.asarray(beta_d)
+    beta_pad = np.asarray(beta_pad, dtype=np.float64)
     beta = plan.gather(beta_pad)
 
     info = {
