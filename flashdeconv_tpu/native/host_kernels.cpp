@@ -48,9 +48,159 @@
 #include <cstdint>
 #include <cstring>
 #include <thread>
+#include <type_traits>
 #include <vector>
 
+#if defined(__x86_64__)
+#include <immintrin.h>
+#endif
+
 namespace {
+
+// ---- vectorized float32 log1p (moments fast path) --------------------------
+//
+// The HVG moments pass spends most of its cycles in libm's scalar log1pf
+// (~40-50 cycles each over O(nnz) entries). This 8-lane AVX2 path computes
+// log1p in DOUBLE precision (4-lane pairs) and rounds once to float32 —
+// i.e. the correctly-rounded float32 log1p to within 1 ULP, at least as
+// accurate as libm's log1pf (the two may differ in the last bit). It is
+// used ONLY for the f32-intermediate moments kernel, whose downstream
+// consumer is a rank-based gene selection already tolerant of last-ULP
+// wiggle (tests pin rtol 2e-6); the value-bearing kernels (transform,
+// projection) keep scalar libm so their outputs stay bit-identical to the
+// numpy expressions they replace. Deterministic per input either way:
+// runtime dispatch is by CPU capability, not data.
+//
+// Algorithm (inputs restricted to x >= 0, finite — enforced by the caller):
+//   u = 1 + x (double);  correction c = (x - (u - 1)) / u
+//   u = m * 2^e with m in [sqrt(2)/2, sqrt(2)], e >= 0
+//   log(m) = 2*atanh(s), s = (m-1)/(m+1), truncated odd series through s^11
+//   log1p(x) = e*ln2 + log(m) + c
+// Max relative error ~1e-15 — far below float32 resolution (6e-8).
+
+#if defined(__x86_64__)
+
+__attribute__((target("avx2,fma"))) inline __m256d log1p4d_pos(__m256d x) {
+  const __m256d one = _mm256_set1_pd(1.0);
+  const __m256d u = _mm256_add_pd(one, x);
+  // c = (x - (u - 1)) / u   (exact low-order bits lost in 1 + x)
+  const __m256d c = _mm256_div_pd(
+      _mm256_sub_pd(x, _mm256_sub_pd(u, one)), u);
+
+  // m, e decomposition via the IEEE-754 bit layout (u >= 1 -> e >= 0).
+  const __m256i bits = _mm256_castpd_si256(u);
+  __m256i e_i = _mm256_sub_epi64(_mm256_srli_epi64(bits, 52),
+                                 _mm256_set1_epi64x(1023));
+  const __m256i mant_mask = _mm256_set1_epi64x(0x000FFFFFFFFFFFFFLL);
+  const __m256i one_exp = _mm256_set1_epi64x(0x3FF0000000000000LL);
+  __m256d m = _mm256_castsi256_pd(_mm256_or_si256(
+      _mm256_and_si256(bits, mant_mask), one_exp));
+  // fold m into [sqrt(2)/2, sqrt(2)]
+  const __m256d sqrt2 = _mm256_set1_pd(1.4142135623730951);
+  const __m256d gt = _mm256_cmp_pd(m, sqrt2, _CMP_GT_OQ);
+  m = _mm256_blendv_pd(m, _mm256_mul_pd(m, _mm256_set1_pd(0.5)), gt);
+  e_i = _mm256_sub_epi64(
+      e_i, _mm256_castpd_si256(gt));  // gt lanes are all-ones == -1
+
+  // int64 -> double for 0 <= e < 2^51 (magic-number trick)
+  const __m256i magic_i = _mm256_set1_epi64x(0x4330000000000000LL);
+  const __m256d magic_d = _mm256_set1_pd(4503599627370496.0);  // 2^52
+  const __m256d e_d = _mm256_sub_pd(
+      _mm256_castsi256_pd(_mm256_add_epi64(e_i, magic_i)), magic_d);
+
+  const __m256d f = _mm256_sub_pd(m, one);
+  const __m256d s = _mm256_div_pd(f, _mm256_add_pd(_mm256_set1_pd(2.0), f));
+  const __m256d s2 = _mm256_mul_pd(s, s);
+  // t = 1/3 + s2*(1/5 + s2*(1/7 + s2*(1/9 + s2/11)))
+  __m256d t = _mm256_set1_pd(1.0 / 11.0);
+  t = _mm256_fmadd_pd(t, s2, _mm256_set1_pd(1.0 / 9.0));
+  t = _mm256_fmadd_pd(t, s2, _mm256_set1_pd(1.0 / 7.0));
+  t = _mm256_fmadd_pd(t, s2, _mm256_set1_pd(1.0 / 5.0));
+  t = _mm256_fmadd_pd(t, s2, _mm256_set1_pd(1.0 / 3.0));
+  // log(m) = 2s + 2s*s2*t
+  const __m256d two_s = _mm256_add_pd(s, s);
+  const __m256d log_m = _mm256_fmadd_pd(
+      _mm256_mul_pd(two_s, s2), t, two_s);
+
+  const __m256d ln2 = _mm256_set1_pd(0.6931471805599453);
+  return _mm256_add_pd(_mm256_fmadd_pd(e_d, ln2, log_m), c);
+}
+
+// v[j] = (float)log1p((double)p[j]) for 8 lanes; caller guarantees the
+// lanes passed the validity mask (p >= 0, finite).
+__attribute__((target("avx2,fma"))) inline __m256 log1p8f_pos(__m256 p) {
+  const __m256d lo = _mm256_cvtps_pd(_mm256_castps256_ps128(p));
+  const __m256d hi = _mm256_cvtps_pd(_mm256_extractf128_ps(p, 1));
+  const __m128 vlo = _mm256_cvtpd_ps(log1p4d_pos(lo));
+  const __m128 vhi = _mm256_cvtpd_ps(log1p4d_pos(hi));
+  return _mm256_set_m128(vhi, vlo);
+}
+
+inline bool log1p_avx2_available() {
+  static const bool ok =
+      __builtin_cpu_supports("avx2") && __builtin_cpu_supports("fma");
+  return ok;
+}
+
+#else  // !__x86_64__
+
+inline bool log1p_avx2_available() { return false; }
+
+#endif  // __x86_64__
+
+// Scalar definition shared by the vector path's tail/degenerate lanes and
+// the no-AVX2 fallback: double-precision log1p rounded once to float32
+// (same value the vector lanes produce on valid inputs).
+inline float log1pf_via_double(float p) {
+  return static_cast<float>(std::log1p(static_cast<double>(p)));
+}
+
+#if defined(__x86_64__)
+
+// One row's worth of f32 moments accumulation with the vector log1p.
+// Deterministic: lane grouping is a pure function of the row's nnz span,
+// and degenerate (negative / non-finite) groups fall back to the SAME
+// double-precision formula per lane.
+#define DEFINE_ROW_F32_AVX2(IDX_T)                                           \
+  __attribute__((target("avx2,fma"))) inline void accumulate_row_f32_avx2(  \
+      const float* data, const IDX_T* idx, int64_t lo, int64_t hi, float s, \
+      double* psum, double* psq) {                                          \
+    const __m256 sv = _mm256_set1_ps(s);                                    \
+    alignas(32) float vbuf[8], vvbuf[8];                                    \
+    int64_t i = lo;                                                         \
+    for (; i + 8 <= hi; i += 8) {                                           \
+      const __m256 p = _mm256_mul_ps(_mm256_loadu_ps(data + i), sv);        \
+      const __m256 ok = _mm256_and_ps(                                      \
+          _mm256_cmp_ps(p, _mm256_setzero_ps(), _CMP_GE_OQ),                \
+          _mm256_cmp_ps(p, _mm256_set1_ps(3.4028235e38f), _CMP_LE_OQ));     \
+      if (_mm256_movemask_ps(ok) == 0xFF) {                                 \
+        const __m256 v = log1p8f_pos(p);                                    \
+        _mm256_store_ps(vbuf, v);                                           \
+        _mm256_store_ps(vvbuf, _mm256_mul_ps(v, v));                        \
+        for (int l = 0; l < 8; ++l) {                                       \
+          psum[idx[i + l]] += static_cast<double>(vbuf[l]);                 \
+          psq[idx[i + l]] += static_cast<double>(vvbuf[l]);                 \
+        }                                                                   \
+      } else {                                                              \
+        for (int l = 0; l < 8; ++l) {                                       \
+          const float v = log1pf_via_double(data[i + l] * s);               \
+          psum[idx[i + l]] += static_cast<double>(v);                       \
+          psq[idx[i + l]] += static_cast<double>(v * v);                    \
+        }                                                                   \
+      }                                                                     \
+    }                                                                       \
+    for (; i < hi; ++i) {                                                   \
+      const float v = log1pf_via_double(data[i] * s);                       \
+      psum[idx[i]] += static_cast<double>(v);                               \
+      psq[idx[i]] += static_cast<double>(v * v);                            \
+    }                                                                       \
+  }
+
+DEFINE_ROW_F32_AVX2(int32_t)
+DEFINE_ROW_F32_AVX2(int64_t)
+#undef DEFINE_ROW_F32_AVX2
+
+#endif  // __x86_64__
 
 // Rows per block: a pure function of the row count (so reductions are
 // deterministic per shape), sized to expose ~64 blocks once the input is
@@ -117,6 +267,16 @@ void log1p_cpm_moments_impl(const int64_t* indptr, const IdxT* indices,
         for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) acc += data[i];
         s = static_cast<CalcT>(DataT(1e4) / std::max(acc, DataT(1)));
       }
+#if defined(__x86_64__)
+      if constexpr (std::is_same_v<DataT, float> &&
+                    std::is_same_v<CalcT, float>) {
+        if (log1p_avx2_available()) {
+          accumulate_row_f32_avx2(data, indices, indptr[r], indptr[r + 1],
+                                  s, psum, psq);
+          continue;
+        }
+      }
+#endif
       for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
         const CalcT v = std::log1p(static_cast<CalcT>(data[i]) * s);
         const IdxT g = indices[i];
