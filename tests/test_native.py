@@ -274,6 +274,49 @@ class TestFusedKernels:
     # this fused path against a FLASHDECONV_NO_NATIVE subprocess (pure
     # scipy staged pipeline) at rtol 1e-6.
 
+    def test_f32_moments_vector_log1p_extreme_range(self):
+        """The f32 moments path (AVX2 vector log1p on x86) must agree with
+        the correctly-rounded reference float(np.log1p(float64(x))) to <= 1
+        ULP across magnitudes, including degenerate lanes mixed into valid
+        groups (negative / inf / nan fall back to the same formula)."""
+        vals = np.array(
+            [0.0, 1e-30, 1e-10, 1e-4, 0.5, 1.0, 1.4142, 2.0, 1e3, 1e4,
+             1e10, 1e30, 3.3e38, 7.0, 0.1, 0.9, 1.1, 123.456] * 5,
+            dtype=np.float32,
+        )
+        n = vals.size
+        Y = sparse.csr_matrix(
+            (vals, np.arange(n) % 10, np.arange(0, n + 1)),
+            shape=(n, 10),
+        )
+        scale = np.ones(n)  # identity scale: moments see log1p(vals)
+        nat = native.log1p_cpm_moments(Y, scale)
+        if nat is None:
+            pytest.skip("moments gated off (log1p self-test)")
+
+        ref_v = np.log1p(vals.astype(np.float64)).astype(np.float32)
+        ref_sum = np.bincount(np.arange(n) % 10,
+                              weights=ref_v.astype(np.float64), minlength=10)
+        ref_sq = np.bincount(
+            np.arange(n) % 10,
+            weights=(ref_v * ref_v).astype(np.float64), minlength=10,
+        )
+        # each row contributes one f32 value; <=1 ULP per value keeps the
+        # f64 sums inside ~1e-7 relative
+        np.testing.assert_allclose(nat[0], ref_sum, rtol=3e-7)
+        np.testing.assert_allclose(nat[1], ref_sq, rtol=6e-7)
+
+        # degenerate values (x < -1 -> nan, -1 -> -inf) still flow through
+        bad = np.array([-2.0, -1.0, np.nan, np.inf, 1.0] * 2,
+                       dtype=np.float32)
+        Yb = sparse.csr_matrix(
+            (bad, np.arange(bad.size) % 5, np.arange(0, bad.size + 1)),
+            shape=(bad.size, 5),
+        )
+        nb = native.log1p_cpm_moments(Yb, np.ones(bad.size))
+        assert nb is not None
+        assert not np.isfinite(nb[0]).all()  # nan/inf propagated, no crash
+
 
 class TestNativeDisabled:
     def test_pipeline_works_without_native(self):
