@@ -140,10 +140,22 @@ DESIGNS = {
 }
 
 
+def _reference_model_cls():
+    """The reference implementation's FlashDeconv (numba stubbed to pure
+    Python), for same-data head-to-head accuracy comparison."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    from reference_harness import import_reference
+
+    return import_reference().FlashDeconv
+
+
 def run_dataset(design_name, seed, n_spots=600, n_genes=5000,
-                cells_per_type=120):
+                cells_per_type=120, engine="tpu"):
     """Generate one silver-standard dataset and deconvolve it."""
-    from flashdeconv_tpu import FlashDeconv
+    if engine == "reference":
+        FlashDeconv = _reference_model_cls()
+    else:
+        from flashdeconv_tpu import FlashDeconv
     from flashdeconv_tpu.utils.metrics import compute_correlation, compute_jsd
 
     cfg = dict(DESIGNS[design_name])
@@ -216,14 +228,14 @@ def run_dataset(design_name, seed, n_spots=600, n_genes=5000,
     return row
 
 
-def run(quick=False, replicates=4, seed0=0):
+def run(quick=False, replicates=4, seed0=0, engine="tpu"):
     names = list(DESIGNS)
     reps = 1 if quick else replicates
     results = []
     total = len(names) * reps
     for rep in range(reps):
         for j, name in enumerate(names):
-            row = run_dataset(name, seed=seed0 + 97 * rep + j)
+            row = run_dataset(name, seed=seed0 + 97 * rep + j, engine=engine)
             results.append(row)
             print(
                 f"# [{len(results)}/{total}] {name} rep={rep}: "
@@ -234,7 +246,9 @@ def run(quick=False, replicates=4, seed0=0):
 
     rs = [x["pearson"] for x in results]
     return {
-        "metric": "spotless_like_mean_pearson",
+        "metric": "spotless_like_mean_pearson"
+                  + ("_reference_impl" if engine == "reference" else ""),
+        "engine": engine,
         "value": round(float(np.mean(rs)), 4),
         "unit": "pearson_r",
         "vs_baseline": round(float(np.mean(rs)) / 0.944, 3),
@@ -250,10 +264,15 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--replicates", type=int, default=4)
+    ap.add_argument("--engine", choices=("tpu", "reference"), default="tpu",
+                    help="'reference' runs the original implementation "
+                         "(numba stubbed to pure Python) on the SAME "
+                         "datasets for a head-to-head accuracy comparison")
     ap.add_argument("--out", type=str, default=None,
                     help="also write full per-dataset JSON to this path")
     args = ap.parse_args()
-    out = run(quick=args.quick, replicates=args.replicates)
+    out = run(quick=args.quick, replicates=args.replicates,
+              engine=args.engine)
     if args.out:
         with open(args.out, "w") as fh:
             json.dump(out, fh, indent=2)
