@@ -386,6 +386,19 @@ class FlashDeconv:
         self._log("Step 4: building spatial graph...")
         with timer.stage("spatial_graph"):
             A = graph_future.result()
+        # Chain the banded-vs-gather analysis onto a background thread —
+        # it overlaps lambda tuning and the solve's Xty matmul/upload; the
+        # solver joins it inside prepare.
+        if self.mesh is None and (self.n_shards is None or self.n_shards <= 1):
+            from flashdeconv_tpu.core.solver import GraphDecomposition
+
+            plan_pool = _cf.ThreadPoolExecutor(1)
+            self._graph_plan_future = plan_pool.submit(
+                GraphDecomposition, A, Y.shape[0], coords
+            )
+            plan_pool.shutdown(wait=False)
+        else:
+            self._graph_plan_future = None
         self.adjacency_ = A
         avg_nbrs = float(np.mean(np.asarray(A.sum(axis=1)).ravel()))
         self._log(f"  Average neighbors per spot: {avg_nbrs:.1f}")
@@ -431,6 +444,10 @@ class FlashDeconv:
             max_iter=self.max_iter, tol=self.tol,
             verbose=self.verbose, dtype=self.solver_dtype,
             beta_init=beta_init, coords=coords,
+            # a Future when the pipeline pre-analyzed the graph on a
+            # background thread; the solver joins it after dispatching
+            # the Xty upload
+            graph_plan=getattr(self, "_graph_plan_future", None),
         )
 
     def fit(
@@ -551,6 +568,7 @@ class FlashDeconv:
                 problem = prepare_bcd(
                     Y_sketch, X_sketch, A, dtype=self.solver_dtype,
                     coords=coords,
+                    graph_plan=getattr(self, "_graph_plan_future", None),
                 )
 
         results = []

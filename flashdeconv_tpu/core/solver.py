@@ -76,6 +76,54 @@ def compute_objective(
     return fidelity + spatial + sparsity
 
 
+class GraphDecomposition:
+    """Precomputed banded-vs-gather analysis of one adjacency matrix.
+
+    Everything :class:`BCDProblem` derives from ``(A, coords, n_spots)``
+    alone — the banded split, the optional scrambled-grid re-sort
+    permutation, and the solve-order adjacency. Computing it is a pure
+    host pass, so a pipeline can run it on a background thread as soon as
+    the spatial graph exists (it depends on neither the sketch nor any
+    device state) and hand it to :func:`prepare_bcd` via ``graph_plan=``.
+    """
+
+    __slots__ = ("use_banded", "perm", "A_solve", "offsets", "masks",
+                 "A_rest")
+
+    def __init__(self, A: sparse.spmatrix, n_spots: int,
+                 coords: Optional[np.ndarray] = None):
+        from flashdeconv_tpu.utils.graph import banded_split
+
+        self.use_banded = False
+        self.perm = None
+        self.A_solve = A
+        self.offsets = self.masks = self.A_rest = None
+        if n_spots < 8192:
+            return
+        offsets_np, masks_np, A_rest = banded_split(
+            A, max_offsets=16, min_coverage=0.9
+        )
+        if (
+            offsets_np.size == 0
+            and coords is not None
+            and np.asarray(coords).ndim == 2
+            and np.asarray(coords).shape[1] >= 2
+        ):
+            cand = np.lexsort(
+                (np.asarray(coords)[:, 0], np.asarray(coords)[:, 1])
+            )
+            A_cand = A.tocsr()[cand][:, cand]
+            off_c, masks_c, rest_c = banded_split(
+                A_cand, max_offsets=16, min_coverage=0.9
+            )
+            if off_c.size:
+                self.perm = cand
+                self.A_solve = A_cand
+                offsets_np, masks_np, A_rest = off_c, masks_c, rest_c
+        self.offsets, self.masks, self.A_rest = offsets_np, masks_np, A_rest
+        self.use_banded = offsets_np.size > 0
+
+
 def _degenerate_result(n_spots: int, n_types: int) -> Tuple[np.ndarray, dict]:
     """Empty-input / zero-iteration fast path (reference ``solver.py:334-343``)."""
     beta = np.full((n_spots, n_types), 1.0 / max(n_types, 1), dtype=np.float64)
@@ -128,11 +176,10 @@ class BCDProblem:
         dtype=np.float32,
         coords: Optional[np.ndarray] = None,
         max_degree: Optional[int] = None,
+        graph_plan: Optional[GraphDecomposition] = None,
     ):
         import jax
         import jax.numpy as jnp
-
-        from flashdeconv_tpu.utils.graph import banded_split
 
         self.n_spots = int(Y_sketch.shape[0])
         self.n_types = int(X_sketch.shape[0])
@@ -167,33 +214,20 @@ class BCDProblem:
         # matter. When the input order is scrambled but coordinates are
         # available, a row-major (y, x) re-sort is attempted — grids and hex
         # lattices become banded under it; beta is returned in the original
-        # order.
-        use_banded = False
-        perm = None
-        A_solve = A
-        offsets_np = masks_np = rest_nbr_np = None
-        if n_spots >= 8192:
-            offsets_np, masks_np, A_rest = banded_split(
-                A, max_offsets=16, min_coverage=0.9
-            )
-            if (
-                offsets_np.size == 0
-                and coords is not None
-                and np.asarray(coords).ndim == 2
-                and np.asarray(coords).shape[1] >= 2
-            ):
-                cand = np.lexsort(
-                    (np.asarray(coords)[:, 0], np.asarray(coords)[:, 1])
-                )
-                A_cand = A.tocsr()[cand][:, cand]
-                off_c, masks_c, rest_c = banded_split(
-                    A_cand, max_offsets=16, min_coverage=0.9
-                )
-                if off_c.size:
-                    perm = cand
-                    A_solve = A_cand
-                    offsets_np, masks_np, A_rest = off_c, masks_c, rest_c
-            use_banded = offsets_np.size > 0
+        # order. Accepts a precomputed plan (graph_plan=) — either a
+        # GraphDecomposition or a Future of one, joined only now, AFTER the
+        # Xty upload is already streaming — so pipelines can run this
+        # analysis on a background thread while earlier stages execute.
+        if graph_plan is not None and hasattr(graph_plan, "result"):
+            graph_plan = graph_plan.result()
+        if graph_plan is None:
+            graph_plan = GraphDecomposition(A, n_spots, coords=coords)
+        use_banded = graph_plan.use_banded
+        perm = graph_plan.perm
+        A_solve = graph_plan.A_solve
+        offsets_np, masks_np = graph_plan.offsets, graph_plan.masks
+        A_rest = graph_plan.A_rest
+        rest_nbr_np = None
         self.use_banded = use_banded
         self.perm = perm
 
@@ -473,11 +507,12 @@ def prepare_bcd(
     dtype=np.float32,
     coords: Optional[np.ndarray] = None,
     max_degree: Optional[int] = None,
+    graph_plan: Optional[GraphDecomposition] = None,
 ) -> BCDProblem:
     """Build a :class:`BCDProblem`: host precompute + device upload, once."""
     return BCDProblem(
         Y_sketch, X_sketch, A, dtype=dtype, coords=coords,
-        max_degree=max_degree,
+        max_degree=max_degree, graph_plan=graph_plan,
     )
 
 
@@ -494,6 +529,7 @@ def bcd_solve(
     beta_init: Optional[np.ndarray] = None,
     coords: Optional[np.ndarray] = None,
     max_degree: Optional[int] = None,
+    graph_plan: Optional[GraphDecomposition] = None,
 ) -> Tuple[np.ndarray, dict]:
     """Solve min 0.5||Y - beta X||^2 + 0.5*lambda Tr(beta^T L beta) + rho||beta||_1, beta >= 0.
 
@@ -525,6 +561,9 @@ def bcd_solve(
         the original spot order regardless.
     max_degree : optional cap on the padded neighbor table width; see
         :class:`BCDProblem`.
+    graph_plan : optional precomputed :class:`GraphDecomposition` for A —
+        lets a pipeline run the banded analysis on a background thread
+        while earlier stages execute.
 
     Returns
     -------
@@ -539,7 +578,7 @@ def bcd_solve(
 
     problem = BCDProblem(
         Y_sketch, X_sketch, A, dtype=dtype, coords=coords,
-        max_degree=max_degree,
+        max_degree=max_degree, graph_plan=graph_plan,
     )
     return problem.solve(
         lambda_=lambda_, rho=rho, max_iter=max_iter, tol=tol,
