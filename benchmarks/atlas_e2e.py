@@ -139,7 +139,7 @@ def main() -> None:
     # verbose=False: the solve runs as ONE fused device call (the verbose
     # path syncs every 10 sweeps to log objectives, which on a
     # remote-attached chip costs more than the sweeps).
-    totals = []
+    totals, runs = [], []
     for i in range(max(args.fits, 1)):
         model = FlashDeconv(
             sketch_dim=512, lambda_spatial="auto", n_hvg=2000,
@@ -149,6 +149,7 @@ def main() -> None:
         t0 = time.perf_counter()
         model.fit(Y, X, coords)
         totals.append(time.perf_counter() - t0)
+        runs.append((dict(model.timings_), dict(model.info_)))
         for name, secs in sorted(
             model.timings_.items(), key=lambda kv: -kv[1]
         ):
@@ -156,16 +157,18 @@ def main() -> None:
         print(f"# end-to-end fit[{i}]: {totals[-1]:.1f}s "
               f"({args.spots / totals[-1]:.0f} spots/s)", file=sys.stderr)
 
-    total = min(totals)
+    best = int(np.argmin(totals))
+    total = totals[best]
+    best_timings, best_info = runs[best]
     print(json.dumps({
         "metric": f"spots_per_sec_e2e_{args.spots}spots",
         "value": round(args.spots / total, 1),
         "unit": "spots/s",
         "vs_baseline": round((args.spots / total) / (1_000_000 / 180.0), 2),
-        "stage_seconds": {k: round(v, 2) for k, v in model.timings_.items()},
+        "stage_seconds": {k: round(v, 2) for k, v in best_timings.items()},
         "fit_seconds": [round(t, 2) for t in totals],
-        "n_iterations": model.info_["n_iterations"],
-        "converged": model.info_["converged"],
+        "n_iterations": best_info["n_iterations"],
+        "converged": best_info["converged"],
     }))
 
 

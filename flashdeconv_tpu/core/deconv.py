@@ -56,7 +56,8 @@ def preprocess_data(
             # returned matrix never aliases the caller's buffers (an
             # in-place structural op like sort_indices() on the result must
             # not corrupt the input). Native kernel when available
-            # (threaded, element-wise, bit-identical); numpy otherwise.
+            # (threaded, element-wise; <= 1 ULP of the numpy expression —
+            # see native.exact_log1p_available); numpy otherwise.
             # scale dtype follows numpy promotion: f32 data keeps the f32
             # library sizes (scipy's .sum semantics), anything else is f64.
             scale = 1e4 / np.asarray(lib, dtype=np.float64) \
@@ -304,8 +305,10 @@ class FlashDeconv:
         # (CSR counts + log_cpm + CountSketch): ONE native O(nnz) pass
         # computes subset library sizes, log-CPM values, and the sketch
         # scatter without materializing the subset CSR or the normalized
-        # copy — bit-identical to the staged path by construction (see
-        # native/host_kernels.cpp fused_log1pcpm_project_impl).
+        # copy — bit-identical to the staged NATIVE path by construction
+        # (see native/host_kernels.cpp fused_log1pcpm_project_impl), within
+        # 1 ULP per log1p value of the pure-numpy path (the libm gate in
+        # native._load()).
         use_fused = (
             sparse.isspmatrix_csr(Y)
             and self.preprocess == "log_cpm"
@@ -313,72 +316,82 @@ class FlashDeconv:
             and native.moments_available()
         )
 
-        # [1] informative genes + leverage
-        self._log("Step 1: selecting informative genes...")
-        with timer.stage("gene_selection"):
-            gene_idx, leverage_scores = select_informative_genes(
-                Y, X, n_hvg=self.n_hvg, n_markers_per_type=self.n_markers_per_type
+        try:
+            # [1] informative genes + leverage
+            self._log("Step 1: selecting informative genes...")
+            with timer.stage("gene_selection"):
+                gene_idx, leverage_scores = select_informative_genes(
+                    Y, X, n_hvg=self.n_hvg,
+                    n_markers_per_type=self.n_markers_per_type,
+                )
+                self.gene_idx_ = gene_idx
+                X_subset = X[:, gene_idx]
+                Y_subset = None
+                if not use_fused and sparse.isspmatrix_csr(Y):
+                    # Threaded native column subset (bit-identical to
+                    # scipy's fancy indexing, which runs as a
+                    # selection-matrix matmul and dominates this stage at
+                    # atlas-scale nnz).
+                    Y_subset = native.csr_column_subset(Y, gene_idx)
+                if not use_fused and Y_subset is None:
+                    Y_subset = Y[:, gene_idx]
+                    if sparse.issparse(Y_subset) and not sparse.isspmatrix_csr(
+                        Y_subset
+                    ):
+                        Y_subset = Y_subset.tocsr()
+            self._log(f"  Selected {len(gene_idx)} genes (HVG + markers)")
+
+            # [2] normalization
+            self._log(
+                f"Step 2: preprocessing with method='{self.preprocess}'..."
             )
-            self.gene_idx_ = gene_idx
-            X_subset = X[:, gene_idx]
-            Y_subset = None
-            if not use_fused and sparse.isspmatrix_csr(Y):
-                # Threaded native column subset (bit-identical to scipy's
-                # fancy indexing, which runs as a selection-matrix matmul
-                # and dominates this stage at atlas-scale nnz).
-                Y_subset = native.csr_column_subset(Y, gene_idx)
-            if not use_fused and Y_subset is None:
-                Y_subset = Y[:, gene_idx]
-                if sparse.issparse(Y_subset) and not sparse.isspmatrix_csr(
-                    Y_subset
-                ):
-                    Y_subset = Y_subset.tocsr()
-        self._log(f"  Selected {len(gene_idx)} genes (HVG + markers)")
-
-        # [2] normalization
-        self._log(f"Step 2: preprocessing with method='{self.preprocess}'...")
-        with timer.stage("preprocess"):
-            if use_fused:
-                X_tilde = _log_cpm_dense(X_subset)  # Y handled in stage 3
-            else:
-                Y_tilde, X_tilde = preprocess_data(
-                    Y_subset, X_subset, self.preprocess
-                )
-
-        # [3] sketch G_sel -> d
-        self._log(f"Step 3: sketching to {self.sketch_dim} dimensions...")
-        with timer.stage("sketch"), trace("sketch"):
-            if use_fused:
-                from flashdeconv_tpu.core.sketching import make_countsketch_op
-
-                op = make_countsketch_op(
-                    len(gene_idx), self.sketch_dim,
-                    leverage_scores=leverage_scores,
-                    random_state=self.random_state,
-                )
-                Y_sketch = native.fused_log1pcpm_project(
-                    Y, gene_idx, op.buckets, op.weights, op.sketch_dim
-                )
-                X_sketch = np.asarray(X_tilde @ op.to_csr())
-                if Y_sketch is None:  # defensive: use_fused mirrors the
-                    # kernel's own gates, so this only triggers if they
-                    # drift — recover via the staged path.
-                    Y_tilde, _ = preprocess_data(
-                        Y[:, gene_idx].tocsr(), X_subset, self.preprocess
+            with timer.stage("preprocess"):
+                if use_fused:
+                    X_tilde = _log_cpm_dense(X_subset)  # Y: stage 3
+                else:
+                    Y_tilde, X_tilde = preprocess_data(
+                        Y_subset, X_subset, self.preprocess
                     )
-                    Y_sketch, X_sketch, _ = sketch_data(
-                        Y_tilde, X_tilde, sketch_dim=self.sketch_dim,
+
+            # [3] sketch G_sel -> d
+            self._log(f"Step 3: sketching to {self.sketch_dim} dimensions...")
+            with timer.stage("sketch"), trace("sketch"):
+                if use_fused:
+                    from flashdeconv_tpu.core.sketching import (
+                        make_countsketch_op,
+                    )
+
+                    op = make_countsketch_op(
+                        len(gene_idx), self.sketch_dim,
                         leverage_scores=leverage_scores,
                         random_state=self.random_state,
                     )
-            else:
-                Y_sketch, X_sketch, _ = sketch_data(
-                    Y_tilde,
-                    X_tilde,
-                    sketch_dim=self.sketch_dim,
-                    leverage_scores=leverage_scores,
-                    random_state=self.random_state,
-                )
+                    Y_sketch = native.fused_log1pcpm_project(
+                        Y, gene_idx, op.buckets, op.weights, op.sketch_dim
+                    )
+                    if Y_sketch is None:
+                        # use_fused mirrors the kernel's own gates exactly;
+                        # drift is a bug, not a runtime condition.
+                        raise RuntimeError(
+                            "fused_log1pcpm_project returned None despite "
+                            "its gates passing — native gate drift"
+                        )
+                    X_sketch = np.asarray(X_tilde @ op.to_csr())
+                else:
+                    Y_sketch, X_sketch, _ = sketch_data(
+                        Y_tilde,
+                        X_tilde,
+                        sketch_dim=self.sketch_dim,
+                        leverage_scores=leverage_scores,
+                        random_state=self.random_state,
+                    )
+        except BaseException:
+            # Fail fast without orphan work: best-effort cancel (a running
+            # KD-tree build cannot be interrupted, but a queued one is
+            # dropped and its eventual exception stays unobserved by
+            # design — ours is the error the caller should see).
+            graph_future.cancel()
+            raise
 
         # [4] spatial graph (join the early-started build; the recorded
         # stage time is the residual wait, i.e. what the graph actually
@@ -446,8 +459,10 @@ class FlashDeconv:
             beta_init=beta_init, coords=coords,
             # a Future when the pipeline pre-analyzed the graph on a
             # background thread; the solver joins it after dispatching
-            # the Xty upload
-            graph_plan=getattr(self, "_graph_plan_future", None),
+            # the Xty upload. Popped (consume-once) so the plan's banded
+            # masks / re-sorted adjacency don't outlive the solve on the
+            # model instance.
+            graph_plan=self.__dict__.pop("_graph_plan_future", None),
         )
 
     def fit(
@@ -568,7 +583,7 @@ class FlashDeconv:
                 problem = prepare_bcd(
                     Y_sketch, X_sketch, A, dtype=self.solver_dtype,
                     coords=coords,
-                    graph_plan=getattr(self, "_graph_plan_future", None),
+                    graph_plan=self.__dict__.pop("_graph_plan_future", None),
                 )
 
         results = []

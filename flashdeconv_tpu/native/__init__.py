@@ -16,8 +16,10 @@ Build/load strategy (no pip, no pybind11):
   shared object under ``~/.cache/flashdeconv-tpu/native/`` (override with
   ``FLASHDECONV_NATIVE_CACHE``) and loaded via ctypes;
 * if compilation fails, ``g++`` is missing, or the libm ``log1p`` self-test
-  does not match numpy bit-for-bit, callers transparently fall back to the
-  pure-numpy paths (set ``FLASHDECONV_NO_NATIVE=1`` to force the fallback).
+  diverges from numpy by more than 1 ULP, callers transparently fall back
+  to the pure-numpy paths (set ``FLASHDECONV_NO_NATIVE=1`` to force the
+  fallback; :func:`exact_log1p_available` reports whether the match is
+  bit-for-bit on this platform).
 """
 
 from __future__ import annotations
@@ -36,6 +38,7 @@ _SRC = Path(__file__).with_name("host_kernels.cpp")
 _lib: Optional[ctypes.CDLL] = None
 _load_attempted = False
 _log1p_matches_numpy = False
+_log1p_exact = False
 
 
 def _cache_dir() -> Path:
@@ -72,7 +75,7 @@ def _compile(src: Path, out: Path) -> bool:
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _load_attempted, _log1p_matches_numpy
+    global _lib, _load_attempted, _log1p_matches_numpy, _log1p_exact
     if _load_attempted:
         return _lib
     _load_attempted = True
@@ -87,12 +90,17 @@ def _load() -> Optional[ctypes.CDLL]:
     except Exception:
         return None
 
-    # log1p self-test: the moments kernel is enabled only when the
-    # toolchain's scalar log1p agrees with numpy's float64 log1p to within
-    # 1 ULP (numpy >= 2.0 dispatches a SIMD log1p whose large-argument
-    # results differ from glibc's scalar one by at most the last bit; both
-    # are correctly-rounded-or-adjacent). Each path is individually
-    # deterministic; the gate guards against a genuinely divergent libm.
+    # log1p self-test: every log1p-bearing kernel is enabled only when
+    # the toolchain's log1p agrees with numpy's float64 log1p to within
+    # 1 ULP (numpy >= 2.0 dispatches a SIMD log1p whose results in the
+    # ~1e3-1e4 range — exactly the CPM*1e4 values these kernels see —
+    # differ from glibc's scalar one by at most the last bit; both are
+    # correctly-rounded-or-adjacent). Consequence: native log1p VALUES are
+    # within 1 ULP of the numpy expressions they replace, bitwise equal
+    # iff `exact_log1p_available()`; fused and staged NATIVE kernels are
+    # always mutually bit-identical (same libm); every path is
+    # individually deterministic. The gate guards against a genuinely
+    # divergent libm.
     try:
         rng = np.random.default_rng(0)
         x = np.concatenate(
@@ -108,8 +116,10 @@ def _load() -> Optional[ctypes.CDLL]:
             out.view(np.int64) - np.log1p(x).view(np.int64)
         )
         _log1p_matches_numpy = bool(ulp_diff.max() <= 1)
+        _log1p_exact = bool(ulp_diff.max() == 0)
     except Exception:
         _log1p_matches_numpy = False
+        _log1p_exact = False
 
     _lib = lib
     return _lib
@@ -121,8 +131,17 @@ def available() -> bool:
 
 
 def moments_available() -> bool:
-    """True if the native HVG-moments kernel may be used (bitwise-safe)."""
+    """True if the native HVG-moments kernels may be used (<= 1 ULP libm
+    gate; their only consumer is rank-based gene selection)."""
     return _load() is not None and _log1p_matches_numpy
+
+
+def exact_log1p_available() -> bool:
+    """True when libm log1p == numpy log1p bit-for-bit on this platform —
+    i.e. the native log1p-bearing kernels reproduce the numpy fallbacks
+    exactly rather than to <= 1 ULP. Introspection only; the kernels are
+    enabled either way."""
+    return _load() is not None and _log1p_exact
 
 
 def _n_threads() -> int:
@@ -231,13 +250,15 @@ def fused_log1pcpm_project(
     """Gene subset -> log_cpm -> CountSketch projection in ONE O(nnz) pass.
 
     Equivalent to ``csr_column_subset(Y, gene_idx)`` ->
-    ``preprocess_data(..., "log_cpm")`` -> ``countsketch_project`` —
-    bit-identical (the subset preserves nnz order; every float op runs in
-    the same precision and order — see ``host_kernels.cpp``) — without ever
-    materializing the subset CSR or the normalized copy. ``buckets`` /
+    ``preprocess_data(..., "log_cpm")`` -> ``countsketch_project``:
+    bit-identical to that staged NATIVE pipeline (the subset preserves nnz
+    order; every float op runs in the same precision and order — see
+    ``host_kernels.cpp``), within 1 ULP per log1p value of the pure-numpy
+    pipeline — without ever materializing the subset CSR or the
+    normalized copy. ``buckets`` /
     ``weights`` are indexed by SUBSET column (position in ``gene_idx``).
-    Returns the dense (n_rows, sketch_dim) float64 sketch, or None when the
-    native path is unavailable.
+    Returns the dense (n_rows, sketch_dim) float64 sketch, or None when
+    the native path is unavailable.
     """
     lib = _load()
     if lib is None or not _log1p_matches_numpy:
@@ -300,11 +321,11 @@ def log1p_cpm_transform(Y, scale: np.ndarray) -> Optional[np.ndarray]:
     """``log1p(Y.data * scale[row])`` in the data dtype, as a new array.
 
     The sparse log_cpm preprocess map. Element-wise (no accumulation), so
-    the threaded result is bit-identical to the numpy expression
-    ``np.log1p(Y.data * np.repeat(scale, np.diff(Y.indptr)))`` — provided
-    ``scale`` already has the data dtype (the caller owns that promotion
-    rule). Returns None when unavailable; requires the libm/log1p self-test
-    to have passed (same gate as the moments kernel).
+    threading changes nothing; values match the numpy expression
+    ``np.log1p(Y.data * np.repeat(scale, np.diff(Y.indptr)))`` to <= 1 ULP
+    (bitwise iff :func:`exact_log1p_available`) — provided ``scale``
+    already has the data dtype (the caller owns that promotion rule). Returns None when unavailable (same libm/log1p gate as the
+    moments kernel).
     """
     lib = _load()
     if (

@@ -20,9 +20,10 @@
 //
 //   * log1p_cpm_transform_* — out[i] = log1p(data[i] * scale[row]) in the
 //     data dtype (the log_cpm preprocess on CSR ``.data``,
-//     reference flashdeconv/core/deconv.py:177-197). Pure element-wise map:
-//     threading is bitwise-free and the numpy path's 8-byte-per-nnz
-//     ``np.repeat`` temporary is never materialized.
+//     reference flashdeconv/core/deconv.py:177-197). Pure element-wise map
+//     (threading is bitwise-free); matches the numpy expression to <= 1
+//     ULP and never materializes its 8-byte-per-nnz ``np.repeat``
+//     temporary.
 //
 //   * sq_sum_f64 — float64 sum of squares of a dense buffer (the YtY
 //     objective constant), chunk-ordered reduction.
@@ -32,10 +33,12 @@
 // is a pure function of the row count (block_rows below), and block
 // partials are reduced in block order on the calling thread, regardless of
 // thread count or scheduling. Kernels with no cross-row accumulation
-// (projection rows, row sums, the transform) are additionally bit-identical
-// to their numpy/scipy counterparts at any block size; the moments kernel's
-// column sums follow the documented block order (matching the numpy block
-// implementation when block_rows == 65536, i.e. beyond ~4M rows).
+// (projection rows, row sums, the transform) are additionally independent
+// of the block size; the projection and row sums are bit-identical to
+// their scipy counterparts, the log1p-bearing kernels match numpy to
+// <= 1 ULP per value (bitwise where libm log1p == numpy's — the
+// Python-side self-test reports which), and the moments kernels' f64
+// column sums follow the documented block order.
 //
 // Parallelism: std::thread over contiguous block ranges; each thread writes
 // only its own blocks' partials (moments) or its own rows (projection), so
@@ -67,8 +70,8 @@ namespace {
 // used ONLY for the f32-intermediate moments kernel, whose downstream
 // consumer is a rank-based gene selection already tolerant of last-ULP
 // wiggle (tests pin rtol 2e-6); the value-bearing kernels (transform,
-// projection) keep scalar libm so their outputs stay bit-identical to the
-// numpy expressions they replace. Deterministic per input either way:
+// fused projection) keep scalar libm so fused and staged native paths
+// stay mutually bit-identical. Deterministic per input either way:
 // runtime dispatch is by CPU capability, not data.
 //
 // Algorithm (inputs restricted to x >= 0, finite — enforced by the caller):
@@ -394,8 +397,9 @@ void csr_row_sums_impl(const int64_t* indptr, const DataT* data,
 // normalized copy. Per row: (1) library size = sum of KEPT entries in nnz
 // order (the subset's row sum, preprocess clamp lib==0 -> 1); (2) scatter
 // out[r, bucket[new_col[g]]] += weight[new_col[g]] * log1p(data * 1e4/lib).
-// Bit-identical to the staged pipeline (csr_subset -> log1p_cpm_transform
-// -> countsketch_project): the subset preserves nnz order, every float op
+// Bit-identical to the staged NATIVE pipeline (csr_subset ->
+// log1p_cpm_transform -> countsketch_project), <= 1 ULP per log1p value vs
+// pure numpy: the subset preserves nnz order, every float op
 // (DataT-precision product/log1p, f64 widen, f64 scatter accumulation) is
 // performed in the same order with the same precision as the staged
 // kernels, and rows are independent so threading changes nothing.
@@ -431,9 +435,10 @@ void fused_log1pcpm_project_impl(const int64_t* indptr, const IdxT* indices,
 }
 
 // out[i] = log1p(data[i] * scale[row]) in the data dtype — the sparse
-// log_cpm preprocess. Element-wise (no accumulation): bit-identical to the
-// numpy expression ``np.log1p(data * np.repeat(scale, counts))`` without
-// materializing the per-nnz scale vector.
+// log_cpm preprocess. Element-wise (no accumulation): matches the numpy
+// expression ``np.log1p(data * np.repeat(scale, counts))`` to <= 1 ULP
+// (bitwise where libm log1p == numpy's — see the Python-side self-test)
+// without materializing the per-nnz scale vector.
 template <typename DataT>
 void log1p_cpm_transform_impl(const int64_t* indptr, const DataT* data,
                               const DataT* scale, int64_t n_rows,

@@ -94,8 +94,11 @@ def _log1p_cpm_sums_impl(
     temporaries + two bincounts per block; ~20x the numpy throughput at
     atlas scale. The kernel mirrors this function's dtype semantics (f64
     data -> f64 intermediates; f32 data -> f32 intermediates with f64
-    accumulation) and its block-ordered reduction, so results are identical
-    either way.
+    accumulation). Results are ULP-level equivalent — not bitwise — to this
+    numpy path: the native block size adapts to the row count (different
+    f64 association order) and the f32 path uses a vectorized log1p (<= 1
+    ULP of correctly-rounded). The only consumer is rank-based HVG
+    selection, which both paths' tests pin to identical gene indices.
     """
     n_spots, n_genes = Ycsr.shape
 

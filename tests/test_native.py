@@ -7,6 +7,7 @@ through log1p, identical selection downstream) and the package must work
 with the library disabled.
 """
 
+import os
 import subprocess
 import sys
 
@@ -63,6 +64,35 @@ class TestNativeMoments:
         idx_native = select_hvg(Y, n_top=200)
         idx_dense = select_hvg(Y.toarray(), n_top=200)
         np.testing.assert_array_equal(idx_native, idx_dense)
+
+    def test_gene_selection_native_vs_fallback_large_f32(self):
+        """Above the adaptive-block threshold (>2048 rows) with f32 data —
+        the regime where native moments use multi-block reduction and the
+        vectorized log1p — gene indices must still match the numpy
+        fallback exactly (ULP-level moment wiggle must not flip ranks)."""
+        import subprocess
+
+        from flashdeconv_tpu.utils.genes import select_hvg
+
+        Y = _random_csr(n_rows=12_000, n_cols=600, density=0.05, seed=9,
+                        dtype=np.float32)
+        idx_native = select_hvg(Y, n_top=150)
+
+        code = (
+            "import numpy as np\n"
+            "from scipy import sparse\n"
+            "from flashdeconv_tpu.utils.genes import select_hvg\n"
+            "rng = np.random.default_rng(9)\n"
+            "Y = sparse.random(12_000, 600, density=0.05, format='csr',"
+            " random_state=42,"
+            " data_rvs=lambda k: rng.exponential(3.0, k) + 1.0"
+            ").astype(np.float32)\n"
+            "np.save('/tmp/_hvg_fallback.npy', select_hvg(Y, n_top=150))\n"
+        )
+        env = dict(os.environ, FLASHDECONV_NO_NATIVE="1")
+        subprocess.run([sys.executable, "-c", code], check=True, env=env)
+        idx_fallback = np.load("/tmp/_hvg_fallback.npy")
+        np.testing.assert_array_equal(idx_native, idx_fallback)
 
     def test_f32_matches_numpy_f32_semantics(self):
         """f32 CSR data -> f32 intermediates (the numpy float32 path),
