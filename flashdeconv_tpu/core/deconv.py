@@ -285,6 +285,12 @@ class FlashDeconv:
         self.n_cell_types_ = X.shape[0]
         self.cell_type_names_ = cell_type_names
 
+        # Clear any consume-once state a previously aborted fit left behind
+        # (these describe THAT fit's operands, not this one's).
+        self.__dict__.pop("_fused_xty", None)
+        self.__dict__.pop("_fused_yty", None)
+        self.__dict__.pop("_graph_plan_future", None)
+
         # [4, started early] spatial graph on a background thread: the
         # KD-tree build/query depends only on coords, so it overlaps the
         # gene-selection / preprocessing / sketching passes over Y (scipy
@@ -366,17 +372,39 @@ class FlashDeconv:
                         leverage_scores=leverage_scores,
                         random_state=self.random_state,
                     )
-                    Y_sketch = native.fused_log1pcpm_project(
-                        Y, gene_idx, op.buckets, op.weights, op.sketch_dim
-                    )
-                    if Y_sketch is None:
-                        # use_fused mirrors the kernel's own gates exactly;
-                        # drift is a bug, not a runtime condition.
-                        raise RuntimeError(
-                            "fused_log1pcpm_project returned None despite "
-                            "its gates passing — native gate drift"
-                        )
                     X_sketch = np.asarray(X_tilde @ op.to_csr())
+                    if self.mesh is None and (
+                        self.n_shards is None or self.n_shards <= 1
+                    ):
+                        # Single-device solve: the (N, d) sketch's only
+                        # consumers are Xty and YtY — contract it row-wise
+                        # inside the kernel and never materialize it
+                        # (multi-GB at atlas scale).
+                        res = native.fused_log1pcpm_xty(
+                            Y, gene_idx, op.buckets, op.weights,
+                            op.sketch_dim, X_sketch,
+                        )
+                        if res is None:
+                            raise RuntimeError(
+                                "fused_log1pcpm_xty returned None despite "
+                                "its gates passing — native gate drift"
+                            )
+                        self._fused_xty, self._fused_yty = res
+                        Y_sketch = None
+                    else:
+                        # Sharded solves scatter the full sketch.
+                        Y_sketch = native.fused_log1pcpm_project(
+                            Y, gene_idx, op.buckets, op.weights,
+                            op.sketch_dim,
+                        )
+                        if Y_sketch is None:
+                            # use_fused mirrors the kernel's own gates;
+                            # drift is a bug, not a runtime condition.
+                            raise RuntimeError(
+                                "fused_log1pcpm_project returned None "
+                                "despite its gates passing — native gate "
+                                "drift"
+                            )
                 else:
                     Y_sketch, X_sketch, _ = sketch_data(
                         Y_tilde,
@@ -461,8 +489,11 @@ class FlashDeconv:
             # background thread; the solver joins it after dispatching
             # the Xty upload. Popped (consume-once) so the plan's banded
             # masks / re-sorted adjacency don't outlive the solve on the
-            # model instance.
+            # model instance. Same for the fused-kernel Xty/YtY (set when
+            # the pipeline never materialized the sketch).
             graph_plan=self.__dict__.pop("_graph_plan_future", None),
+            xty=self.__dict__.pop("_fused_xty", None),
+            yty=self.__dict__.pop("_fused_yty", None),
         )
 
     def fit(
@@ -584,6 +615,8 @@ class FlashDeconv:
                     Y_sketch, X_sketch, A, dtype=self.solver_dtype,
                     coords=coords,
                     graph_plan=self.__dict__.pop("_graph_plan_future", None),
+                    xty=self.__dict__.pop("_fused_xty", None),
+                    yty=self.__dict__.pop("_fused_yty", None),
                 )
 
         results = []

@@ -177,11 +177,20 @@ class BCDProblem:
         coords: Optional[np.ndarray] = None,
         max_degree: Optional[int] = None,
         graph_plan: Optional[GraphDecomposition] = None,
+        xty: Optional[np.ndarray] = None,
+        yty: Optional[float] = None,
     ):
         import jax
         import jax.numpy as jnp
 
-        self.n_spots = int(Y_sketch.shape[0])
+        if Y_sketch is None and (xty is None or yty is None):
+            raise ValueError(
+                "Y_sketch=None requires both xty and yty precomputed "
+                "(e.g. from native.fused_log1pcpm_xty)."
+            )
+        self.n_spots = int(
+            Y_sketch.shape[0] if Y_sketch is not None else xty.shape[0]
+        )
         self.n_types = int(X_sketch.shape[0])
         self.dtype = np.dtype(dtype)
         self._degenerate = self.n_spots == 0 or self.n_types == 0
@@ -200,7 +209,10 @@ class BCDProblem:
         # below run on the host while the bytes stream. Any banded re-sort
         # permutation is applied to the device copy afterwards (an exact
         # row gather, sub-ms on device).
-        Xty_np = np.asarray(Y_sketch @ X_sketch.T, dtype=self.dtype)
+        if xty is not None:
+            Xty_np = np.asarray(xty, dtype=self.dtype)
+        else:
+            Xty_np = np.asarray(Y_sketch @ X_sketch.T, dtype=self.dtype)
         Xty_raw_d = jnp.asarray(Xty_np)  # (n_spots, K), input order
         # rho is user-facing dimensionless: rescaled by the Gram diagonal so
         # the soft threshold is commensurate with the residual magnitude.
@@ -329,8 +341,8 @@ class BCDProblem:
         # reduction takes over at atlas scale (different last-ULP
         # association than einsum — it only feeds the objective constant);
         # small problems keep einsum's exact sequential accumulation.
-        self.YtY = None
-        if Y_sketch.size >= (1 << 27):
+        self.YtY = float(yty) if yty is not None else None
+        if self.YtY is None and Y_sketch.size >= (1 << 27):
             from flashdeconv_tpu import native
 
             ys = np.asarray(Y_sketch)
@@ -508,11 +520,19 @@ def prepare_bcd(
     coords: Optional[np.ndarray] = None,
     max_degree: Optional[int] = None,
     graph_plan: Optional[GraphDecomposition] = None,
+    xty: Optional[np.ndarray] = None,
+    yty: Optional[float] = None,
 ) -> BCDProblem:
-    """Build a :class:`BCDProblem`: host precompute + device upload, once."""
+    """Build a :class:`BCDProblem`: host precompute + device upload, once.
+
+    ``xty``/``yty`` optionally supply the (n_spots, K) ``Y_sketch @
+    X_sketch.T`` product and the Frobenius constant precomputed elsewhere
+    (e.g. the pipeline's fused sketch kernel) — with both given,
+    ``Y_sketch`` may be None and is never touched.
+    """
     return BCDProblem(
         Y_sketch, X_sketch, A, dtype=dtype, coords=coords,
-        max_degree=max_degree, graph_plan=graph_plan,
+        max_degree=max_degree, graph_plan=graph_plan, xty=xty, yty=yty,
     )
 
 
@@ -530,6 +550,8 @@ def bcd_solve(
     coords: Optional[np.ndarray] = None,
     max_degree: Optional[int] = None,
     graph_plan: Optional[GraphDecomposition] = None,
+    xty: Optional[np.ndarray] = None,
+    yty: Optional[float] = None,
 ) -> Tuple[np.ndarray, dict]:
     """Solve min 0.5||Y - beta X||^2 + 0.5*lambda Tr(beta^T L beta) + rho||beta||_1, beta >= 0.
 
@@ -564,6 +586,9 @@ def bcd_solve(
     graph_plan : optional precomputed :class:`GraphDecomposition` for A —
         lets a pipeline run the banded analysis on a background thread
         while earlier stages execute.
+    xty, yty : optional precomputed ``Y_sketch @ X_sketch.T`` / Frobenius
+        constant (see :func:`prepare_bcd`); with both given, ``Y_sketch``
+        may be None.
 
     Returns
     -------
@@ -571,14 +596,14 @@ def bcd_solve(
     info : {"converged", "n_iterations", "final_objective", "objectives",
             "final_change"}
     """
-    n_spots = Y_sketch.shape[0]
+    n_spots = (Y_sketch if Y_sketch is not None else xty).shape[0]
     n_types = X_sketch.shape[0]
     if n_spots == 0 or n_types == 0 or max_iter == 0:
         return _degenerate_result(n_spots, n_types)
 
     problem = BCDProblem(
         Y_sketch, X_sketch, A, dtype=dtype, coords=coords,
-        max_degree=max_degree, graph_plan=graph_plan,
+        max_degree=max_degree, graph_plan=graph_plan, xty=xty, yty=yty,
     )
     return problem.solve(
         lambda_=lambda_, rho=rho, max_iter=max_iter, tol=tol,

@@ -290,6 +290,55 @@ def fused_log1pcpm_project(
     return out
 
 
+def fused_log1pcpm_xty(
+    Y, gene_idx: np.ndarray, buckets: np.ndarray, weights: np.ndarray,
+    sketch_dim: int, X_sketch: np.ndarray,
+) -> Optional[Tuple[np.ndarray, float]]:
+    """Like :func:`fused_log1pcpm_project`, but contracts each row's sketch
+    against ``X_sketch`` (K, d) on the fly, returning
+    ``(Xty = Y_sketch @ X_sketch.T as (n_rows, K) float64, YtY)`` without
+    ever materializing the (n_rows, d) sketch — at atlas scale that is a
+    multi-GB write plus a BLAS re-read saved. Per-value log1p/scatter
+    semantics are bit-identical to the project kernel; the contractions use
+    a fixed deterministic accumulator structure (ULP-level vs a BLAS gemm).
+    Returns None when the native path is unavailable.
+    """
+    lib = _load()
+    if lib is None or not _log1p_matches_numpy:
+        return None
+    if Y.data.dtype not in (np.float32, np.float64):
+        return None
+    n_rows, n_genes = Y.shape
+    indptr, indices, data, tag = _csr_buffers(Y)
+    new_col = np.full(n_genes, -1, dtype=np.int32)
+    new_col[np.asarray(gene_idx, dtype=np.int64)] = np.arange(
+        len(gene_idx), dtype=np.int32
+    )
+    buckets = np.ascontiguousarray(buckets, dtype=np.int32)
+    weights = np.ascontiguousarray(weights, dtype=np.float64)
+    Xsk = np.ascontiguousarray(X_sketch, dtype=np.float64)
+    n_types = Xsk.shape[0]
+    out_xty = np.empty((n_rows, n_types), dtype=np.float64)
+    out_yty = np.empty(1, dtype=np.float64)
+    fn = getattr(lib, f"fused_log1pcpm_xty_{tag}")
+    fn(
+        indptr.ctypes.data_as(ctypes.c_void_p),
+        indices.ctypes.data_as(ctypes.c_void_p),
+        data.ctypes.data_as(ctypes.c_void_p),
+        new_col.ctypes.data_as(ctypes.c_void_p),
+        buckets.ctypes.data_as(ctypes.c_void_p),
+        weights.ctypes.data_as(ctypes.c_void_p),
+        Xsk.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(n_rows),
+        ctypes.c_int64(sketch_dim),
+        ctypes.c_int64(n_types),
+        ctypes.c_int(_n_threads()),
+        out_xty.ctypes.data_as(ctypes.c_void_p),
+        out_yty.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out_xty, float(out_yty[0])
+
+
 def csr_row_sums(Y) -> Optional[np.ndarray]:
     """Per-row sums of CSR ``Y`` in the data dtype.
 

@@ -374,6 +374,111 @@ void csr_subset_fill_impl(const int64_t* indptr, const IdxT* indices,
   });
 }
 
+// Fixed-structure f64 dot products for the fused-Xty kernel: deterministic
+// per machine (AVX2 4x4-lane accumulators where available, a 4-accumulator
+// scalar pattern otherwise; dispatch is by CPU capability, not data).
+#if defined(__x86_64__)
+__attribute__((target("avx2,fma"))) inline double dot_f64_avx2(
+    const double* a, const double* b, int64_t n) {
+  __m256d s0 = _mm256_setzero_pd(), s1 = _mm256_setzero_pd();
+  __m256d s2 = _mm256_setzero_pd(), s3 = _mm256_setzero_pd();
+  int64_t i = 0;
+  for (; i + 16 <= n; i += 16) {
+    s0 = _mm256_fmadd_pd(_mm256_loadu_pd(a + i),
+                         _mm256_loadu_pd(b + i), s0);
+    s1 = _mm256_fmadd_pd(_mm256_loadu_pd(a + i + 4),
+                         _mm256_loadu_pd(b + i + 4), s1);
+    s2 = _mm256_fmadd_pd(_mm256_loadu_pd(a + i + 8),
+                         _mm256_loadu_pd(b + i + 8), s2);
+    s3 = _mm256_fmadd_pd(_mm256_loadu_pd(a + i + 12),
+                         _mm256_loadu_pd(b + i + 12), s3);
+  }
+  alignas(32) double lanes[4];
+  _mm256_store_pd(
+      lanes,
+      _mm256_add_pd(_mm256_add_pd(s0, s1), _mm256_add_pd(s2, s3)));
+  double acc = ((lanes[0] + lanes[1]) + (lanes[2] + lanes[3]));
+  for (; i < n; ++i) acc += a[i] * b[i];
+  return acc;
+}
+#endif
+
+inline double dot_f64_scalar(const double* a, const double* b, int64_t n) {
+  double s0 = 0, s1 = 0, s2 = 0, s3 = 0;
+  int64_t i = 0;
+  for (; i + 4 <= n; i += 4) {
+    s0 += a[i] * b[i];
+    s1 += a[i + 1] * b[i + 1];
+    s2 += a[i + 2] * b[i + 2];
+    s3 += a[i + 3] * b[i + 3];
+  }
+  double acc = (s0 + s1) + (s2 + s3);
+  for (; i < n; ++i) acc += a[i] * b[i];
+  return acc;
+}
+
+inline double dot_f64(const double* a, const double* b, int64_t n) {
+#if defined(__x86_64__)
+  if (log1p_avx2_available()) return dot_f64_avx2(a, b, n);
+#endif
+  return dot_f64_scalar(a, b, n);
+}
+
+// Fused subset -> log_cpm -> sketch -> (Xty, YtY): like
+// fused_log1pcpm_project_impl, but the (n_rows, d) sketch is never written
+// to memory — each row's sketch lives in an L1-resident buffer and is
+// immediately contracted against X_sketch (K, d) into Xty[r, :] and into
+// the YtY sum-of-squares. This removes the multi-GB sketch materialization
+// plus the BLAS re-read at atlas scale. Per-row log1p/scatter semantics are
+// bit-identical to fused_log1pcpm_project_impl; the contractions use the
+// fixed dot structure above (ULP-level vs a BLAS gemm — consumed as f32
+// Xty on device / by the objective constant).
+template <typename DataT, typename IdxT>
+void fused_log1pcpm_xty_impl(const int64_t* indptr, const IdxT* indices,
+                             const DataT* data, const int32_t* new_col,
+                             const int32_t* buckets, const double* weights,
+                             const double* Xsk, int64_t n_rows,
+                             int64_t sketch_dim, int64_t n_types,
+                             int n_threads, double* out_xty,
+                             double* out_yty) {
+  const int64_t blocks = n_blocks(n_rows);
+  std::vector<double> yty_partial(static_cast<size_t>(blocks), 0.0);
+  parallel_blocks(blocks, n_threads, [&](int64_t b) {
+    std::vector<double> rowbuf(static_cast<size_t>(sketch_dim));
+    const int64_t r0 = b * block_rows(n_rows);
+    const int64_t r1 = std::min(r0 + block_rows(n_rows), n_rows);
+    double yty = 0.0;
+    for (int64_t r = r0; r < r1; ++r) {
+      DataT acc = 0;
+      for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+        if (new_col[indices[i]] >= 0) acc += data[i];
+      }
+      const DataT lib = (acc == DataT(0)) ? DataT(1) : acc;
+      const DataT s = DataT(1e4) / lib;
+      std::memset(rowbuf.data(), 0, sizeof(double) * sketch_dim);
+      for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+        const int32_t c = new_col[indices[i]];
+        if (c >= 0) {
+          const DataT v = std::log1p(data[i] * s);
+          rowbuf[buckets[c]] += weights[c] * static_cast<double>(v);
+        }
+      }
+      double* xty_row = out_xty + static_cast<size_t>(r) * n_types;
+      for (int64_t k = 0; k < n_types; ++k) {
+        xty_row[k] = dot_f64(rowbuf.data(),
+                             Xsk + static_cast<size_t>(k) * sketch_dim,
+                             sketch_dim);
+      }
+      yty += dot_f64(rowbuf.data(), rowbuf.data(), sketch_dim);
+    }
+    yty_partial[static_cast<size_t>(b)] = yty;
+  });
+  double total = 0.0;
+  for (int64_t b = 0; b < blocks; ++b)
+    total += yty_partial[static_cast<size_t>(b)];
+  *out_yty = total;
+}
+
 // Per-row sums in the data dtype: scipy ``.sum(axis=1)`` computes each row
 // as a sequential nnz-order accumulation in the input dtype (csr_matvec
 // against ones); rows are independent, so any thread partition is
@@ -581,6 +686,25 @@ DEFINE_FUSED(f32_i64, float, int64_t)
 DEFINE_FUSED(f64_i32, double, int32_t)
 DEFINE_FUSED(f64_i64, double, int64_t)
 #undef DEFINE_FUSED
+
+// ---- fused subset -> log_cpm -> sketch -> (Xty, YtY) -----------------------
+#define DEFINE_FUSED_XTY(SUFFIX, DATA_T, IDX_T)                              \
+  void fused_log1pcpm_xty_##SUFFIX(                                         \
+      const int64_t* indptr, const IDX_T* indices, const DATA_T* data,      \
+      const int32_t* new_col, const int32_t* buckets,                       \
+      const double* weights, const double* Xsk, int64_t n_rows,             \
+      int64_t sketch_dim, int64_t n_types, int n_threads, double* out_xty,  \
+      double* out_yty) {                                                    \
+    fused_log1pcpm_xty_impl<DATA_T, IDX_T>(                                 \
+        indptr, indices, data, new_col, buckets, weights, Xsk, n_rows,      \
+        sketch_dim, n_types, n_threads, out_xty, out_yty);                  \
+  }
+
+DEFINE_FUSED_XTY(f32_i32, float, int32_t)
+DEFINE_FUSED_XTY(f32_i64, float, int64_t)
+DEFINE_FUSED_XTY(f64_i32, double, int32_t)
+DEFINE_FUSED_XTY(f64_i64, double, int64_t)
+#undef DEFINE_FUSED_XTY
 
 // ---- CSR column subset: data {f32, f64} x indices {i32, i64} --------------
 #define DEFINE_SUBSET(SUFFIX, DATA_T, IDX_T)                                 \

@@ -299,6 +299,40 @@ class TestFusedKernels:
         )
         np.testing.assert_array_equal(fused, staged)
 
+    @pytest.mark.parametrize("dtype", [np.float32, np.float64])
+    def test_fused_xty_equals_sketch_then_gemm(self, dtype):
+        """fused_log1pcpm_xty == (fused sketch) @ X_sketch.T and its
+        Frobenius norm, to f64 dot-reassociation tolerance."""
+        from flashdeconv_tpu.core.sketching import make_countsketch_op
+
+        Y = _random_csr(n_rows=700, n_cols=500, density=0.08, dtype=dtype,
+                        seed=13)
+        gene_idx = np.sort(
+            np.random.RandomState(4).choice(500, size=160, replace=False)
+        )
+        op = make_countsketch_op(len(gene_idx), 64, random_state=1)
+        Xsk = np.random.RandomState(5).standard_normal((7, 64))
+
+        res = native.fused_log1pcpm_xty(
+            Y, gene_idx, op.buckets, op.weights, op.sketch_dim, Xsk
+        )
+        if res is None:
+            pytest.skip("fused kernel gated off (log1p self-test)")
+        xty, yty = res
+
+        sketch = native.fused_log1pcpm_project(
+            Y, gene_idx, op.buckets, op.weights, op.sketch_dim
+        )
+        # dot-reassociation noise only (different but fixed accumulation
+        # structure vs BLAS); relative error inflates on near-cancelling
+        # entries, hence the atol
+        np.testing.assert_allclose(
+            xty, sketch @ Xsk.T, rtol=1e-10, atol=1e-11
+        )
+        np.testing.assert_allclose(
+            yty, float(np.einsum("ij,ij->", sketch, sketch)), rtol=1e-12
+        )
+
     # End-to-end coverage: TestNativeColumnSubset.
     # test_pipeline_equals_scipy_subset_pipeline compares a full fit through
     # this fused path against a FLASHDECONV_NO_NATIVE subprocess (pure
