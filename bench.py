@@ -24,6 +24,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -32,7 +33,9 @@ import numpy as np
 # Reference baseline: 1M spots in ~180 s (README.md:67) => ~5,556 spots/s.
 _BASELINE_SPOTS_PER_SEC = 1_000_000 / 180.0
 
-N_SPOTS = 1_000_000
+# Headline shape is 1M spots; FLASHDECONV_BENCH_SPOTS overrides for
+# scaling-headroom runs (e.g. 10M — see benchmarks/RESULTS.md).
+N_SPOTS = int(os.environ.get("FLASHDECONV_BENCH_SPOTS", 1_000_000))
 N_TYPES = 20
 SKETCH_DIM = 512
 K_NEIGHBORS = 6

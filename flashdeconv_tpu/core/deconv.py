@@ -315,12 +315,12 @@ class FlashDeconv:
         # (see native/host_kernels.cpp fused_log1pcpm_project_impl), within
         # 1 ULP per log1p value of the pure-numpy path (the libm gate in
         # native._load()).
-        use_fused = (
-            sparse.isspmatrix_csr(Y)
-            and self.preprocess == "log_cpm"
-            and Y.data.dtype in (np.float32, np.float64)
-            and native.moments_available()
-        )
+        # native.fused_available is the kernels' own authoritative gate
+        # (CSR + float dtype + per-dtype libm self-test), so the only
+        # pipeline-side condition is the preprocessing mode. A None from
+        # the fused kernels below is therefore gate drift — an internal
+        # error, not a runtime fallback.
+        use_fused = self.preprocess == "log_cpm" and native.fused_available(Y)
 
         try:
             # [1] informative genes + leverage

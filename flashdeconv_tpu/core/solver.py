@@ -200,7 +200,6 @@ class BCDProblem:
         n_spots, n_types = self.n_spots, self.n_types
 
         XtX = precompute_gram_matrix(np.asarray(X_sketch, dtype=np.float64))
-        self.XtX64 = XtX
 
         # Compute Xty and dispatch its upload FIRST: at atlas scale the
         # (N, K) transfer is the prepare phase's interconnect cost on a
@@ -341,17 +340,12 @@ class BCDProblem:
         # reduction takes over at atlas scale (different last-ULP
         # association than einsum — it only feeds the objective constant);
         # small problems keep einsum's exact sequential accumulation.
-        self.YtY = float(yty) if yty is not None else None
-        if self.YtY is None and Y_sketch.size >= (1 << 27):
+        if yty is not None:
+            self.YtY = float(yty)
+        else:
             from flashdeconv_tpu import native
 
-            ys = np.asarray(Y_sketch)
-            if ys.dtype == np.float64 and ys.flags.c_contiguous:
-                self.YtY = native.sq_sum(ys.ravel())
-        if self.YtY is None:
-            self.YtY = float(
-                np.einsum("ij,ij->", Y_sketch, Y_sketch, dtype=np.float64)
-            )
+            self.YtY = native.yty_f64(Y_sketch)
         self.YtY_d = jnp.asarray(self.YtY, dtype=self.dtype)
 
     # -- internal device closures -----------------------------------------

@@ -38,6 +38,7 @@ _SRC = Path(__file__).with_name("host_kernels.cpp")
 _lib: Optional[ctypes.CDLL] = None
 _load_attempted = False
 _log1p_matches_numpy = False
+_log1pf_matches_numpy = False
 _log1p_exact = False
 
 
@@ -76,6 +77,7 @@ def _compile(src: Path, out: Path) -> bool:
 
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _load_attempted, _log1p_matches_numpy, _log1p_exact
+    global _log1pf_matches_numpy
     if _load_attempted:
         return _lib
     _load_attempted = True
@@ -121,6 +123,28 @@ def _load() -> Optional[ctypes.CDLL]:
         _log1p_matches_numpy = False
         _log1p_exact = False
 
+    # Same self-test for the float32 instantiations, which call libm's
+    # log1pf (std::log1p's float overload) — a separate code path from the
+    # double log1p tested above, so it gets its own gate. Guards the f32
+    # fused project/xty and log1p_cpm_transform kernels; the f32 *moments*
+    # kernels compute log1p in double and round once, so they stay under
+    # the double gate.
+    try:
+        x32 = x.astype(np.float32)
+        out32 = np.empty_like(x32)
+        lib.log1p_buffer_f32(
+            x32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_int64(x32.size),
+        )
+        ulp32 = np.abs(
+            out32.view(np.int32).astype(np.int64)
+            - np.log1p(x32).view(np.int32).astype(np.int64)
+        )
+        _log1pf_matches_numpy = bool(ulp32.max() <= 1)
+    except Exception:
+        _log1pf_matches_numpy = False
+
     _lib = lib
     return _lib
 
@@ -128,6 +152,34 @@ def _load() -> Optional[ctypes.CDLL]:
 def available() -> bool:
     """True if the native library compiled and loaded."""
     return _load() is not None
+
+
+def _log1p_gate_ok(dtype) -> bool:
+    """Dtype-aware libm gate: the f64 kernels call log1p, the f32 fused /
+    transform kernels call log1pf — independent libm code paths, each
+    enabled only by its own self-test against the matching numpy dtype."""
+    if dtype == np.float64:
+        return _log1p_matches_numpy
+    if dtype == np.float32:
+        return _log1pf_matches_numpy
+    return False
+
+
+def fused_available(Y) -> bool:
+    """True iff the fused subset->log_cpm->CountSketch kernels
+    (:func:`fused_log1pcpm_project` / :func:`fused_log1pcpm_xty`) will run
+    on ``Y``. This is the ONE authoritative pipeline gate (CSR input, float
+    data dtype, per-dtype libm self-test); the kernels return None in
+    exactly the complement, so a caller that checks this predicate may
+    treat a None from them as an internal error rather than a fallback."""
+    from scipy import sparse as _sparse
+
+    return (
+        _sparse.isspmatrix_csr(Y)
+        and Y.data.dtype in (np.float32, np.float64)
+        and _load() is not None
+        and _log1p_gate_ok(Y.data.dtype)
+    )
 
 
 def moments_available() -> bool:
@@ -261,9 +313,7 @@ def fused_log1pcpm_project(
     the native path is unavailable.
     """
     lib = _load()
-    if lib is None or not _log1p_matches_numpy:
-        return None
-    if Y.data.dtype not in (np.float32, np.float64):
+    if lib is None or not _log1p_gate_ok(Y.data.dtype):
         return None
     n_rows, n_genes = Y.shape
     indptr, indices, data, tag = _csr_buffers(Y)
@@ -304,9 +354,7 @@ def fused_log1pcpm_xty(
     Returns None when the native path is unavailable.
     """
     lib = _load()
-    if lib is None or not _log1p_matches_numpy:
-        return None
-    if Y.data.dtype not in (np.float32, np.float64):
+    if lib is None or not _log1p_gate_ok(Y.data.dtype):
         return None
     n_rows, n_genes = Y.shape
     indptr, indices, data, tag = _csr_buffers(Y)
@@ -377,11 +425,7 @@ def log1p_cpm_transform(Y, scale: np.ndarray) -> Optional[np.ndarray]:
     moments kernel).
     """
     lib = _load()
-    if (
-        lib is None
-        or not _log1p_matches_numpy
-        or Y.data.dtype not in (np.float32, np.float64)
-    ):
+    if lib is None or not _log1p_gate_ok(Y.data.dtype):
         return None
     n_rows = Y.shape[0]
     indptr = np.ascontiguousarray(Y.indptr, dtype=np.int64)
@@ -425,16 +469,35 @@ def sq_sum(x: np.ndarray) -> Optional[float]:
     return float(out[0])
 
 
+def yty_f64(Y_sketch: np.ndarray) -> float:
+    """Frobenius norm-squared of the sketch, f64-accumulated, with the ONE
+    policy all solver drivers share: the threaded native reduction takes
+    over at atlas scale (>= 2^27 elements, contiguous f64 input) where its
+    fixed chunk-ordered association differs from einsum only in the last
+    ULP and the value feeds nothing but the objective constant; everything
+    else keeps einsum's exact sequential accumulation (bit-stable for the
+    f64 trajectory-parity tests). Never copies ``Y_sketch``."""
+    if Y_sketch.size >= (1 << 27):
+        ys = np.asarray(Y_sketch)
+        if ys.dtype == np.float64 and ys.flags.c_contiguous:
+            out = sq_sum(ys.ravel())
+            if out is not None:
+                return out
+    return float(np.einsum("ij,ij->", Y_sketch, Y_sketch, dtype=np.float64))
+
+
 def zero_fill(arr: np.ndarray) -> bool:
     """Zero an array with parallel page-faulting (see C++ ``zero_fill``).
 
     Returns False (and leaves the array untouched) when the native library
-    is unavailable — callers fall back to single-threaded initialization.
+    is unavailable or the array is not C-contiguous — callers fall back to
+    single-threaded initialization. (A non-contiguous input must NOT be
+    routed through ``ascontiguousarray``: that would zero a temporary copy
+    and leave the caller's array untouched while reporting success.)
     """
     lib = _load()
-    if lib is None:
+    if lib is None or not arr.flags.c_contiguous:
         return False
-    arr = np.ascontiguousarray(arr)
     lib.zero_fill(
         arr.ctypes.data_as(ctypes.c_void_p),
         ctypes.c_int64(arr.nbytes),

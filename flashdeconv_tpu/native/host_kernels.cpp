@@ -735,6 +735,14 @@ void log1p_buffer(const double* in, double* out, int64_t n) {
   for (int64_t i = 0; i < n; ++i) out[i] = std::log1p(in[i]);
 }
 
+// Self-test hook for the float32 kernels: the exact expression the f32
+// fused/transform instantiations apply (libm log1pf via std::log1p's float
+// overload), so the loader can gate them on ULP agreement with numpy's
+// float32 log1p independently of the double test above.
+void log1p_buffer_f32(const float* in, float* out, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) out[i] = std::log1p(in[i]);
+}
+
 // Zero a buffer from many threads. Functionally memset; exists because
 // faulting fresh pages from one thread can run two orders of magnitude
 // slower than from several on virtualized hosts (see

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from flashdeconv_tpu import native
 from flashdeconv_tpu.ops.bcd import (
     converge_loop,
     coordinate_descent,
@@ -96,6 +97,11 @@ def gspmd_banded_solve(
     sharded_bcd_solve` (explicit halo plan) in that case. ``_split`` lets the
     dispatching caller pass its already-computed ``banded_split(A, 32)``
     result to avoid a second O(nnz) pass + masks materialization.
+
+    Objective precision: as in :func:`~flashdeconv_tpu.parallel.solver.
+    sharded_bcd_solve`, the objective is evaluated on device in ``dtype``
+    (YtY included) — f32 solves report with f32 quantization; use
+    ``dtype=np.float64`` for exact-parity reporting.
     """
     from flashdeconv_tpu.utils.graph import banded_split
 
@@ -141,17 +147,7 @@ def gspmd_banded_solve(
     pad = n_pad - n_spots
 
     XtX = np.asarray(X_sketch, np.float64) @ np.asarray(X_sketch, np.float64).T
-    # Threaded native reduction at atlas scale (objective constant only);
-    # small problems keep einsum's exact sequential accumulation.
-    YtY = None
-    if Y_sketch.size >= (1 << 27):
-        from flashdeconv_tpu import native
-
-        ys = np.asarray(Y_sketch)
-        if ys.dtype == np.float64 and ys.flags.c_contiguous:
-            YtY = native.sq_sum(ys.ravel())
-    if YtY is None:
-        YtY = float(np.einsum("ij,ij->", Y_sketch, Y_sketch, dtype=np.float64))
+    YtY = native.yty_f64(Y_sketch)
     rho_eff = float(rho) * float(np.mean(np.diag(XtX)))
 
     Xty = np.asarray(Y_sketch @ X_sketch.T, dtype=dtype)

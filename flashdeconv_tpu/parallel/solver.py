@@ -33,9 +33,16 @@ from flashdeconv_tpu.ops.bcd import (
     neighbor_sum,
     sweep_stats,
 )
+from flashdeconv_tpu import native
 from flashdeconv_tpu.parallel.partition import ShardPlan, plan_shards
 
 _AXIS = "spots"
+
+# Minimum problem size for the auto-strategy scrambled-grid re-sort attempt
+# (mirrors GraphDecomposition's single-device gate): below this, the O(nnz)
+# double permutation + second banded_split cost more than the banded path
+# saves, and a genuinely irregular graph would pay that analysis per solve.
+RESORT_MIN_SPOTS = 8192
 
 
 def default_mesh(n_shards: Optional[int] = None) -> Mesh:
@@ -205,6 +212,13 @@ def sharded_bcd_solve(
 
     Returns beta in the original spot order with the standard ``info``
     contract.
+
+    Objective precision: ``final_objective`` / ``objectives`` are evaluated
+    on device in the solver ``dtype`` (YtY included), matching the
+    single-device driver. An f32 solve therefore reports the objective with
+    f32 quantization (~1e-7 relative — at atlas scale a few tens absolute
+    out of YtY ~ 1e8); pass ``dtype=np.float64`` when exact-parity
+    objective reporting matters (the f64 trajectory tests do).
     """
     n_spots = Y_sketch.shape[0]
     n_types = X_sketch.shape[0]
@@ -235,11 +249,17 @@ def sharded_bcd_solve(
         fully_banded = A.nnz == 0 or (
             offsets_chk.size > 0 and A_rest_chk.nnz == 0
         )
-        if not fully_banded and coords is not None and strategy == "auto":
+        if (
+            not fully_banded
+            and coords is not None
+            and strategy == "auto"
+            and n_spots >= RESORT_MIN_SPOTS
+        ):
             # Scrambled-grid re-sort: a shuffled grid / hex lattice becomes
             # fully banded under a row-major (y, x) sort (mirrors the
-            # single-device driver's re-sort). The permutation composes with
-            # the solve below; beta returns in the original order.
+            # single-device driver's re-sort, including its size gate — see
+            # RESORT_MIN_SPOTS). The permutation composes with the solve
+            # below; beta returns in the original order.
             c = np.asarray(coords)
             if beta_init is not None and beta_init.shape != (n_spots, n_types):
                 raise ValueError(
@@ -312,17 +332,7 @@ def sharded_bcd_solve(
         )
 
     XtX64 = np.asarray(X_sketch, np.float64) @ np.asarray(X_sketch, np.float64).T
-    # f64-accumulated without materializing a float64 copy of Y_sketch;
-    # threaded native reduction at atlas scale (objective constant only).
-    YtY = None
-    if Y_sketch.size >= (1 << 27):
-        from flashdeconv_tpu import native
-
-        ys = np.asarray(Y_sketch)
-        if ys.dtype == np.float64 and ys.flags.c_contiguous:
-            YtY = native.sq_sum(ys.ravel())
-    if YtY is None:
-        YtY = float(np.einsum("ij,ij->", Y_sketch, Y_sketch, dtype=np.float64))
+    YtY = native.yty_f64(Y_sketch)
     rho_eff = float(rho) * float(np.mean(np.diag(XtX64)))
 
     Xty = plan.scatter(

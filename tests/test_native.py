@@ -382,6 +382,78 @@ class TestFusedKernels:
         assert not np.isfinite(nb[0]).all()  # nan/inf propagated, no crash
 
 
+@needs_native
+class TestGatesAndHelpers:
+    def test_f32_log1p_selftest_matches_numpy(self):
+        """The f32 kernels call libm log1pf — independently self-tested
+        against numpy's float32 log1p (<= 1 ULP) at load. On this platform
+        the gate must agree with a direct comparison."""
+        import ctypes
+
+        lib = native._load()
+        x = np.concatenate(
+            [
+                np.random.default_rng(1).random(8192) * 1e4,
+                np.random.default_rng(2).random(8192) * 1e-8,
+                [0.0, 1.0],
+            ]
+        ).astype(np.float32)
+        out = np.empty_like(x)
+        lib.log1p_buffer_f32(
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_int64(x.size),
+        )
+        ulp = np.abs(
+            out.view(np.int32).astype(np.int64)
+            - np.log1p(x).view(np.int32).astype(np.int64)
+        )
+        assert native._log1pf_matches_numpy == bool(ulp.max() <= 1)
+
+    @pytest.mark.parametrize("dtype", [np.float32, np.float64])
+    def test_fused_available_is_authoritative(self, dtype):
+        """fused_available(Y) == (the fused kernels run on Y): the pipeline
+        relies on this equivalence (a None despite True is an error)."""
+        from flashdeconv_tpu.core.sketching import make_countsketch_op
+
+        Y = _random_csr(n_rows=50, n_cols=80, density=0.1, dtype=dtype)
+        gene_idx = np.arange(0, 80, 2)
+        op = make_countsketch_op(len(gene_idx), 16, random_state=0)
+        ran = (
+            native.fused_log1pcpm_project(
+                Y, gene_idx, op.buckets, op.weights, op.sketch_dim
+            )
+            is not None
+        )
+        assert native.fused_available(Y) == ran
+        # non-CSR and int dtypes are gated off
+        assert not native.fused_available(Y.tocoo())
+        assert not native.fused_available(
+            sparse.csr_matrix(
+                (np.ones(3, dtype=np.int32), [0, 1, 2], [0, 1, 2, 3]),
+                shape=(3, 4),
+            )
+        )
+
+    def test_zero_fill_rejects_noncontiguous(self):
+        """zero_fill must refuse strided views (zeroing a temp copy and
+        reporting success would leave the caller's array untouched)."""
+        arr = np.ones(64, dtype=np.float64)
+        view = arr[::2]
+        assert native.zero_fill(view) is False
+        assert np.all(view == 1.0)  # untouched
+        assert native.zero_fill(arr) is True
+        assert np.all(arr == 0.0)
+
+    def test_yty_f64_matches_einsum(self):
+        """yty_f64 == einsum on small inputs (exact policy below the
+        atlas-scale threshold) and stays finite/close above it is covered
+        by the solver tests; here, exact equality on the small path."""
+        rng = np.random.default_rng(3)
+        Y = rng.standard_normal((100, 64))
+        assert native.yty_f64(Y) == float(np.einsum("ij,ij->", Y, Y))
+
+
 class TestNativeDisabled:
     def test_pipeline_works_without_native(self):
         """FLASHDECONV_NO_NATIVE=1 must leave every caller on the numpy

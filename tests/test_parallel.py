@@ -414,8 +414,13 @@ class TestScrambledGridResort:
         A = build_knn_graph(coords, k=4)
         return Y_sketch, X_sketch, A, coords
 
-    def test_dispatches_to_banded(self):
+    def test_dispatches_to_banded(self, monkeypatch):
         from flashdeconv_tpu.utils.graph import banded_split
+        import flashdeconv_tpu.parallel.solver as psolver
+
+        # the production gate skips the re-sort analysis below 8192 spots;
+        # lower it so a CPU-sized grid exercises the dispatch logic
+        monkeypatch.setattr(psolver, "RESORT_MIN_SPOTS", 0)
 
         Y_sketch, X_sketch, A, coords = self._scrambled_grid()
         # precondition: not banded in input order
@@ -436,7 +441,24 @@ class TestScrambledGridResort:
         np.testing.assert_allclose(beta_sh, beta_ref, atol=1e-8)
         assert abs(info["n_iterations"] - info_ref["n_iterations"]) <= 1
 
-    def test_resort_with_beta_init(self):
+    def test_small_problem_skips_resort_analysis(self):
+        """Below RESORT_MIN_SPOTS the auto strategy must not pay the O(nnz)
+        permuted banded re-analysis — the halo path serves small problems."""
+        Y_sketch, X_sketch, A, coords = self._scrambled_grid(side=16)
+        beta_sh, info = sharded_bcd_solve(
+            Y_sketch, X_sketch, A, coords=coords, n_shards=4,
+            lambda_=0.3, max_iter=30, dtype=np.float64,
+        )
+        assert "n_bands" not in info  # halo path, not GSPMD banded
+        beta_ref, _ = bcd_solve(
+            Y_sketch, X_sketch, A, lambda_=0.3, max_iter=30, dtype=np.float64,
+        )
+        np.testing.assert_allclose(beta_sh, beta_ref, atol=1e-8)
+
+    def test_resort_with_beta_init(self, monkeypatch):
+        import flashdeconv_tpu.parallel.solver as psolver
+
+        monkeypatch.setattr(psolver, "RESORT_MIN_SPOTS", 0)
         Y_sketch, X_sketch, A, coords = self._scrambled_grid(side=16)
         n, k = Y_sketch.shape[0], X_sketch.shape[0]
         beta0, _ = sharded_bcd_solve(
