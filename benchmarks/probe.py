@@ -1,0 +1,90 @@
+"""Host/tunnel health probe + clean-window benchmark runner.
+
+This container reaches its TPU chip over a shared remote tunnel that
+alternates between clean windows and multi-minute congestion stalls, and
+the host VM's CPU is time-shared (see benchmarks/RESULTS.md). Benchmarks
+measured during a bad window report the environment, not the framework —
+so probe first, or let this script wait for a clean window and launch the
+benchmark for you.
+
+Usage:
+    python benchmarks/probe.py                 # one probe, print verdict
+    python benchmarks/probe.py 30 python bench.py
+        # poll up to 30 minutes for a clean window, then run the command
+"""
+
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+# Clean-window thresholds (measured on this VM: uncontended host dgemm
+# ~0.15 s, uncontended 20 MB fetch ~0.2-0.6 s).
+HOST_DGEMM_CLEAN_S = 0.25
+FETCH_20MB_CLEAN_S = 1.2
+
+
+def probe(verbose: bool = True):
+    """Return (host_dgemm_s, device_rt_s, fetch_20mb_s)."""
+    # host CPU probe: fixed 2 GFLOP dgemm
+    a = np.random.default_rng(0).standard_normal((1000, 1000))
+    t0 = time.perf_counter()
+    for _ in range(2):
+        a @ a
+    host = time.perf_counter() - t0
+
+    import jax.numpy as jnp
+
+    x = jnp.ones((2048, 2048), dtype=jnp.float32)
+    (x @ x).block_until_ready()  # warm the executable
+    t0 = time.perf_counter()
+    (x @ x).block_until_ready()
+    rtt = time.perf_counter() - t0
+    big = jnp.ones((5_000_000,), dtype=jnp.float32)  # 20 MB
+    big.block_until_ready()
+    t0 = time.perf_counter()
+    np.asarray(big)
+    fetch = time.perf_counter() - t0
+    if verbose:
+        print(
+            f"host dgemm {host:.2f}s | device rt {rtt * 1000:.0f}ms | "
+            f"20MB fetch {fetch:.2f}s ({20 / max(fetch, 1e-9):.0f} MB/s)"
+        )
+    return host, rtt, fetch
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        host, _, fetch = probe()
+        clean = host < HOST_DGEMM_CLEAN_S and fetch < FETCH_20MB_CLEAN_S
+        print("clean window" if clean else "congested — benchmark later")
+        return 0 if clean else 3
+
+    deadline = time.time() + float(sys.argv[1]) * 60
+    cmd = sys.argv[2:]
+    attempt = 0
+    while time.time() < deadline:
+        try:
+            host, _, fetch = probe(verbose=False)
+        except Exception as e:  # tunnel can drop mid-probe
+            print(f"# probe error {e}", file=sys.stderr)
+            time.sleep(60)
+            continue
+        attempt += 1
+        print(
+            f"# probe[{attempt}] host {host:.2f}s fetch20MB {fetch:.2f}s",
+            file=sys.stderr,
+            flush=True,
+        )
+        if host < HOST_DGEMM_CLEAN_S and fetch < FETCH_20MB_CLEAN_S:
+            print("# clean window — running benchmark", file=sys.stderr,
+                  flush=True)
+            return subprocess.run(cmd).returncode
+        time.sleep(90)
+    print("# no clean window before deadline", file=sys.stderr)
+    return 3
+
+
+if __name__ == "__main__":
+    sys.exit(main())
