@@ -373,38 +373,26 @@ class FlashDeconv:
                         random_state=self.random_state,
                     )
                     X_sketch = np.asarray(X_tilde @ op.to_csr())
-                    if self.mesh is None and (
-                        self.n_shards is None or self.n_shards <= 1
-                    ):
-                        # Single-device solve: the (N, d) sketch's only
-                        # consumers are Xty and YtY — contract it row-wise
-                        # inside the kernel and never materialize it
-                        # (multi-GB at atlas scale).
-                        res = native.fused_log1pcpm_xty(
-                            Y, gene_idx, op.buckets, op.weights,
-                            op.sketch_dim, X_sketch,
+                    # Every solver (single-device and both sharded
+                    # strategies) consumes the (N, d) sketch only through
+                    # Xty = Y_sketch @ X_sketch.T and the YtY Frobenius
+                    # constant — contract row-wise inside the kernel and
+                    # never materialize the sketch (multi-GB at atlas
+                    # scale).
+                    res = native.fused_log1pcpm_xty(
+                        Y, gene_idx, op.buckets, op.weights,
+                        op.sketch_dim, X_sketch,
+                    )
+                    if res is None:
+                        # use_fused is native.fused_available, the
+                        # kernel's own gate; a None here is gate drift —
+                        # a bug, not a runtime condition.
+                        raise RuntimeError(
+                            "fused_log1pcpm_xty returned None despite "
+                            "its gates passing — native gate drift"
                         )
-                        if res is None:
-                            raise RuntimeError(
-                                "fused_log1pcpm_xty returned None despite "
-                                "its gates passing — native gate drift"
-                            )
-                        self._fused_xty, self._fused_yty = res
-                        Y_sketch = None
-                    else:
-                        # Sharded solves scatter the full sketch.
-                        Y_sketch = native.fused_log1pcpm_project(
-                            Y, gene_idx, op.buckets, op.weights,
-                            op.sketch_dim,
-                        )
-                        if Y_sketch is None:
-                            # use_fused mirrors the kernel's own gates;
-                            # drift is a bug, not a runtime condition.
-                            raise RuntimeError(
-                                "fused_log1pcpm_project returned None "
-                                "despite its gates passing — native gate "
-                                "drift"
-                            )
+                    self._fused_xty, self._fused_yty = res
+                    Y_sketch = None
                 else:
                     Y_sketch, X_sketch, _ = sketch_data(
                         Y_tilde,
@@ -464,19 +452,27 @@ class FlashDeconv:
         if self.mesh is not None or (
             self.n_shards is not None and self.n_shards > 1
         ):
-            from flashdeconv_tpu.parallel import sharded_bcd_solve
+            from flashdeconv_tpu.parallel import prepare_sharded_bcd
 
             self._log(
                 "Step 6: solving via sharded Block Coordinate Descent "
                 "(spot-parallel mesh)..."
             )
-            return sharded_bcd_solve(
+            problem = prepare_sharded_bcd(
                 Y_sketch, X_sketch, A,
+                coords=coords, mesh=self.mesh, n_shards=self.n_shards,
+                dtype=self.solver_dtype, verbose=self.verbose,
+                # Consume-once fused-kernel reductions (set when the
+                # pipeline never materialized the sketch); the sharded
+                # solvers, like the single-device one, consume the sketch
+                # only through these.
+                xty=self.__dict__.pop("_fused_xty", None),
+                yty=self.__dict__.pop("_fused_yty", None),
+            )
+            return problem.solve(
                 lambda_=lambda_, rho=self.rho_sparsity,
                 max_iter=self.max_iter, tol=self.tol,
-                coords=coords, mesh=self.mesh, n_shards=self.n_shards,
-                verbose=self.verbose, dtype=self.solver_dtype,
-                beta_init=beta_init,
+                verbose=self.verbose, beta_init=beta_init,
             )
         self._log("Step 6: solving via Block Coordinate Descent on device...")
         return bcd_solve(
@@ -606,11 +602,23 @@ class FlashDeconv:
         sharded = self.mesh is not None or (
             self.n_shards is not None and self.n_shards > 1
         )
-        problem = None
-        if not sharded:
-            from flashdeconv_tpu.core.solver import prepare_bcd
+        with timer.stage("solver_prepare"):
+            if sharded:
+                # Mesh path gets the same prepare-once treatment: graph
+                # analysis / partition, host precompute, and device scatter
+                # happen here; each lambda pays only the fused device loop.
+                from flashdeconv_tpu.parallel import prepare_sharded_bcd
 
-            with timer.stage("solver_prepare"):
+                problem = prepare_sharded_bcd(
+                    Y_sketch, X_sketch, A, coords=coords, mesh=self.mesh,
+                    n_shards=self.n_shards, dtype=self.solver_dtype,
+                    verbose=self.verbose,
+                    xty=self.__dict__.pop("_fused_xty", None),
+                    yty=self.__dict__.pop("_fused_yty", None),
+                )
+            else:
+                from flashdeconv_tpu.core.solver import prepare_bcd
+
                 problem = prepare_bcd(
                     Y_sketch, X_sketch, A, dtype=self.solver_dtype,
                     coords=coords,
@@ -624,16 +632,11 @@ class FlashDeconv:
         with timer.stage("solve"), trace("bcd_lambda_path"):
             for lam in lambdas:
                 self._log(f"lambda-path solve at lambda = {lam:.4f}...")
-                if problem is not None:
-                    beta, info = problem.solve(
-                        lambda_=float(lam), rho=self.rho_sparsity,
-                        max_iter=self.max_iter, tol=self.tol,
-                        verbose=self.verbose, beta_init=beta_prev,
-                    )
-                else:
-                    beta, info = self._solve(
-                        Y_sketch, X_sketch, A, coords, float(lam), beta_prev
-                    )
+                beta, info = problem.solve(
+                    lambda_=float(lam), rho=self.rho_sparsity,
+                    max_iter=self.max_iter, tol=self.tol,
+                    verbose=self.verbose, beta_init=beta_prev,
+                )
                 beta_prev = beta
                 results.append({
                     "lambda": float(lam),

@@ -7,12 +7,21 @@ boundary-row halo exchange over ICI, and ``pmax`` convergence reductions.
 """
 
 from flashdeconv_tpu.parallel import multihost
-from flashdeconv_tpu.parallel.gspmd import gspmd_banded_solve
+from flashdeconv_tpu.parallel.gspmd import GspmdBandedProblem, gspmd_banded_solve
 from flashdeconv_tpu.parallel.ordering import morton_codes, morton_order, spot_order
 from flashdeconv_tpu.parallel.partition import ShardPlan, halo_fraction, plan_shards
-from flashdeconv_tpu.parallel.solver import default_mesh, sharded_bcd_solve
+from flashdeconv_tpu.parallel.solver import (
+    HaloShardedProblem,
+    ShardedBCDProblem,
+    default_mesh,
+    prepare_sharded_bcd,
+    sharded_bcd_solve,
+)
 
 __all__ = [
+    "GspmdBandedProblem",
+    "HaloShardedProblem",
+    "ShardedBCDProblem",
     "ShardPlan",
     "default_mesh",
     "gspmd_banded_solve",
@@ -21,6 +30,7 @@ __all__ = [
     "morton_order",
     "multihost",
     "plan_shards",
+    "prepare_sharded_bcd",
     "sharded_bcd_solve",
     "spot_order",
 ]

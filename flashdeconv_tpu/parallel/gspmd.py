@@ -76,6 +76,250 @@ def _gspmd_iterate(
     return converge_loop(sweep, beta0, tol, max_iter, iter_cap=iter_cap)
 
 
+class GspmdBandedProblem:
+    """Prepared GSPMD banded problem: banded analysis, host precompute
+    (XtX / YtY / Xty), and the device scatter of every beta-independent
+    operand run ONCE in the constructor; each :meth:`solve` call reuses the
+    resident sharded arrays and pays only the per-solve scalars (lambda,
+    rho, tol) plus the fused device loop. The mesh-path analog of
+    :class:`flashdeconv_tpu.core.solver.BCDProblem`.
+
+    ``xty`` / ``yty`` optionally supply ``Y_sketch @ X_sketch.T`` and the
+    Frobenius constant precomputed elsewhere (e.g. the pipeline's fused
+    sketch kernel, ``native.fused_log1pcpm_xty``) — with both given,
+    ``Y_sketch`` may be None and is never touched: the solver consumes the
+    sketch only through these two reductions.
+
+    Raises ``ValueError`` if the graph is not 100% banded within 32 offsets
+    — callers should fall back to the halo plan in that case. ``_split``
+    lets a dispatching caller pass its already-computed
+    ``banded_split(A, 32)`` result to avoid a second O(nnz) pass.
+    """
+
+    def __init__(
+        self,
+        Y_sketch: Optional[np.ndarray],
+        X_sketch: np.ndarray,
+        A: sparse.spmatrix,
+        mesh: Optional[Mesh] = None,
+        dtype=np.float32,
+        verbose: bool = False,
+        _split=None,
+        xty: Optional[np.ndarray] = None,
+        yty: Optional[float] = None,
+    ):
+        from flashdeconv_tpu.utils.graph import banded_split
+
+        if Y_sketch is None and (xty is None or yty is None):
+            raise ValueError(
+                "Y_sketch=None requires both xty and yty precomputed."
+            )
+        n_spots = int(
+            Y_sketch.shape[0] if Y_sketch is not None else xty.shape[0]
+        )
+        n_types = int(X_sketch.shape[0])
+        self.n_spots, self.n_types = n_spots, n_types
+        self.dtype = np.dtype(dtype)
+
+        offsets_np, masks_np, A_rest = (
+            _split if _split is not None else banded_split(A, max_offsets=32)
+        )
+        if A.nnz > 0 and (offsets_np.size == 0 or A_rest.nnz > 0):
+            raise ValueError(
+                "Graph is not fully banded; use sharded_bcd_solve instead "
+                f"(rest edges: {A_rest.nnz})."
+            )
+
+        if mesh is None:
+            mesh = Mesh(np.asarray(jax.devices()), (_AXIS,))
+        self.mesh = mesh
+        self.n_shards = mesh.devices.size
+
+        self.use_pallas = (
+            jax.default_backend() == "tpu"
+            and self.dtype == np.float32
+            and n_types <= 128
+        )
+        block = 2048 if self.use_pallas else 8
+        chunk = self.n_shards * block
+        n_pad = -(-n_spots // chunk) * chunk
+        pad = n_pad - n_spots
+        self.n_pad = n_pad
+
+        XtX = np.asarray(X_sketch, np.float64) @ np.asarray(
+            X_sketch, np.float64
+        ).T
+        YtY = float(yty) if yty is not None else native.yty_f64(Y_sketch)
+        self.rho_scale = float(np.mean(np.diag(XtX)))
+
+        if xty is not None:
+            Xty = np.asarray(xty, dtype=dtype)
+        else:
+            Xty = np.asarray(Y_sketch @ X_sketch.T, dtype=dtype)
+        # Binary degree (nnz per row), NOT edge-weight sums: the sweep
+        # kernels treat every edge as weight 1 (reference CSR semantics).
+        nnb = np.diff(A.tocsr().indptr).astype(dtype)
+        if pad:
+            Xty = np.concatenate(
+                [Xty, np.zeros((pad, n_types), dtype=dtype)]
+            )
+            nnb = np.concatenate([nnb, np.zeros(pad, dtype=dtype)])
+            masks_np = np.concatenate(
+                [masks_np, np.zeros((masks_np.shape[0], pad), np.float32)],
+                axis=1,
+            )
+        self.halo = int(np.max(np.abs(offsets_np))) if offsets_np.size else 0
+        self.offsets = tuple(int(o) for o in offsets_np)
+
+        self._shard = NamedSharding(mesh, P(_AXIS))
+        shard_cols = NamedSharding(mesh, P(None, _AXIS))
+        self._repl = NamedSharding(mesh, P())
+
+        put = self._put
+        self.Xty_d = put(Xty, self._shard)
+        self.nnb_d = put(nnb, self._shard)
+        # 0/1 masks travel as uint8 (4x less host->device traffic) and
+        # widen on device, staying sharded.
+        self.masks_d = jax.jit(
+            lambda m: m.astype(dtype), out_shardings=shard_cols
+        )(put(masks_np.astype(np.uint8), shard_cols))
+        self.XtX_d = put(XtX.astype(dtype), self._repl)
+        self.YtY_d = put(np.asarray(YtY, dtype=dtype), self._repl)
+        self.rest_d = put(np.zeros((n_pad, 0), dtype=np.int32), self._shard)
+        # Default uniform init, resident (reused by every cold solve; the
+        # fused loop does not donate its inputs).
+        beta0_np = np.zeros((n_pad, n_types), dtype=dtype)
+        beta0_np[:n_spots] = 1.0 / n_types
+        self._beta0_uniform_d = put(beta0_np, self._shard)
+
+        if verbose:
+            print(
+                f"GSPMD banded solve: {self.n_shards} shards x "
+                f"{n_pad // self.n_shards} spots, {len(self.offsets)} bands, "
+                f"halo {self.halo}"
+            )
+
+    def _put(self, arr, sharding):
+        # make_array_from_callback (rather than device_put) so each process
+        # materializes only its addressable shards — works identically on
+        # one host and across a multi-host mesh (parallel/multihost.py).
+        arr = np.asarray(arr)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+
+    def solve(
+        self,
+        lambda_: float = 0.1,
+        rho: float = 0.01,
+        max_iter: int = 100,
+        tol: float = 1e-4,
+        verbose: bool = False,
+        beta_init: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, dict]:
+        """Run the fused solve on the resident operands; see module
+        docstring for semantics and objective-precision notes."""
+        n_spots, n_types = self.n_spots, self.n_types
+        dtype = self.dtype
+        if max_iter == 0:
+            beta = np.full((n_spots, n_types), 1.0 / max(n_types, 1))
+            return beta, {
+                "converged": False,
+                "n_iterations": 0,
+                "final_objective": 0.0,
+                "objectives": [],
+                "final_change": 0.0,
+                "n_shards": self.n_shards,
+                "n_bands": len(self.offsets),
+                "halo_width": self.halo,
+            }
+
+        if beta_init is not None:
+            if beta_init.shape != (n_spots, n_types):
+                raise ValueError(
+                    f"beta_init shape {beta_init.shape} does not match "
+                    f"({n_spots}, {n_types})"
+                )
+            beta0_np = np.zeros((self.n_pad, n_types), dtype=dtype)
+            beta0_np[:n_spots] = np.maximum(beta_init, 0.0)
+            beta0_d = self._put(beta0_np, self._shard)
+        else:
+            beta0_d = self._beta0_uniform_d
+
+        rho_eff = float(rho) * self.rho_scale
+        lam_d = self._put(np.asarray(lambda_, dtype=dtype), self._repl)
+        rho_d = self._put(np.asarray(rho_eff, dtype=dtype), self._repl)
+        tol_d = self._put(np.asarray(tol, dtype=dtype), self._repl)
+
+        def run_chunk(beta_d, cap):
+            return _gspmd_iterate(
+                beta_d, self.Xty_d, self.XtX_d, self.masks_d, self.nnb_d,
+                lam_d, rho_d, tol_d, cap, self.offsets, self.halo, max_iter,
+                self.mesh, self.use_pallas,
+            )
+
+        def eval_objective(beta_d):
+            # Global banded objective over spot-sharded operands; GSPMD
+            # partitions the shifted slices and all-reduces the scalars.
+            from flashdeconv_tpu.ops.bcd import objective_terms_banded
+
+            return objective_terms_banded(
+                beta_d, self.Xty_d, self.XtX_d, self.YtY_d, self.offsets,
+                self.masks_d, self.rest_d, self.nnb_d, lam_d, rho_d,
+                self.halo,
+            )
+
+        objectives: list = []
+        beta_pad = None
+        if verbose:
+            from flashdeconv_tpu.ops.bcd import chunked_verbose_solve
+
+            beta_d, n_iter, rel_change, converged, objectives = (
+                chunked_verbose_solve(
+                    run_chunk, eval_objective, beta0_d, max_iter, tol
+                )
+            )
+            final_obj = objectives[-1]
+        else:
+            beta_d, n_iter_d, rel_d = run_chunk(
+                beta0_d, jnp.asarray(max_iter, dtype=jnp.int32)
+            )
+            obj_d = eval_objective(beta_d)
+            # Single-process meshes bundle beta into the scalar round trip.
+            if jax.process_count() > 1:
+                n_iter_h, rel_h, obj_h = jax.device_get(
+                    (n_iter_d, rel_d, obj_d)
+                )
+            else:
+                n_iter_h, rel_h, obj_h, beta_pad = jax.device_get(
+                    (n_iter_d, rel_d, obj_d, beta_d)
+                )
+            n_iter = int(n_iter_h)
+            rel_change = float(rel_h)
+            final_obj = float(obj_h)
+            converged = rel_change < tol
+
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            beta_pad = multihost_utils.process_allgather(beta_d, tiled=True)
+        elif beta_pad is None:  # verbose path fetched scalars separately
+            beta_pad = np.asarray(beta_d)
+        beta = np.asarray(beta_pad, dtype=np.float64)[:n_spots]
+
+        info = {
+            "converged": bool(converged),
+            "n_iterations": int(n_iter),
+            "final_objective": float(final_obj),
+            "objectives": objectives,
+            "final_change": float(rel_change),
+            "n_shards": self.n_shards,
+            "n_bands": len(self.offsets),
+            "halo_width": self.halo,
+        }
+        return beta, info
+
+
 def gspmd_banded_solve(
     Y_sketch: np.ndarray,
     X_sketch: np.ndarray,
@@ -90,21 +334,18 @@ def gspmd_banded_solve(
     beta_init: Optional[np.ndarray] = None,
     _split=None,
 ) -> Tuple[np.ndarray, dict]:
-    """Spot-sharded solve for a fully banded adjacency (see module docstring).
+    """One-shot spot-sharded solve for a fully banded adjacency: construct
+    a :class:`GspmdBandedProblem` and solve it (see module docstring).
 
     Raises ``ValueError`` if the graph is not 100% banded within 32 offsets —
     callers should fall back to :func:`~flashdeconv_tpu.parallel.solver.
-    sharded_bcd_solve` (explicit halo plan) in that case. ``_split`` lets the
-    dispatching caller pass its already-computed ``banded_split(A, 32)``
-    result to avoid a second O(nnz) pass + masks materialization.
+    sharded_bcd_solve` (explicit halo plan) in that case.
 
     Objective precision: as in :func:`~flashdeconv_tpu.parallel.solver.
     sharded_bcd_solve`, the objective is evaluated on device in ``dtype``
     (YtY included) — f32 solves report with f32 quantization; use
     ``dtype=np.float64`` for exact-parity reporting.
     """
-    from flashdeconv_tpu.utils.graph import banded_split
-
     n_spots = Y_sketch.shape[0]
     n_types = X_sketch.shape[0]
 
@@ -123,151 +364,11 @@ def gspmd_banded_solve(
             "halo_width": 0,
         }
 
-    offsets_np, masks_np, A_rest = (
-        _split if _split is not None else banded_split(A, max_offsets=32)
+    problem = GspmdBandedProblem(
+        Y_sketch, X_sketch, A, mesh=mesh, dtype=dtype, verbose=verbose,
+        _split=_split,
     )
-    if A.nnz > 0 and (offsets_np.size == 0 or A_rest.nnz > 0):
-        raise ValueError(
-            "Graph is not fully banded; use sharded_bcd_solve instead "
-            f"(rest edges: {A_rest.nnz})."
-        )
-
-    if mesh is None:
-        mesh = Mesh(np.asarray(jax.devices()), (_AXIS,))
-    n_shards = mesh.devices.size
-
-    use_pallas = (
-        jax.default_backend() == "tpu"
-        and np.dtype(dtype) == np.float32
-        and n_types <= 128
+    return problem.solve(
+        lambda_=lambda_, rho=rho, max_iter=max_iter, tol=tol,
+        verbose=verbose, beta_init=beta_init,
     )
-    block = 2048 if use_pallas else 8
-    chunk = n_shards * block
-    n_pad = -(-n_spots // chunk) * chunk
-    pad = n_pad - n_spots
-
-    XtX = np.asarray(X_sketch, np.float64) @ np.asarray(X_sketch, np.float64).T
-    YtY = native.yty_f64(Y_sketch)
-    rho_eff = float(rho) * float(np.mean(np.diag(XtX)))
-
-    Xty = np.asarray(Y_sketch @ X_sketch.T, dtype=dtype)
-    # Binary degree (nnz per row), NOT edge-weight sums: the sweep kernels
-    # treat every edge as weight 1 (reference CSR-index semantics).
-    nnb = np.diff(A.tocsr().indptr).astype(dtype)
-    if pad:
-        Xty = np.concatenate([Xty, np.zeros((pad, n_types), dtype=dtype)])
-        nnb = np.concatenate([nnb, np.zeros(pad, dtype=dtype)])
-        masks_np = np.concatenate(
-            [masks_np, np.zeros((masks_np.shape[0], pad), np.float32)], axis=1
-        )
-    halo = int(np.max(np.abs(offsets_np))) if offsets_np.size else 0
-    offsets = tuple(int(o) for o in offsets_np)
-
-    if beta_init is not None:
-        if beta_init.shape != (n_spots, n_types):
-            raise ValueError(
-                f"beta_init shape {beta_init.shape} does not match "
-                f"({n_spots}, {n_types})"
-            )
-        beta0_np = np.zeros((n_pad, n_types), dtype=dtype)
-        beta0_np[:n_spots] = np.maximum(beta_init, 0.0)
-    else:
-        beta0_np = np.zeros((n_pad, n_types), dtype=dtype)
-        beta0_np[:n_spots] = 1.0 / n_types
-
-    shard = NamedSharding(mesh, P(_AXIS))
-    shard_cols = NamedSharding(mesh, P(None, _AXIS))
-    repl = NamedSharding(mesh, P())
-
-    def put(arr, sharding):
-        arr = np.asarray(arr)
-        return jax.make_array_from_callback(
-            arr.shape, sharding, lambda idx: arr[idx]
-        )
-
-    beta0_d = put(beta0_np, shard)
-    Xty_d = put(Xty, shard)
-    nnb_d = put(nnb, shard)
-    # 0/1 masks travel as uint8 (4x less host->device traffic) and widen
-    # on device, staying sharded.
-    masks_d = jax.jit(
-        lambda m: m.astype(dtype), out_shardings=shard_cols
-    )(put(masks_np.astype(np.uint8), shard_cols))
-    XtX_d = put(XtX.astype(dtype), repl)
-    lam_d = put(np.asarray(lambda_, dtype=dtype), repl)
-    rho_d = put(np.asarray(rho_eff, dtype=dtype), repl)
-    tol_d = put(np.asarray(tol, dtype=dtype), repl)
-
-    if verbose:
-        print(
-            f"GSPMD banded solve: {n_shards} shards x {n_pad // n_shards} "
-            f"spots, {len(offsets)} bands, halo {halo}"
-        )
-
-    YtY_d = put(np.asarray(YtY, dtype=dtype), repl)
-    empty_rest = np.zeros((n_pad, 0), dtype=np.int32)
-    rest_d = put(empty_rest, shard)
-
-    def run_chunk(beta_d, cap):
-        return _gspmd_iterate(
-            beta_d, Xty_d, XtX_d, masks_d, nnb_d, lam_d, rho_d, tol_d, cap,
-            offsets, halo, max_iter, mesh, use_pallas,
-        )
-
-    def eval_objective(beta_d):
-        # Global banded objective over spot-sharded operands; GSPMD
-        # partitions the shifted slices and all-reduces the scalars.
-        from flashdeconv_tpu.ops.bcd import objective_terms_banded
-
-        return objective_terms_banded(
-            beta_d, Xty_d, XtX_d, YtY_d, offsets, masks_d, rest_d,
-            nnb_d, lam_d, rho_d, halo,
-        )
-
-    objectives: list = []
-    beta_pad = None
-    if verbose:
-        from flashdeconv_tpu.ops.bcd import chunked_verbose_solve
-
-        beta_d, n_iter, rel_change, converged, objectives = (
-            chunked_verbose_solve(
-                run_chunk, eval_objective, beta0_d, max_iter, tol
-            )
-        )
-        final_obj = objectives[-1]
-    else:
-        beta_d, n_iter_d, rel_d = run_chunk(
-            beta0_d, jnp.asarray(max_iter, dtype=jnp.int32)
-        )
-        obj_d = eval_objective(beta_d)
-        # Single-process meshes bundle beta into the scalar round trip.
-        if jax.process_count() > 1:
-            n_iter_h, rel_h, obj_h = jax.device_get((n_iter_d, rel_d, obj_d))
-        else:
-            n_iter_h, rel_h, obj_h, beta_pad = jax.device_get(
-                (n_iter_d, rel_d, obj_d, beta_d)
-            )
-        n_iter = int(n_iter_h)
-        rel_change = float(rel_h)
-        final_obj = float(obj_h)
-        converged = rel_change < tol
-
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-
-        beta_pad = multihost_utils.process_allgather(beta_d, tiled=True)
-    elif beta_pad is None:  # verbose path fetched scalars separately
-        beta_pad = np.asarray(beta_d)
-    beta = np.asarray(beta_pad, dtype=np.float64)[:n_spots]
-
-    info = {
-        "converged": bool(converged),
-        "n_iterations": int(n_iter),
-        "final_objective": float(final_obj),
-        "objectives": objectives,
-        "final_change": float(rel_change),
-        "n_shards": n_shards,
-        "n_bands": len(offsets),
-        "halo_width": halo,
-    }
-    return beta, info

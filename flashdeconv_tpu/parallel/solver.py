@@ -231,19 +231,365 @@ def sharded_bcd_solve(
             "with strategy='halo' (or 'auto', which skips the banded path "
             "when a plan is given)."
         )
-    degenerate = n_spots == 0 or n_types == 0 or max_iter == 0
-    if (
-        strategy in ("auto", "banded")
-        and plan is None
-        and not degenerate
+    if n_spots == 0 or n_types == 0 or max_iter == 0:
+        beta = np.full((n_spots, n_types), 1.0 / max(n_types, 1))
+        if n_spots == 0 or n_types == 0:
+            beta = np.empty((n_spots, n_types))
+        return beta, {
+            "converged": n_spots == 0 or n_types == 0,
+            "n_iterations": 0,
+            "final_objective": 0.0,
+            "objectives": [],
+            "final_change": 0.0,
+        }
+
+    problem = prepare_sharded_bcd(
+        Y_sketch, X_sketch, A, coords=coords, mesh=mesh, n_shards=n_shards,
+        plan=plan, order=order, dtype=dtype, strategy=strategy,
+        verbose=verbose,
+    )
+    return problem.solve(
+        lambda_=lambda_, rho=rho, max_iter=max_iter, tol=tol,
+        verbose=verbose, beta_init=beta_init,
+    )
+
+
+class HaloShardedProblem:
+    """Prepared halo-plan problem: graph partition, host precompute
+    (XtX / YtY / Xty) and the device scatter of every beta-independent
+    operand run ONCE in the constructor; each :meth:`solve` reuses the
+    resident sharded arrays and pays only the per-solve scalars plus the
+    fused device loop. The irregular-graph counterpart of
+    :class:`flashdeconv_tpu.parallel.gspmd.GspmdBandedProblem`.
+
+    ``xty`` / ``yty`` optionally supply ``Y_sketch @ X_sketch.T`` and the
+    Frobenius constant precomputed elsewhere (the solver consumes the
+    sketch only through these two reductions) — with both given,
+    ``Y_sketch`` may be None and is never touched.
+    """
+
+    def __init__(
+        self,
+        Y_sketch: Optional[np.ndarray],
+        X_sketch: np.ndarray,
+        A: sparse.spmatrix,
+        coords: Optional[np.ndarray] = None,
+        mesh: Optional[Mesh] = None,
+        n_shards: Optional[int] = None,
+        plan: Optional[ShardPlan] = None,
+        order: str = "morton",
+        dtype=np.float32,
+        verbose: bool = False,
+        xty: Optional[np.ndarray] = None,
+        yty: Optional[float] = None,
     ):
-        from flashdeconv_tpu.parallel.gspmd import gspmd_banded_solve
+        if Y_sketch is None and (xty is None or yty is None):
+            raise ValueError(
+                "Y_sketch=None requires both xty and yty precomputed."
+            )
+        n_spots = int(
+            Y_sketch.shape[0] if Y_sketch is not None else xty.shape[0]
+        )
+        n_types = int(X_sketch.shape[0])
+        self.n_spots, self.n_types = n_spots, n_types
+        self.dtype = np.dtype(dtype)
+
+        if mesh is None:
+            mesh = default_mesh(n_shards)
+        self.mesh = mesh
+        self.n_shards = mesh.devices.size
+
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and self.dtype == np.float32
+            and n_types <= 128
+        )
+        if plan is None:
+            plan = plan_shards(
+                A, self.n_shards, coords=coords, order=order,
+                pad_shard_to=2048 if use_pallas else 1,
+            )
+        if use_pallas and plan.shard_size % 2048 != 0:
+            use_pallas = False  # externally built plan without alignment
+        self.use_pallas = use_pallas
+        self.plan = plan
+        if verbose:
+            from flashdeconv_tpu.parallel.partition import halo_fraction
+
+            print(
+                f"Sharded solve: {self.n_shards} shards x {plan.shard_size} "
+                f"spots, halo width {plan.halo_width} "
+                f"({100 * halo_fraction(plan):.2f}% of rows exchanged/sweep)"
+            )
+
+        XtX64 = np.asarray(X_sketch, np.float64) @ np.asarray(
+            X_sketch, np.float64
+        ).T
+        YtY = float(yty) if yty is not None else native.yty_f64(Y_sketch)
+        self.rho_scale = float(np.mean(np.diag(XtX64)))
+
+        if xty is not None:
+            Xty_np = np.ascontiguousarray(xty, dtype=dtype)
+        else:
+            Xty_np = np.ascontiguousarray(Y_sketch @ X_sketch.T, dtype=dtype)
+        Xty = plan.scatter(Xty_np)
+
+        self._shard = NamedSharding(mesh, P(_AXIS))
+        self._repl = NamedSharding(mesh, P())
+        put = self._put
+        self.Xty_d = put(Xty, self._shard)
+        self.nbr_d = put(plan.nbr_idx, self._shard)
+        self.nnb_d = put(plan.n_nbrs.astype(dtype), self._shard)
+        self.mask_d = put(plan.spot_mask, self._shard)
+        self.send_d = put(plan.send_idx, self._shard)
+        self.XtX_d = put(XtX64.astype(dtype), self._repl)
+        self.YtY_d = put(np.asarray(YtY, dtype=dtype), self._repl)
+        # Default uniform init, resident (reused by every cold solve; the
+        # fused loop does not donate its inputs).
+        beta0 = np.where(
+            plan.spot_mask[:, None], np.asarray(1.0 / n_types, dtype=dtype),
+            0.0,
+        ).astype(dtype)
+        beta0 = np.broadcast_to(beta0, (plan.n_padded, n_types)).copy()
+        self._beta0_uniform_d = put(beta0, self._shard)
+
+    def _put(self, arr, sharding):
+        # make_array_from_callback (rather than device_put) so each process
+        # materializes only its addressable shards — works identically on
+        # one host and across a multi-host mesh (parallel/multihost.py).
+        arr = np.asarray(arr)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+
+    def solve(
+        self,
+        lambda_: float = 0.1,
+        rho: float = 0.01,
+        max_iter: int = 100,
+        tol: float = 1e-4,
+        verbose: bool = False,
+        beta_init: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, dict]:
+        n_spots, n_types = self.n_spots, self.n_types
+        dtype = self.dtype
+        plan, mesh = self.plan, self.mesh
+        if max_iter == 0:
+            beta = np.full((n_spots, n_types), 1.0 / max(n_types, 1))
+            return beta, {
+                "converged": False,
+                "n_iterations": 0,
+                "final_objective": 0.0,
+                "objectives": [],
+                "final_change": 0.0,
+                "n_shards": self.n_shards,
+                "halo_width": plan.halo_width,
+            }
+
+        if beta_init is not None:
+            if beta_init.shape != (n_spots, n_types):
+                raise ValueError(
+                    f"beta_init shape {beta_init.shape} does not match "
+                    f"({n_spots}, {n_types})"
+                )
+            beta0 = plan.scatter(
+                np.ascontiguousarray(np.maximum(beta_init, 0.0), dtype=dtype)
+            )
+            beta0_d = self._put(beta0, self._shard)
+        else:
+            beta0_d = self._beta0_uniform_d
+
+        rho_eff = float(rho) * self.rho_scale
+        lam_d = self._put(np.asarray(lambda_, dtype=dtype), self._repl)
+        rho_d = self._put(np.asarray(rho_eff, dtype=dtype), self._repl)
+        tol_d = self._put(np.asarray(tol, dtype=dtype), self._repl)
+
+        def run_chunk(beta_d, cap):
+            return _sharded_solve_jit(
+                beta_d, self.Xty_d, self.XtX_d, self.nbr_d, self.nnb_d,
+                self.mask_d, self.send_d, lam_d, rho_d, tol_d, cap, mesh,
+                max_iter, self.use_pallas,
+            )
+
+        def eval_objective(beta_d):
+            return _sharded_objective_jit(
+                beta_d, self.Xty_d, self.XtX_d, self.nbr_d, self.nnb_d,
+                self.send_d, self.YtY_d, lam_d, rho_d, mesh,
+            )
+
+        objectives: list = []
+        beta_pad = None
+        if verbose:
+            from flashdeconv_tpu.ops.bcd import chunked_verbose_solve
+
+            beta_d, n_iter, rel_change, converged, objectives = (
+                chunked_verbose_solve(
+                    run_chunk, eval_objective, beta0_d, max_iter, tol
+                )
+            )
+            final_obj = objectives[-1]
+        else:
+            beta_d, n_iter_d, rel_d = run_chunk(
+                beta0_d, jnp.asarray(max_iter, dtype=jnp.int32)
+            )
+            # Device objective, async-dispatched behind the solve; one
+            # bundled fetch for all three scalars (no host (K, N) matmul /
+            # Laplacian). Single-process meshes bundle beta into the same
+            # round trip.
+            obj_d = eval_objective(beta_d)
+            if jax.process_count() > 1:
+                n_iter_h, rel_h, obj_h = jax.device_get(
+                    (n_iter_d, rel_d, obj_d)
+                )
+            else:
+                n_iter_h, rel_h, obj_h, beta_pad = jax.device_get(
+                    (n_iter_d, rel_d, obj_d, beta_d)
+                )
+            n_iter = int(n_iter_h)
+            rel_change = float(rel_h)
+            final_obj = float(obj_h)
+            converged = rel_change < tol
+
+        if jax.process_count() > 1:
+            # Global array spans non-addressable devices: gather across
+            # hosts.
+            from jax.experimental import multihost_utils
+
+            beta_pad = multihost_utils.process_allgather(beta_d, tiled=True)
+        elif beta_pad is None:  # verbose path fetched scalars separately
+            beta_pad = np.asarray(beta_d)
+        beta_pad = np.asarray(beta_pad, dtype=np.float64)
+        beta = plan.gather(beta_pad)
+
+        info = {
+            "converged": bool(converged),
+            "n_iterations": int(n_iter),
+            "final_objective": float(final_obj),
+            "objectives": objectives,
+            "final_change": float(rel_change),
+            "n_shards": self.n_shards,
+            "halo_width": plan.halo_width,
+        }
+        return beta, info
+
+
+class ShardedBCDProblem:
+    """Strategy-dispatched prepared sharded problem.
+
+    Wraps a :class:`GspmdBandedProblem` (grid platforms) or a
+    :class:`HaloShardedProblem` (irregular graphs), plus the optional
+    scrambled-grid re-sort permutation applied at prepare time — beta
+    always enters and leaves :meth:`solve` in the ORIGINAL spot order.
+    Built by :func:`prepare_sharded_bcd`; used by
+    ``FlashDeconv.fit_lambda_path`` on a mesh so the per-solve cost is
+    device-only, mirroring :class:`flashdeconv_tpu.core.solver.BCDProblem`.
+    """
+
+    def __init__(self, inner, perm: Optional[np.ndarray] = None):
+        self._inner = inner
+        self._perm = perm
+
+    @property
+    def strategy(self) -> str:
+        from flashdeconv_tpu.parallel.gspmd import GspmdBandedProblem
+
+        return (
+            "banded" if isinstance(self._inner, GspmdBandedProblem)
+            else "halo"
+        )
+
+    @property
+    def n_spots(self) -> int:
+        return self._inner.n_spots
+
+    @property
+    def n_types(self) -> int:
+        return self._inner.n_types
+
+    def solve(
+        self,
+        lambda_: float = 0.1,
+        rho: float = 0.01,
+        max_iter: int = 100,
+        tol: float = 1e-4,
+        verbose: bool = False,
+        beta_init: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, dict]:
+        perm = self._perm
+        if beta_init is not None:
+            if beta_init.shape != (self.n_spots, self.n_types):
+                raise ValueError(
+                    f"beta_init shape {beta_init.shape} does not match "
+                    f"({self.n_spots}, {self.n_types})"
+                )
+            if perm is not None:
+                beta_init = beta_init[perm]
+        beta, info = self._inner.solve(
+            lambda_=lambda_, rho=rho, max_iter=max_iter, tol=tol,
+            verbose=verbose, beta_init=beta_init,
+        )
+        if perm is not None:
+            out = np.empty_like(beta)
+            out[perm] = beta
+            beta = out
+        return beta, info
+
+
+def prepare_sharded_bcd(
+    Y_sketch: Optional[np.ndarray],
+    X_sketch: np.ndarray,
+    A: sparse.spmatrix,
+    coords: Optional[np.ndarray] = None,
+    mesh: Optional[Mesh] = None,
+    n_shards: Optional[int] = None,
+    plan: Optional[ShardPlan] = None,
+    order: str = "morton",
+    dtype=np.float32,
+    strategy: str = "auto",
+    verbose: bool = False,
+    xty: Optional[np.ndarray] = None,
+    yty: Optional[float] = None,
+) -> ShardedBCDProblem:
+    """Build a :class:`ShardedBCDProblem`: strategy dispatch, graph
+    analysis / partition, host precompute, and device scatter — once.
+
+    Strategy resolution matches :func:`sharded_bcd_solve`: ``"banded"``
+    when the adjacency is fully banded within 32 offsets (optionally after
+    the scrambled-grid re-sort, for ``"auto"`` with coords at
+    >= ``RESORT_MIN_SPOTS`` spots), else the explicit ``"halo"`` plan.
+
+    ``xty`` / ``yty`` optionally supply the ``Y_sketch @ X_sketch.T``
+    product and Frobenius constant (e.g. from
+    ``native.fused_log1pcpm_xty``); with both given, ``Y_sketch`` may be
+    None — the sharded solvers consume the sketch only through these two
+    reductions.
+    """
+    if strategy not in ("auto", "halo", "banded"):
+        raise ValueError(f"Unknown strategy: {strategy!r}")
+    if strategy == "banded" and plan is not None:
+        raise ValueError(
+            "strategy='banded' does not use a ShardPlan; pass plan only "
+            "with strategy='halo' (or 'auto', which skips the banded path "
+            "when a plan is given)."
+        )
+    n_spots = int(
+        Y_sketch.shape[0] if Y_sketch is not None else np.shape(xty)[0]
+    )
+    n_types = int(X_sketch.shape[0])
+    if n_spots == 0 or n_types == 0:
+        raise ValueError(
+            "prepare_sharded_bcd requires a non-empty problem "
+            f"(got {n_spots} spots x {n_types} cell types)."
+        )
+
+    if strategy in ("auto", "banded") and plan is None:
+        from flashdeconv_tpu.parallel.gspmd import GspmdBandedProblem
         from flashdeconv_tpu.utils.graph import banded_split
 
-        # min_coverage=1.0 makes this a cheap pre-check: the (U, N) masks are
-        # only materialized when the graph really is 100% banded (the offset
-        # histogram + coverage test run first and bail otherwise), so an
-        # irregular graph never pays for masks it would discard.
+        # min_coverage=1.0 makes this a cheap pre-check: the (U, N) masks
+        # are only materialized when the graph really is 100% banded (the
+        # offset histogram + coverage test run first and bail otherwise),
+        # so an irregular graph never pays for masks it would discard.
         split = banded_split(A, max_offsets=32, min_coverage=1.0)
         offsets_chk, _, A_rest_chk = split
         fully_banded = A.nnz == 0 or (
@@ -258,184 +604,38 @@ def sharded_bcd_solve(
             # Scrambled-grid re-sort: a shuffled grid / hex lattice becomes
             # fully banded under a row-major (y, x) sort (mirrors the
             # single-device driver's re-sort, including its size gate — see
-            # RESORT_MIN_SPOTS). The permutation composes with the solve
-            # below; beta returns in the original order.
+            # RESORT_MIN_SPOTS). The permutation is applied once here; beta
+            # enters/leaves solve() in the original order.
             c = np.asarray(coords)
-            if beta_init is not None and beta_init.shape != (n_spots, n_types):
-                raise ValueError(
-                    f"beta_init shape {beta_init.shape} does not match "
-                    f"({n_spots}, {n_types})"
-                )
             if c.ndim == 2 and c.shape[1] >= 2:
                 cand = np.lexsort((c[:, 0], c[:, 1]))
                 A_cand = A.tocsr()[cand][:, cand]
-                split_c = banded_split(A_cand, max_offsets=32, min_coverage=1.0)
+                split_c = banded_split(
+                    A_cand, max_offsets=32, min_coverage=1.0
+                )
                 if split_c[0].size > 0 and split_c[2].nnz == 0:
                     if mesh is None:
                         mesh = default_mesh(n_shards)
-                    beta_p, info = gspmd_banded_solve(
-                        Y_sketch[cand], X_sketch, A_cand, lambda_=lambda_,
-                        rho=rho, max_iter=max_iter, tol=tol, mesh=mesh,
-                        verbose=verbose, dtype=dtype,
-                        beta_init=(
-                            beta_init[cand] if beta_init is not None else None
-                        ),
-                        _split=split_c,
+                    inner = GspmdBandedProblem(
+                        Y_sketch[cand] if Y_sketch is not None else None,
+                        X_sketch, A_cand, mesh=mesh, dtype=dtype,
+                        verbose=verbose, _split=split_c,
+                        xty=xty[cand] if xty is not None else None,
+                        yty=yty,
                     )
-                    beta = np.empty_like(beta_p)
-                    beta[cand] = beta_p
-                    return beta, info
+                    return ShardedBCDProblem(inner, perm=cand)
         if strategy == "banded" or fully_banded:
             if mesh is None:
                 mesh = default_mesh(n_shards)
-            return gspmd_banded_solve(
-                Y_sketch, X_sketch, A, lambda_=lambda_, rho=rho,
-                max_iter=max_iter, tol=tol, mesh=mesh, verbose=verbose,
-                dtype=dtype, beta_init=beta_init, _split=split,
+            inner = GspmdBandedProblem(
+                Y_sketch, X_sketch, A, mesh=mesh, dtype=dtype,
+                verbose=verbose, _split=split, xty=xty, yty=yty,
             )
+            return ShardedBCDProblem(inner)
 
-    if n_spots == 0 or n_types == 0 or max_iter == 0:
-        beta = np.full((n_spots, n_types), 1.0 / max(n_types, 1))
-        if n_spots == 0 or n_types == 0:
-            beta = np.empty((n_spots, n_types))
-        return beta, {
-            "converged": n_spots == 0 or n_types == 0,
-            "n_iterations": 0,
-            "final_objective": 0.0,
-            "objectives": [],
-            "final_change": 0.0,
-        }
-
-    if mesh is None:
-        mesh = default_mesh(n_shards)
-    n_shards = mesh.devices.size
-
-    use_pallas = (
-        jax.default_backend() == "tpu"
-        and np.dtype(dtype) == np.float32
-        and n_types <= 128
+    inner = HaloShardedProblem(
+        Y_sketch, X_sketch, A, coords=coords, mesh=mesh, n_shards=n_shards,
+        plan=plan, order=order, dtype=dtype, verbose=verbose, xty=xty,
+        yty=yty,
     )
-    if plan is None:
-        plan = plan_shards(
-            A, n_shards, coords=coords, order=order,
-            pad_shard_to=2048 if use_pallas else 1,
-        )
-    if use_pallas and plan.shard_size % 2048 != 0:
-        use_pallas = False  # externally built plan without kernel alignment
-    if verbose:
-        from flashdeconv_tpu.parallel.partition import halo_fraction
-
-        print(
-            f"Sharded solve: {n_shards} shards x {plan.shard_size} spots, "
-            f"halo width {plan.halo_width} "
-            f"({100 * halo_fraction(plan):.2f}% of rows exchanged/sweep)"
-        )
-
-    XtX64 = np.asarray(X_sketch, np.float64) @ np.asarray(X_sketch, np.float64).T
-    YtY = native.yty_f64(Y_sketch)
-    rho_eff = float(rho) * float(np.mean(np.diag(XtX64)))
-
-    Xty = plan.scatter(
-        np.ascontiguousarray((Y_sketch @ X_sketch.T), dtype=dtype)
-    )
-    if beta_init is not None:
-        if beta_init.shape != (n_spots, n_types):
-            raise ValueError(
-                f"beta_init shape {beta_init.shape} does not match "
-                f"({n_spots}, {n_types})"
-            )
-        beta0 = plan.scatter(
-            np.ascontiguousarray(np.maximum(beta_init, 0.0), dtype=dtype)
-        )
-    else:
-        beta0 = np.where(
-            plan.spot_mask[:, None], np.asarray(1.0 / n_types, dtype=dtype), 0.0
-        ).astype(dtype)
-        beta0 = np.broadcast_to(beta0, (plan.n_padded, n_types)).copy()
-
-    shard = NamedSharding(mesh, P(_AXIS))
-    repl = NamedSharding(mesh, P())
-
-    def put(arr, sharding):
-        # make_array_from_callback (rather than device_put) so each process
-        # materializes only its addressable shards — works identically on
-        # one host and across a multi-host mesh (parallel/multihost.py).
-        arr = np.asarray(arr)
-        return jax.make_array_from_callback(
-            arr.shape, sharding, lambda idx: arr[idx]
-        )
-
-    beta0_d = put(beta0, shard)
-    Xty_d = put(Xty, shard)
-    nbr_d = put(plan.nbr_idx, shard)
-    nnb_d = put(plan.n_nbrs.astype(dtype), shard)
-    mask_d = put(plan.spot_mask, shard)
-    send_d = put(plan.send_idx, shard)
-    XtX_d = put(XtX64.astype(dtype), repl)
-    YtY_d = put(np.asarray(YtY, dtype=dtype), repl)
-    lam_d = put(np.asarray(lambda_, dtype=dtype), repl)
-    rho_d = put(np.asarray(rho_eff, dtype=dtype), repl)
-    tol_d = put(np.asarray(tol, dtype=dtype), repl)
-
-    def run_chunk(beta_d, cap):
-        return _sharded_solve_jit(
-            beta_d, Xty_d, XtX_d, nbr_d, nnb_d, mask_d, send_d,
-            lam_d, rho_d, tol_d, cap, mesh, max_iter, use_pallas,
-        )
-
-    def eval_objective(beta_d):
-        return _sharded_objective_jit(
-            beta_d, Xty_d, XtX_d, nbr_d, nnb_d, send_d, YtY_d,
-            lam_d, rho_d, mesh,
-        )
-
-    objectives: list = []
-    beta_pad = None
-    if verbose:
-        from flashdeconv_tpu.ops.bcd import chunked_verbose_solve
-
-        beta_d, n_iter, rel_change, converged, objectives = (
-            chunked_verbose_solve(
-                run_chunk, eval_objective, beta0_d, max_iter, tol
-            )
-        )
-        final_obj = objectives[-1]
-    else:
-        beta_d, n_iter_d, rel_d = run_chunk(
-            beta0_d, jnp.asarray(max_iter, dtype=jnp.int32)
-        )
-        # Device objective, async-dispatched behind the solve; one bundled
-        # fetch for all three scalars (no host (K, N) matmul / Laplacian).
-        # Single-process meshes bundle beta into the same round trip.
-        obj_d = eval_objective(beta_d)
-        if jax.process_count() > 1:
-            n_iter_h, rel_h, obj_h = jax.device_get((n_iter_d, rel_d, obj_d))
-        else:
-            n_iter_h, rel_h, obj_h, beta_pad = jax.device_get(
-                (n_iter_d, rel_d, obj_d, beta_d)
-            )
-        n_iter = int(n_iter_h)
-        rel_change = float(rel_h)
-        final_obj = float(obj_h)
-        converged = rel_change < tol
-
-    if jax.process_count() > 1:
-        # Global array spans non-addressable devices: gather across hosts.
-        from jax.experimental import multihost_utils
-
-        beta_pad = multihost_utils.process_allgather(beta_d, tiled=True)
-    elif beta_pad is None:  # verbose path fetched scalars separately
-        beta_pad = np.asarray(beta_d)
-    beta_pad = np.asarray(beta_pad, dtype=np.float64)
-    beta = plan.gather(beta_pad)
-
-    info = {
-        "converged": bool(converged),
-        "n_iterations": int(n_iter),
-        "final_objective": float(final_obj),
-        "objectives": objectives,
-        "final_change": float(rel_change),
-        "n_shards": n_shards,
-        "halo_width": plan.halo_width,
-    }
-    return beta, info
+    return ShardedBCDProblem(inner)

@@ -190,3 +190,128 @@ class TestDegreeCap:
         prob = BCDProblem(Y, X, hub_graph, dtype=np.float64, max_degree=8)
         assert prob.nbr_d.shape == (n, 8)
         assert prob.ov_src_d is not None
+
+
+class TestPreparedSharded:
+    """ShardedBCDProblem / prepare_sharded_bcd: prepare-once contract on
+    the virtual CPU mesh — re-solves must be identical to one-shot
+    sharded_bcd_solve calls for both strategies, with/without the
+    precomputed xty/yty reductions and the re-sort permutation."""
+
+    def _grid_problem(self, side=20, k_types=5, d=32, seed=11,
+                      scramble=False):
+        rng = np.random.RandomState(seed)
+        xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+        coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+        n = coords.shape[0]
+        if scramble:
+            coords = coords[rng.permutation(n)]
+        X_sketch = rng.randn(k_types, d)
+        Y_sketch = np.abs(rng.randn(n, k_types)) @ X_sketch \
+            + 0.05 * rng.randn(n, d)
+        A = build_knn_graph(coords, k=4)
+        return Y_sketch, X_sketch, A, coords
+
+    def _irregular_problem(self, n=300, k_types=5, d=32, seed=12):
+        rng = np.random.RandomState(seed)
+        coords = rng.rand(n, 2) * 30
+        X_sketch = rng.randn(k_types, d)
+        Y_sketch = np.abs(rng.randn(n, k_types)) @ X_sketch \
+            + 0.05 * rng.randn(n, d)
+        A = build_knn_graph(coords, k=4)
+        return Y_sketch, X_sketch, A, coords
+
+    @pytest.mark.parametrize("make,strategy", [
+        ("_grid_problem", "banded"),
+        ("_irregular_problem", "halo"),
+    ])
+    def test_resolve_matches_oneshot_bitwise(self, make, strategy):
+        from flashdeconv_tpu.parallel import (
+            prepare_sharded_bcd, sharded_bcd_solve,
+        )
+
+        Y, X, A, coords = getattr(self, make)()
+        problem = prepare_sharded_bcd(
+            Y, X, A, coords=coords, n_shards=4, dtype=np.float64,
+        )
+        assert problem.strategy == strategy
+        for lam in (0.1, 0.5):
+            beta_p, info_p = problem.solve(
+                lambda_=lam, max_iter=40, tol=1e-5
+            )
+            beta_1, info_1 = sharded_bcd_solve(
+                Y, X, A, coords=coords, n_shards=4, dtype=np.float64,
+                lambda_=lam, max_iter=40, tol=1e-5,
+            )
+            np.testing.assert_array_equal(beta_p, beta_1)
+            assert info_p["n_iterations"] == info_1["n_iterations"]
+            assert info_p["final_objective"] == info_1["final_objective"]
+
+    @pytest.mark.parametrize("make", ["_grid_problem", "_irregular_problem"])
+    def test_xty_yty_precomputed_matches(self, make):
+        """Y_sketch=None with xty/yty supplied: identical solve (the
+        sharded solvers consume the sketch only through these)."""
+        from flashdeconv_tpu.parallel import prepare_sharded_bcd
+
+        Y, X, A, coords = getattr(self, make)()
+        xty = Y @ X.T
+        yty = float(np.einsum("ij,ij->", Y, Y))
+        p_full = prepare_sharded_bcd(
+            Y, X, A, coords=coords, n_shards=4, dtype=np.float64,
+        )
+        p_red = prepare_sharded_bcd(
+            None, X, A, coords=coords, n_shards=4, dtype=np.float64,
+            xty=xty, yty=yty,
+        )
+        b_full, i_full = p_full.solve(lambda_=0.3, max_iter=40)
+        b_red, i_red = p_red.solve(lambda_=0.3, max_iter=40)
+        np.testing.assert_array_equal(b_red, b_full)
+        assert i_red["final_objective"] == i_full["final_objective"]
+
+    def test_scrambled_grid_prepared_resort(self, monkeypatch):
+        """Prepared problem on a scrambled grid: re-sort happens once at
+        prepare; every solve returns beta in the ORIGINAL order and
+        warm-starts compose with the permutation."""
+        import flashdeconv_tpu.parallel.solver as psolver
+        from flashdeconv_tpu.parallel import prepare_sharded_bcd
+
+        monkeypatch.setattr(psolver, "RESORT_MIN_SPOTS", 0)
+        Y, X, A, coords = self._grid_problem(scramble=True)
+        problem = prepare_sharded_bcd(
+            Y, X, A, coords=coords, n_shards=4, dtype=np.float64,
+        )
+        assert problem.strategy == "banded"
+
+        beta0, info0 = problem.solve(lambda_=0.2, max_iter=40, tol=1e-5)
+        # reference: single-device solve in the original order
+        beta_ref, _ = bcd_solve(
+            Y, X, A, lambda_=0.2, max_iter=40, tol=1e-5, dtype=np.float64,
+        )
+        np.testing.assert_allclose(beta0, beta_ref, atol=1e-8)
+
+        # warm start from the returned (original-order) beta converges
+        # in few sweeps and keeps the original order (a permutation error
+        # would produce O(1) differences; sweeps only polish at tol scale)
+        beta_w, info_w = problem.solve(
+            lambda_=0.2, max_iter=40, tol=1e-5, beta_init=beta0
+        )
+        np.testing.assert_allclose(beta_w, beta0, atol=1e-3)
+        assert info_w["n_iterations"] <= info0["n_iterations"]
+
+    def test_prepared_beta_init_validation(self):
+        from flashdeconv_tpu.parallel import prepare_sharded_bcd
+
+        Y, X, A, coords = self._irregular_problem()
+        problem = prepare_sharded_bcd(
+            Y, X, A, coords=coords, n_shards=4, dtype=np.float64,
+        )
+        with pytest.raises(ValueError, match="beta_init shape"):
+            problem.solve(beta_init=np.zeros((3, 3)))
+
+    def test_prepare_rejects_empty(self):
+        from flashdeconv_tpu.parallel import prepare_sharded_bcd
+
+        with pytest.raises(ValueError, match="non-empty"):
+            prepare_sharded_bcd(
+                np.zeros((0, 8)), np.zeros((5, 8)), sparse.csr_matrix((0, 0))
+            )
