@@ -1,0 +1,144 @@
+"""REAL multi-process distributed execution (jax.distributed over Gloo).
+
+Everything else in the suite exercises the mesh paths inside one process
+(8 virtual devices). This test launches TWO actual Python processes that
+form a distributed JAX job over localhost (``multihost.initialize`` →
+Gloo CPU collectives), each owning 4 of the 8 global devices, and runs
+``sharded_bcd_solve`` through both strategies — exercising the
+``jax.process_count() > 1`` branches (per-process shard materialization in
+``make_array_from_callback``, the ``process_allgather`` beta collection)
+that single-process tests cannot reach. The result must be BIT-IDENTICAL
+to the same solve on a single-process 8-device mesh: the mesh topology is
+the same, only the process boundary moved.
+
+The TPU-pod analog is the same code path with devices discovered by
+``multihost.initialize()`` (no arguments) — see parallel/multihost.py.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from flashdeconv_tpu.utils.graph import build_knn_graph
+
+REPO = Path(__file__).resolve().parent.parent
+
+WORKER = """
+import os, sys, json
+sys.path.insert(0, {repo!r})
+import numpy as np
+pid, nproc, port, outdir = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+from flashdeconv_tpu.parallel import multihost
+multihost.initialize(
+    coordinator_address="localhost:" + port,
+    num_processes=nproc,
+    process_id=pid,
+)
+assert jax.process_count() == nproc
+
+from flashdeconv_tpu.parallel import sharded_bcd_solve
+from flashdeconv_tpu.utils.graph import build_knn_graph
+
+rng = np.random.RandomState(0)
+side = 16
+xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+n = coords.shape[0]
+X_sketch = rng.randn(5, 32)
+Y_sketch = np.abs(rng.randn(n, 5)) @ X_sketch + 0.05 * rng.randn(n, 32)
+A = build_knn_graph(coords, k=4)
+
+mesh = multihost.global_spot_mesh()
+assert mesh.devices.size == 8
+
+record = {{"processes": jax.process_count()}}
+for strategy in ("banded", "halo"):
+    beta, info = sharded_bcd_solve(
+        Y_sketch, X_sketch, A, coords=coords, mesh=mesh, strategy=strategy,
+        lambda_=0.3, max_iter=40, tol=1e-5, dtype=np.float64,
+    )
+    record[strategy] = {{
+        "n_shards": info["n_shards"],
+        "n_iterations": info["n_iterations"],
+        "final_objective": info["final_objective"],
+    }}
+    np.save(os.path.join(outdir, f"beta_{{strategy}}_p{{pid}}.npy"), beta)
+with open(os.path.join(outdir, f"record_p{{pid}}.json"), "w") as f:
+    json.dump(record, f)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_solve_matches_single_process(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER.format(repo=str(REPO)))
+    port = str(_free_port())
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("JAX_ENABLE_X64", None)  # the worker sets x64 via jax.config
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), "2", port,
+             str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=240) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+
+    records = [
+        json.loads((tmp_path / f"record_p{pid}.json").read_text())
+        for pid in range(2)
+    ]
+    assert all(r["processes"] == 2 for r in records)
+
+    # in-process single-process reference on the same 8-device mesh
+    from flashdeconv_tpu.parallel import sharded_bcd_solve
+
+    rng = np.random.RandomState(0)
+    side = 16
+    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+    coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+    n = coords.shape[0]
+    X_sketch = rng.randn(5, 32)
+    Y_sketch = np.abs(rng.randn(n, 5)) @ X_sketch + 0.05 * rng.randn(n, 32)
+    A = build_knn_graph(coords, k=4)
+
+    for strategy in ("banded", "halo"):
+        beta_ref, info_ref = sharded_bcd_solve(
+            Y_sketch, X_sketch, A, coords=coords, n_shards=8,
+            strategy=strategy, lambda_=0.3, max_iter=40, tol=1e-5,
+            dtype=np.float64,
+        )
+        for pid in range(2):
+            beta_mp = np.load(tmp_path / f"beta_{strategy}_p{pid}.npy")
+            np.testing.assert_array_equal(beta_mp, beta_ref)
+            rec = records[pid][strategy]
+            assert rec["n_shards"] == 8
+            assert rec["n_iterations"] == info_ref["n_iterations"]
+            assert rec["final_objective"] == pytest.approx(
+                info_ref["final_objective"], rel=1e-12
+            )
