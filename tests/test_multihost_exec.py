@@ -75,6 +75,31 @@ for strategy in ("banded", "halo"):
         "final_objective": info["final_objective"],
     }}
     np.save(os.path.join(outdir, f"beta_{{strategy}}_p{{pid}}.npy"), beta)
+
+# Distributed gene selection: each process holds ONLY its half of the
+# spots; the HVG moments are the one cross-process reduction
+# (allreduce_sums -> process_allgather). Must reproduce the single-host
+# gene set exactly.
+from scipy import sparse
+from flashdeconv_tpu.parallel.multihost import (
+    distributed_select_informative_genes,
+)
+
+grng = np.random.RandomState(7)
+G, K2 = 500, 6
+Xref = grng.gamma(2.0, 1.0, size=(K2, G)) * (grng.rand(K2, G) < 0.3)
+counts = sparse.random(
+    n, G, density=0.1, format="csr", random_state=3,
+    data_rvs=lambda k: grng.poisson(5, k).astype(np.float64) + 1.0,
+)
+half = n // 2
+Y_local = counts[pid * half:(pid + 1) * half]
+gene_idx, leverage = distributed_select_informative_genes(
+    Y_local, Xref, n_hvg=100, n_markers_per_type=10
+)
+np.save(os.path.join(outdir, f"gene_idx_p{{pid}}.npy"), gene_idx)
+np.save(os.path.join(outdir, f"leverage_p{{pid}}.npy"), leverage)
+
 with open(os.path.join(outdir, f"record_p{{pid}}.json"), "w") as f:
     json.dump(record, f)
 """
@@ -142,3 +167,27 @@ def test_two_process_solve_matches_single_process(tmp_path):
             assert rec["final_objective"] == pytest.approx(
                 info_ref["final_objective"], rel=1e-12
             )
+
+    # Distributed gene selection across the real process boundary must
+    # reproduce the single-host gene set on the concatenated matrix
+    # (the HVG moments are additive; allreduce_sums is the one reduction).
+    from scipy import sparse
+
+    from flashdeconv_tpu.utils.genes import select_informative_genes
+
+    grng = np.random.RandomState(7)
+    G, K2 = 500, 6
+    Xref = grng.gamma(2.0, 1.0, size=(K2, G)) * (grng.rand(K2, G) < 0.3)
+    counts = sparse.random(
+        n, G, density=0.1, format="csr", random_state=3,
+        data_rvs=lambda k: grng.poisson(5, k).astype(np.float64) + 1.0,
+    )
+    half = n // 2
+    idx_ref, lev_ref = select_informative_genes(
+        counts[: 2 * half], Xref, n_hvg=100, n_markers_per_type=10
+    )
+    for pid in range(2):
+        idx_mp = np.load(tmp_path / f"gene_idx_p{pid}.npy")
+        lev_mp = np.load(tmp_path / f"leverage_p{pid}.npy")
+        np.testing.assert_array_equal(idx_mp, idx_ref)
+        np.testing.assert_allclose(lev_mp, lev_ref, rtol=1e-12)
