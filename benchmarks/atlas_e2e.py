@@ -66,6 +66,11 @@ def main() -> None:
     p.add_argument("--nnz-per-spot", type=int, default=600)
     p.add_argument("--types", type=int, default=25)
     p.add_argument("--n-shards", type=int, default=None)
+    p.add_argument("--spatial-method", type=str, default="knn",
+                   choices=["knn", "grid", "radius"],
+                   help="spatial graph method (grid = Visium HD bins: "
+                   "auto-detected spacing, radius 1.5x spacing)")
+    p.add_argument("--radius", type=float, default=None)
     p.add_argument("--fits", type=int, default=1,
                    help="number of fits; the reported value is the best "
                         "(the first fit of a new shape pays a one-time XLA "
@@ -144,6 +149,7 @@ def main() -> None:
         model = FlashDeconv(
             sketch_dim=512, lambda_spatial="auto", n_hvg=2000,
             n_markers_per_type=50, k_neighbors=6, random_state=0,
+            spatial_method=args.spatial_method, radius=args.radius,
             n_shards=args.n_shards, verbose=False,
         )
         t0 = time.perf_counter()
