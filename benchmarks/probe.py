@@ -55,6 +55,16 @@ def probe(verbose: bool = True):
 
 
 def main() -> int:
+    if len(sys.argv) == 2:
+        # a deadline with no command is ambiguous — refuse rather than
+        # silently running a single probe
+        print(
+            "usage: probe.py            (one probe)\n"
+            "       probe.py MINUTES CMD...  (wait for a clean window, "
+            "then run CMD)",
+            file=sys.stderr,
+        )
+        return 2
     if len(sys.argv) < 3:
         host, _, fetch = probe()
         clean = host < HOST_DGEMM_CLEAN_S and fetch < FETCH_20MB_CLEAN_S

@@ -33,6 +33,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from flashdeconv_tpu import native
+from flashdeconv_tpu.parallel._runner import (
+    put_addressable,
+    run_prepared_solve,
+    validate_beta_init,
+)
 from flashdeconv_tpu.ops.bcd import (
     converge_loop,
     coordinate_descent,
@@ -114,10 +119,15 @@ class GspmdBandedProblem:
             raise ValueError(
                 "Y_sketch=None requires both xty and yty precomputed."
             )
+        n_types = int(X_sketch.shape[0])
+        if xty is not None and np.shape(xty) != (A.shape[0], n_types):
+            raise ValueError(
+                f"xty shape {np.shape(xty)} does not match the adjacency / "
+                f"signature dimensions ({A.shape[0]}, {n_types})"
+            )
         n_spots = int(
             Y_sketch.shape[0] if Y_sketch is not None else xty.shape[0]
         )
-        n_types = int(X_sketch.shape[0])
         self.n_spots, self.n_types = n_spots, n_types
         self.dtype = np.dtype(dtype)
 
@@ -186,11 +196,11 @@ class GspmdBandedProblem:
         self.XtX_d = put(XtX.astype(dtype), self._repl)
         self.YtY_d = put(np.asarray(YtY, dtype=dtype), self._repl)
         self.rest_d = put(np.zeros((n_pad, 0), dtype=np.int32), self._shard)
-        # Default uniform init, resident (reused by every cold solve; the
-        # fused loop does not donate its inputs).
-        beta0_np = np.zeros((n_pad, n_types), dtype=dtype)
-        beta0_np[:n_spots] = 1.0 / n_types
-        self._beta0_uniform_d = put(beta0_np, self._shard)
+        # Default uniform init, built lazily on the first no-init solve and
+        # then kept resident (the fused loop does not donate its inputs) —
+        # warm-start-only workloads (fit_lambda_path after lambda 0) never
+        # pay the (n_pad, K) device residency.
+        self._beta0_uniform_d = None
 
         if verbose:
             print(
@@ -200,13 +210,14 @@ class GspmdBandedProblem:
             )
 
     def _put(self, arr, sharding):
-        # make_array_from_callback (rather than device_put) so each process
-        # materializes only its addressable shards — works identically on
-        # one host and across a multi-host mesh (parallel/multihost.py).
-        arr = np.asarray(arr)
-        return jax.make_array_from_callback(
-            arr.shape, sharding, lambda idx: arr[idx]
-        )
+        return put_addressable(arr, sharding)
+
+    def _beta0_default(self):
+        if self._beta0_uniform_d is None:
+            beta0_np = np.zeros((self.n_pad, self.n_types), dtype=self.dtype)
+            beta0_np[: self.n_spots] = 1.0 / self.n_types
+            self._beta0_uniform_d = self._put(beta0_np, self._shard)
+        return self._beta0_uniform_d
 
     def solve(
         self,
@@ -234,17 +245,13 @@ class GspmdBandedProblem:
                 "halo_width": self.halo,
             }
 
+        validate_beta_init(beta_init, n_spots, n_types)
         if beta_init is not None:
-            if beta_init.shape != (n_spots, n_types):
-                raise ValueError(
-                    f"beta_init shape {beta_init.shape} does not match "
-                    f"({n_spots}, {n_types})"
-                )
             beta0_np = np.zeros((self.n_pad, n_types), dtype=dtype)
             beta0_np[:n_spots] = np.maximum(beta_init, 0.0)
             beta0_d = self._put(beta0_np, self._shard)
         else:
-            beta0_d = self._beta0_uniform_d
+            beta0_d = self._beta0_default()
 
         rho_eff = float(rho) * self.rho_scale
         lam_d = self._put(np.asarray(lambda_, dtype=dtype), self._repl)
@@ -269,50 +276,19 @@ class GspmdBandedProblem:
                 self.halo,
             )
 
-        objectives: list = []
-        beta_pad = None
-        if verbose:
-            from flashdeconv_tpu.ops.bcd import chunked_verbose_solve
-
-            beta_d, n_iter, rel_change, converged, objectives = (
-                chunked_verbose_solve(
-                    run_chunk, eval_objective, beta0_d, max_iter, tol
-                )
+        beta_pad, n_iter, rel_change, final_obj, converged, objectives = (
+            run_prepared_solve(
+                run_chunk, eval_objective, beta0_d, max_iter, tol, verbose
             )
-            final_obj = objectives[-1]
-        else:
-            beta_d, n_iter_d, rel_d = run_chunk(
-                beta0_d, jnp.asarray(max_iter, dtype=jnp.int32)
-            )
-            obj_d = eval_objective(beta_d)
-            # Single-process meshes bundle beta into the scalar round trip.
-            if jax.process_count() > 1:
-                n_iter_h, rel_h, obj_h = jax.device_get(
-                    (n_iter_d, rel_d, obj_d)
-                )
-            else:
-                n_iter_h, rel_h, obj_h, beta_pad = jax.device_get(
-                    (n_iter_d, rel_d, obj_d, beta_d)
-                )
-            n_iter = int(n_iter_h)
-            rel_change = float(rel_h)
-            final_obj = float(obj_h)
-            converged = rel_change < tol
-
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-
-            beta_pad = multihost_utils.process_allgather(beta_d, tiled=True)
-        elif beta_pad is None:  # verbose path fetched scalars separately
-            beta_pad = np.asarray(beta_d)
-        beta = np.asarray(beta_pad, dtype=np.float64)[:n_spots]
+        )
+        beta = beta_pad[:n_spots]
 
         info = {
-            "converged": bool(converged),
-            "n_iterations": int(n_iter),
-            "final_objective": float(final_obj),
+            "converged": converged,
+            "n_iterations": n_iter,
+            "final_objective": final_obj,
             "objectives": objectives,
-            "final_change": float(rel_change),
+            "final_change": rel_change,
             "n_shards": self.n_shards,
             "n_bands": len(self.offsets),
             "halo_width": self.halo,

@@ -34,6 +34,11 @@ from flashdeconv_tpu.ops.bcd import (
     sweep_stats,
 )
 from flashdeconv_tpu import native
+from flashdeconv_tpu.parallel._runner import (
+    put_addressable,
+    run_prepared_solve,
+    validate_beta_init,
+)
 from flashdeconv_tpu.parallel.partition import ShardPlan, plan_shards
 
 _AXIS = "spots"
@@ -287,10 +292,15 @@ class HaloShardedProblem:
             raise ValueError(
                 "Y_sketch=None requires both xty and yty precomputed."
             )
+        n_types = int(X_sketch.shape[0])
+        if xty is not None and np.shape(xty) != (A.shape[0], n_types):
+            raise ValueError(
+                f"xty shape {np.shape(xty)} does not match the adjacency / "
+                f"signature dimensions ({A.shape[0]}, {n_types})"
+            )
         n_spots = int(
             Y_sketch.shape[0] if Y_sketch is not None else xty.shape[0]
         )
-        n_types = int(X_sketch.shape[0])
         self.n_spots, self.n_types = n_spots, n_types
         self.dtype = np.dtype(dtype)
 
@@ -344,23 +354,24 @@ class HaloShardedProblem:
         self.send_d = put(plan.send_idx, self._shard)
         self.XtX_d = put(XtX64.astype(dtype), self._repl)
         self.YtY_d = put(np.asarray(YtY, dtype=dtype), self._repl)
-        # Default uniform init, resident (reused by every cold solve; the
-        # fused loop does not donate its inputs).
-        beta0 = np.where(
-            plan.spot_mask[:, None], np.asarray(1.0 / n_types, dtype=dtype),
-            0.0,
-        ).astype(dtype)
-        beta0 = np.broadcast_to(beta0, (plan.n_padded, n_types)).copy()
-        self._beta0_uniform_d = put(beta0, self._shard)
+        # Default uniform init, built lazily on the first no-init solve and
+        # then kept resident (the fused loop does not donate its inputs) —
+        # warm-start-only workloads never pay the (n_pad, K) residency.
+        self._beta0_uniform_d = None
 
     def _put(self, arr, sharding):
-        # make_array_from_callback (rather than device_put) so each process
-        # materializes only its addressable shards — works identically on
-        # one host and across a multi-host mesh (parallel/multihost.py).
-        arr = np.asarray(arr)
-        return jax.make_array_from_callback(
-            arr.shape, sharding, lambda idx: arr[idx]
-        )
+        return put_addressable(arr, sharding)
+
+    def _beta0_default(self):
+        if self._beta0_uniform_d is None:
+            plan, n_types, dtype = self.plan, self.n_types, self.dtype
+            beta0 = np.where(
+                plan.spot_mask[:, None],
+                np.asarray(1.0 / n_types, dtype=dtype), 0.0,
+            ).astype(dtype)
+            beta0 = np.broadcast_to(beta0, (plan.n_padded, n_types)).copy()
+            self._beta0_uniform_d = self._put(beta0, self._shard)
+        return self._beta0_uniform_d
 
     def solve(
         self,
@@ -386,18 +397,14 @@ class HaloShardedProblem:
                 "halo_width": plan.halo_width,
             }
 
+        validate_beta_init(beta_init, n_spots, n_types)
         if beta_init is not None:
-            if beta_init.shape != (n_spots, n_types):
-                raise ValueError(
-                    f"beta_init shape {beta_init.shape} does not match "
-                    f"({n_spots}, {n_types})"
-                )
             beta0 = plan.scatter(
                 np.ascontiguousarray(np.maximum(beta_init, 0.0), dtype=dtype)
             )
             beta0_d = self._put(beta0, self._shard)
         else:
-            beta0_d = self._beta0_uniform_d
+            beta0_d = self._beta0_default()
 
         rho_eff = float(rho) * self.rho_scale
         lam_d = self._put(np.asarray(lambda_, dtype=dtype), self._repl)
@@ -417,56 +424,19 @@ class HaloShardedProblem:
                 self.send_d, self.YtY_d, lam_d, rho_d, mesh,
             )
 
-        objectives: list = []
-        beta_pad = None
-        if verbose:
-            from flashdeconv_tpu.ops.bcd import chunked_verbose_solve
-
-            beta_d, n_iter, rel_change, converged, objectives = (
-                chunked_verbose_solve(
-                    run_chunk, eval_objective, beta0_d, max_iter, tol
-                )
+        beta_pad, n_iter, rel_change, final_obj, converged, objectives = (
+            run_prepared_solve(
+                run_chunk, eval_objective, beta0_d, max_iter, tol, verbose
             )
-            final_obj = objectives[-1]
-        else:
-            beta_d, n_iter_d, rel_d = run_chunk(
-                beta0_d, jnp.asarray(max_iter, dtype=jnp.int32)
-            )
-            # Device objective, async-dispatched behind the solve; one
-            # bundled fetch for all three scalars (no host (K, N) matmul /
-            # Laplacian). Single-process meshes bundle beta into the same
-            # round trip.
-            obj_d = eval_objective(beta_d)
-            if jax.process_count() > 1:
-                n_iter_h, rel_h, obj_h = jax.device_get(
-                    (n_iter_d, rel_d, obj_d)
-                )
-            else:
-                n_iter_h, rel_h, obj_h, beta_pad = jax.device_get(
-                    (n_iter_d, rel_d, obj_d, beta_d)
-                )
-            n_iter = int(n_iter_h)
-            rel_change = float(rel_h)
-            final_obj = float(obj_h)
-            converged = rel_change < tol
-
-        if jax.process_count() > 1:
-            # Global array spans non-addressable devices: gather across
-            # hosts.
-            from jax.experimental import multihost_utils
-
-            beta_pad = multihost_utils.process_allgather(beta_d, tiled=True)
-        elif beta_pad is None:  # verbose path fetched scalars separately
-            beta_pad = np.asarray(beta_d)
-        beta_pad = np.asarray(beta_pad, dtype=np.float64)
+        )
         beta = plan.gather(beta_pad)
 
         info = {
-            "converged": bool(converged),
-            "n_iterations": int(n_iter),
-            "final_objective": float(final_obj),
+            "converged": converged,
+            "n_iterations": n_iter,
+            "final_objective": final_obj,
             "objectives": objectives,
-            "final_change": float(rel_change),
+            "final_change": rel_change,
             "n_shards": self.n_shards,
             "halo_width": plan.halo_width,
         }

@@ -130,7 +130,14 @@ def test_two_process_solve_matches_single_process(tmp_path):
         )
         for pid in range(2)
     ]
-    outs = [p.communicate(timeout=240) for p in procs]
+    try:
+        outs = [p.communicate(timeout=240) for p in procs]
+    finally:
+        # If one worker hangs (e.g. its peer crashed inside the Gloo
+        # barrier), kill BOTH so no orphan holds the coordinator port.
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
 

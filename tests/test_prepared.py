@@ -315,3 +315,23 @@ class TestPreparedSharded:
             prepare_sharded_bcd(
                 np.zeros((0, 8)), np.zeros((5, 8)), sparse.csr_matrix((0, 0))
             )
+
+    @pytest.mark.parametrize("make", ["_grid_problem", "_irregular_problem"])
+    def test_prepare_rejects_mismatched_xty(self, make):
+        """A wrong-shaped precomputed xty must fail at prepare with a named
+        operand, not as an opaque scatter/jit error later."""
+        from flashdeconv_tpu.parallel import prepare_sharded_bcd
+
+        Y, X, A, coords = getattr(self, make)()
+        bad = np.zeros((A.shape[0] + 1, X.shape[0]))  # one row too many
+        with pytest.raises(ValueError, match="xty shape"):
+            prepare_sharded_bcd(
+                None, X, A, coords=coords, n_shards=4, dtype=np.float64,
+                xty=bad, yty=1.0,
+            )
+        bad_k = np.zeros((A.shape[0], X.shape[0] + 2))  # (N, d)-like
+        with pytest.raises(ValueError, match="xty shape"):
+            prepare_sharded_bcd(
+                None, X, A, coords=coords, n_shards=4, dtype=np.float64,
+                xty=bad_k, yty=1.0,
+            )
