@@ -100,8 +100,11 @@ class GraphDecomposition:
         self.offsets = self.masks = self.A_rest = None
         if n_spots < 8192:
             return
+        # 32 offsets: grid kNN graphs have ~18 distinct diagonals; capping
+        # at 16 strands a few corner edges in the gather remainder, which
+        # both adds a gather pass and disqualifies the fully fused kernel.
         offsets_np, masks_np, A_rest = banded_split(
-            A, max_offsets=16, min_coverage=0.9
+            A, max_offsets=32, min_coverage=0.9
         )
         if (
             offsets_np.size == 0
@@ -114,7 +117,7 @@ class GraphDecomposition:
             )
             A_cand = A.tocsr()[cand][:, cand]
             off_c, masks_c, rest_c = banded_split(
-                A_cand, max_offsets=16, min_coverage=0.9
+                A_cand, max_offsets=32, min_coverage=0.9
             )
             if off_c.size:
                 self.perm = cand
@@ -330,6 +333,23 @@ class BCDProblem:
             self.nbr_d = jnp.asarray(nbr_idx)
             self.ov_src_d = jnp.asarray(ov_src) if ov_src is not None else None
             self.ov_dst_d = jnp.asarray(ov_dst) if ov_dst is not None else None
+
+        # Fully fused banded sweep (ops/bcd.fused_banded_sweep): neighbor
+        # sum + Gauss-Seidel pass + convergence stats in ONE VMEM kernel on
+        # a transposed block-padded carry — eliminates the per-offset beta
+        # re-reads, the per-sweep (N, K) <-> (K, N) transposes, and the
+        # separate stats pass. Eligible when the decomposition is 100%
+        # banded (no gather remainder) and the halo fits a few pad blocks.
+        self.use_fused_banded = False
+        if use_banded and use_pallas and A_rest.nnz == 0:
+            h = -(-self.halo // 2048)
+            if 1 <= h <= 8:
+                self.use_fused_banded = True
+                self.h_blocks = int(h)
+                self.fused_block = 2048
+                # one-time device transposes into the kernel layout
+                self.Xty_t_d = jax.jit(lambda x: x.T)(Xty_d)
+                self.nnb_row_d = jax.jit(lambda x: x[None, :])(self.nnb_d)
         if perm is not None:
             inv = np.empty(n_spots, dtype=np.int32)
             inv[perm] = np.arange(n_spots, dtype=np.int32)
@@ -350,8 +370,20 @@ class BCDProblem:
 
     # -- internal device closures -----------------------------------------
     def _run_chunk(self, beta_d, lam_d, rho_d, tol_d, max_iter: int, cap):
-        from flashdeconv_tpu.ops.bcd import bcd_iterate, bcd_iterate_banded
+        from flashdeconv_tpu.ops.bcd import (
+            bcd_iterate,
+            bcd_iterate_banded,
+            bcd_iterate_banded_fused,
+        )
 
+        if self.use_fused_banded:
+            # beta_d is the transposed padded carry here (see solve()).
+            return bcd_iterate_banded_fused(
+                beta_d, self.Xty_t_d, self.XtX_d, self.masks_d,
+                self.nnb_row_d, lam_d, rho_d, tol_d, max_iter,
+                self.offsets, self.h_blocks, block=self.fused_block,
+                iter_cap=cap,
+            )
         if self.use_banded:
             return bcd_iterate_banded(
                 beta_d, self.Xty_d, self.XtX_d, self.offsets, self.masks_d,
@@ -371,6 +403,14 @@ class BCDProblem:
             objective_terms_jit,
         )
 
+        if self.use_fused_banded:
+            from flashdeconv_tpu.ops.bcd import objective_terms_banded_fused
+
+            return objective_terms_banded_fused(
+                beta_d, self.Xty_t_d, self.XtX_d, self.YtY_d, self.offsets,
+                self.masks_d, self.nnb_row_d, lam_d, rho_d,
+                self.h_blocks, self.fused_block,
+            )
         if self.use_banded:
             return objective_terms_banded(
                 beta_d, self.Xty_d, self.XtX_d, self.YtY_d, self.offsets,
@@ -434,6 +474,10 @@ class BCDProblem:
         rho_d = jnp.asarray(rho * self.mean_diag, dtype=self.dtype)
         tol_d = jnp.asarray(tol, dtype=self.dtype)
         beta0 = self._beta0(beta_init)
+        if self.use_fused_banded:
+            from flashdeconv_tpu.ops.bcd import to_fused_carry
+
+            beta0 = to_fused_carry(beta0, self.h_blocks, self.fused_block)
 
         objectives: list = []
         beta_h = None
@@ -456,6 +500,12 @@ class BCDProblem:
             )
             # every loop exit just evaluated the objective at the final beta
             final_obj = objectives[-1]
+            if self.use_fused_banded:
+                from flashdeconv_tpu.ops.bcd import from_fused_carry
+
+                beta_d = from_fused_carry(
+                    beta_d, self.h_blocks, self.fused_block
+                )
         else:
             # cap == bound here; passing it as a traced arg keeps this the
             # SAME compiled executable as the verbose chunked path.
@@ -469,6 +519,14 @@ class BCDProblem:
             # beta itself — in a single host<->device round trip (it matters
             # when the accelerator is remote-attached).
             obj_d = self._eval_objective(beta_d, lam_d, rho_d)
+            if self.use_fused_banded:
+                # Back to (n_solve, K) on device BEFORE the bundled fetch
+                # (the objective above consumed the carry layout).
+                from flashdeconv_tpu.ops.bcd import from_fused_carry
+
+                beta_d = from_fused_carry(
+                    beta_d, self.h_blocks, self.fused_block
+                )
             if return_device:
                 n_iter_h, rel_h, obj_h = jax.device_get(
                     (n_iter_d, rel_d, obj_d)

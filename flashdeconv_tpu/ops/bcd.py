@@ -315,6 +315,257 @@ def coordinate_descent_pallas(
     return out_t.T
 
 
+def _make_fused_banded_kernel(offsets: Tuple[int, ...], h: int, block: int,
+                              n_blocks_total: int):
+    """Build the fully fused banded-sweep kernel for a static band set.
+
+    One grid step = one ``block``-column slab of the transposed carry
+    ``beta_ext`` (K, n_solve + 2*h*block). The kernel fuses, entirely in
+    VMEM: the banded neighbor sum (static window slices — beta is read from
+    HBM exactly ONCE per sweep instead of once per offset), the full
+    Gauss-Seidel coordinate pass (identical iterate path to
+    :func:`_cd_block_kernel`), and the per-block convergence statistics
+    (max |delta|, max |old|) that previously cost a separate full pass.
+    Edge slabs (the h zero-pad blocks on each side) write zeros.
+    """
+    from jax.experimental import pallas as pl
+
+    def kernel(lam_ref, rho_ref, *refs):
+        beta_views = refs[: 2 * h + 1]
+        xty_ref, masks_ref, nnb_ref, xtx_ref = refs[2 * h + 1 : 2 * h + 5]
+        out_beta_ref, out_diff_ref, out_abs_ref = refs[2 * h + 5 :]
+
+        i = pl.program_id(0)
+        is_mid = jnp.logical_and(i >= h, i < n_blocks_total - h)
+
+        @pl.when(is_mid)
+        def _mid():
+            lam = lam_ref[0, 0]
+            rho = rho_ref[0, 0]
+            win = jnp.concatenate([v[:] for v in beta_views], axis=1)
+            K = win.shape[0]
+
+            # Banded neighbor sum from the VMEM window: data row g of this
+            # slab sits at window column h*block + j, its offset-o neighbor
+            # at h*block + j + o — a static slice per band.
+            ns = jnp.zeros((K, block), dtype=win.dtype)
+            masks = masks_ref[:]
+            for u, off in enumerate(offsets):
+                sl = lax.slice_in_dim(
+                    win, h * block + off, h * block + off + block, axis=1
+                )
+                ns = ns + masks[u : u + 1, :] * sl
+
+            beta_old = lax.slice_in_dim(
+                win, h * block, (h + 1) * block, axis=1
+            )                                   # (K, B) center slab
+            xtx = xtx_ref[:]
+            xty = xty_ref[:]
+            r = jax.lax.dot_general(
+                xtx, beta_old, (((1,), (0,)), ((), ())),
+                precision=_PREC, preferred_element_type=jnp.float32,
+            )
+            denom_base = lam * nnb_ref[:]
+
+            # Full-(K, B) ops keep all 8 sublanes busy: per-row (1, B)
+            # variants use 1/8 of the VPU and measure slower despite doing
+            # less element work. Same iterate path as _cd_block_kernel.
+            beta = beta_old
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, beta.shape, 0)
+            for k in range(K):
+                old = beta[k : k + 1, :]
+                diag_k = xtx[k, k]
+                resid = xty[k : k + 1, :] - r[k : k + 1, :] \
+                    + diag_k * old + lam * ns[k : k + 1, :]
+                denom = diag_k + denom_base
+                new = jnp.where(
+                    denom > 1e-10,
+                    jnp.maximum(resid - rho, 0.0) / denom, 0.0,
+                )
+                delta = new - old
+                r = r + xtx[:, k : k + 1] * delta
+                beta = jnp.where(row_ids == k, new, beta)
+            out_beta_ref[:] = beta
+            out_diff_ref[i, 0] = jnp.max(jnp.abs(beta - beta_old))
+            out_abs_ref[i, 0] = jnp.max(jnp.abs(beta_old))
+
+        @pl.when(jnp.logical_not(is_mid))
+        def _edge():
+            out_beta_ref[:] = jnp.zeros_like(out_beta_ref)
+            out_diff_ref[i, 0] = 0.0
+            out_abs_ref[i, 0] = 0.0
+
+    return kernel
+
+
+def fused_banded_sweep(
+    beta_ext_t: jnp.ndarray,
+    Xty_t: jnp.ndarray,
+    XtX: jnp.ndarray,
+    masks: jnp.ndarray,
+    nnb_row: jnp.ndarray,
+    lambda_,
+    rho,
+    offsets: Tuple[int, ...],
+    h: int,
+    block: int = 2048,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One fully fused banded BCD sweep on the transposed padded carry.
+
+    Parameters
+    ----------
+    beta_ext_t : (K, n_solve + 2*h*block) f32 — transposed beta with ``h``
+        all-zero pad blocks on each side (the carry stays in this layout
+        for the whole solve loop; see ``BCDProblem``).
+    Xty_t : (K, n_solve); masks : (U, n_solve) f32; nnb_row : (1, n_solve).
+    offsets : static band offsets, each |o| <= h*block.
+    Returns ``(new beta_ext_t, max_diff, max_abs)`` — stats reduced over
+    per-block partials (a (n_blocks,) max, fused by XLA).
+
+    HBM traffic per sweep: ONE read of beta/Xty/masks + one write of beta —
+    the separate neighbor-sum pass (one beta read per offset), the
+    transposes into/out of the (K, B) kernel layout, and the sweep_stats
+    pass of the unfused path all disappear.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K, n_ext = beta_ext_t.shape
+    n_solve = n_ext - 2 * h * block
+    assert n_solve % block == 0 and n_solve > 0
+    n_blocks_total = n_ext // block
+    n_mid = n_solve // block
+    grid = (n_blocks_total,)
+
+    lam2d = jnp.reshape(jnp.asarray(lambda_, jnp.float32), (1, 1))
+    rho2d = jnp.reshape(jnp.asarray(rho, jnp.float32), (1, 1))
+
+    kernel = _make_fused_banded_kernel(offsets, h, block, n_blocks_total)
+
+    def view_map(j):
+        return lambda i: (0, jnp.clip(i + j - h, 0, n_blocks_total - 1))
+
+    def data_map(i):
+        return (0, jnp.clip(i - h, 0, n_mid - 1))
+
+    U = masks.shape[0]
+    beta_specs = [
+        pl.BlockSpec((K, block), view_map(j), memory_space=pltpu.VMEM)
+        for j in range(2 * h + 1)
+    ]
+    out_beta, diff_p, abs_p = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            *beta_specs,
+            pl.BlockSpec((K, block), data_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, block), data_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), data_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            # Per-block scalar stats: one SMEM-resident (n_blocks, 1)
+            # buffer revisited by every grid step (sub-(8, 128) blocks are
+            # not lowerable on TPU), indexed by program_id in the kernel.
+            pl.BlockSpec((n_blocks_total, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_blocks_total, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, n_ext), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks_total, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks_total, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_solve * K * (K + len(offsets)) * 2,
+            bytes_accessed=4 * (3 * n_ext * K + n_solve * (U + 1) + K * K),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        lam2d, rho2d, *([beta_ext_t] * (2 * h + 1)),
+        Xty_t, masks, nnb_row, XtX,
+    )
+    return out_beta, jnp.max(diff_p), jnp.max(abs_p)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("offsets", "max_iter", "h", "block", "interpret"),
+)
+def bcd_iterate_banded_fused(
+    beta_ext_t0, Xty_t, XtX, masks, nnb_row, lambda_, rho, tol,
+    max_iter: int, offsets: Tuple[int, ...], h: int, block: int = 2048,
+    iter_cap=None, interpret: bool = False,
+):
+    """Fused solve loop whose carry is the transposed padded beta; same
+    convergence semantics as :func:`bcd_iterate_banded` (the sweep math is
+    identical — only the memory schedule changed)."""
+    return converge_loop(
+        lambda beta_ext: fused_banded_sweep(
+            beta_ext, Xty_t, XtX, masks, nnb_row, lambda_, rho,
+            offsets, h, block=block, interpret=interpret,
+        ),
+        beta_ext_t0, tol, max_iter, iter_cap=iter_cap,
+    )
+
+
+@partial(jax.jit, static_argnames=("h", "block"))
+def to_fused_carry(beta0: jnp.ndarray, h: int, block: int) -> jnp.ndarray:
+    """(n_solve, K) beta -> the fused kernel's transposed padded carry."""
+    n_solve, K = beta0.shape
+    carry = jnp.zeros((K, n_solve + 2 * h * block), dtype=beta0.dtype)
+    return lax.dynamic_update_slice(carry, beta0.T, (0, h * block))
+
+
+@partial(jax.jit, static_argnames=("h", "block"))
+def from_fused_carry(beta_ext_t: jnp.ndarray, h: int, block: int
+                     ) -> jnp.ndarray:
+    """Transposed padded carry -> (n_solve, K) beta."""
+    n_solve = beta_ext_t.shape[1] - 2 * h * block
+    return lax.slice_in_dim(
+        beta_ext_t, h * block, h * block + n_solve, axis=1
+    ).T
+
+
+@partial(jax.jit, static_argnames=("offsets", "h", "block"))
+def objective_terms_banded_fused(
+    beta_ext_t, Xty_t, XtX, YtY, offsets: Tuple[int, ...], masks, nnb_row,
+    lambda_, rho, h: int, block: int,
+):
+    """Objective on the fused carry's transposed layout — same algebra as
+    :func:`objective_terms_banded`, shifts taken directly from the carry's
+    own zero padding (h*block >= halo by construction)."""
+    n_solve = Xty_t.shape[1]
+    beta_t = lax.slice_in_dim(
+        beta_ext_t, h * block, h * block + n_solve, axis=1
+    )
+    cross = jnp.sum(beta_t * Xty_t)
+    BtB = jnp.dot(beta_t, beta_t.T, precision=_PREC)
+    quad = jnp.sum(BtB * XtX)
+    fidelity = 0.5 * (YtY - 2.0 * cross + quad)
+
+    ns_t = jnp.zeros_like(beta_t)
+    for u, off in enumerate(offsets):
+        sl = lax.slice_in_dim(
+            beta_ext_t, h * block + off, h * block + off + n_solve, axis=1
+        )
+        ns_t = ns_t + masks[u : u + 1, :] * sl
+    deg_term = jnp.sum(nnb_row * jnp.sum(beta_t * beta_t, axis=0,
+                                         keepdims=True))
+    adj_term = jnp.sum(beta_t * ns_t)
+    spatial = 0.5 * lambda_ * (deg_term - adj_term)
+
+    sparsity = rho * jnp.sum(jnp.abs(beta_t))
+    return fidelity + spatial + sparsity
+
+
 def sweep_stats(
     beta_out: jnp.ndarray,
     beta_in: jnp.ndarray,

@@ -1,0 +1,171 @@
+"""Fully fused banded sweep kernel: interpret-mode parity on CPU.
+
+The fused kernel (``ops/bcd.fused_banded_sweep``) merges the banded neighbor
+sum, the Gauss-Seidel coordinate pass, and the convergence statistics into
+one VMEM kernel over a transposed block-padded carry. Its iterate must match
+the unfused banded path (:func:`bcd_iterate_banded` with XLA coordinate
+descent) exactly — same sweep math, different memory schedule. These tests
+pin that contract without TPU hardware via ``interpret=True``.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from flashdeconv_tpu.ops.bcd import (
+    bcd_iterate_banded,
+    bcd_iterate_banded_fused,
+    from_fused_carry,
+    fused_banded_sweep,
+    objective_terms_banded,
+    objective_terms_banded_fused,
+    to_fused_carry,
+)
+from flashdeconv_tpu.utils.graph import banded_split, build_knn_graph
+
+BLOCK = 256  # small block so interpret mode stays fast; 2048 in production
+
+
+def _fused_problem(side=64, k=6, n_types=6, seed=0):
+    """A fully banded problem: grid kNN graph restricted to its bands.
+
+    Any edges banded_split leaves in the remainder are DROPPED from the test
+    graph, so the banded decomposition covers the graph exactly — the fused
+    kernel's eligibility condition (A_rest.nnz == 0 in BCDProblem).
+    """
+    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+    coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+    A = build_knn_graph(coords, k=k)
+    n = A.shape[0]
+    assert n % BLOCK == 0
+
+    offsets, masks, _rest = banded_split(A, max_offsets=32, min_coverage=0.9)
+    assert offsets.size > 0
+    rows = np.concatenate([np.flatnonzero(masks[u]) for u in range(len(offsets))])
+    nnb = np.bincount(rows, minlength=n).astype(np.float32)
+    halo = int(np.max(np.abs(offsets)))
+    h = -(-halo // BLOCK)
+
+    rng = np.random.RandomState(seed)
+    beta0 = jnp.asarray(np.abs(rng.randn(n, n_types)), jnp.float32)
+    Xs = rng.randn(n_types, 64)
+    XtX = jnp.asarray(Xs @ Xs.T, jnp.float32)
+    Xty = jnp.asarray(np.abs(rng.randn(n, n_types)) * 5, jnp.float32)
+    return {
+        "beta0": beta0,
+        "Xty": Xty,
+        "XtX": XtX,
+        "offsets": tuple(int(o) for o in offsets),
+        "masks": jnp.asarray(masks, jnp.float32),
+        "nnb": jnp.asarray(nnb),
+        "halo": halo,
+        "h": int(h),
+        "rest": jnp.zeros((n, 0), dtype=jnp.int32),
+    }
+
+
+def _run_unfused(p, lam, rho, tol, max_iter):
+    return bcd_iterate_banded(
+        p["beta0"], p["Xty"], p["XtX"], p["offsets"], p["masks"], p["rest"],
+        p["nnb"], jnp.float32(lam), jnp.float32(rho), jnp.float32(tol),
+        max_iter, p["halo"], use_pallas=False,
+    )
+
+
+def _run_fused(p, lam, rho, tol, max_iter):
+    carry0 = to_fused_carry(p["beta0"], p["h"], BLOCK)
+    carry, n_iter, rel = bcd_iterate_banded_fused(
+        carry0, p["Xty"].T, p["XtX"], p["masks"], p["nnb"][None, :],
+        jnp.float32(lam), jnp.float32(rho), jnp.float32(tol), max_iter,
+        p["offsets"], p["h"], block=BLOCK, interpret=True,
+    )
+    return from_fused_carry(carry, p["h"], BLOCK), n_iter, rel
+
+
+@pytest.mark.parametrize("lam,rho", [(0.0, 0.0), (0.8, 0.3)])
+def test_fused_sweep_matches_unfused_iterate(lam, rho):
+    p = _fused_problem()
+    beta_ref, it_ref, rel_ref = _run_unfused(p, lam, rho, 1e-30, 4)
+    beta_out, it_out, rel_out = _run_fused(p, lam, rho, 1e-30, 4)
+    assert int(it_out) == int(it_ref) == 4
+    np.testing.assert_allclose(
+        np.asarray(beta_out), np.asarray(beta_ref), atol=2e-5
+    )
+    np.testing.assert_allclose(float(rel_out), float(rel_ref), rtol=1e-4)
+
+
+def test_fused_single_sweep_stats_match():
+    """One fused sweep's (beta, max_diff, max_abs) vs the unfused sweep."""
+    from flashdeconv_tpu.ops.bcd import bcd_sweep_banded
+
+    p = _fused_problem(seed=3)
+    ref_beta, ref_diff, ref_abs = bcd_sweep_banded(
+        p["beta0"], p["Xty"], p["XtX"], p["offsets"], p["masks"], p["rest"],
+        p["nnb"], jnp.float32(0.5), jnp.float32(0.1), p["halo"],
+        use_pallas=False,
+    )
+    carry0 = to_fused_carry(p["beta0"], p["h"], BLOCK)
+    carry, diff, mabs = fused_banded_sweep(
+        carry0, p["Xty"].T, p["XtX"], p["masks"], p["nnb"][None, :],
+        jnp.float32(0.5), jnp.float32(0.1), p["offsets"], p["h"],
+        block=BLOCK, interpret=True,
+    )
+    out = from_fused_carry(carry, p["h"], BLOCK)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_beta),
+                               atol=2e-5)
+    np.testing.assert_allclose(float(diff), float(ref_diff), rtol=1e-4)
+    np.testing.assert_allclose(float(mabs), float(ref_abs), rtol=1e-4)
+
+
+def test_fused_pad_blocks_stay_zero():
+    """The h zero-pad blocks on each side of the carry must stay exactly
+    zero through a sweep (they feed the edge rows' neighbor windows)."""
+    p = _fused_problem(seed=1)
+    carry0 = to_fused_carry(p["beta0"], p["h"], BLOCK)
+    carry, _, _ = fused_banded_sweep(
+        carry0, p["Xty"].T, p["XtX"], p["masks"], p["nnb"][None, :],
+        jnp.float32(1.0), jnp.float32(0.2), p["offsets"], p["h"],
+        block=BLOCK, interpret=True,
+    )
+    pad = p["h"] * BLOCK
+    assert np.all(np.asarray(carry[:, :pad]) == 0.0)
+    assert np.all(np.asarray(carry[:, -pad:]) == 0.0)
+
+
+def test_fused_convergence_iteration_count():
+    """Converging solve: same iteration count and final beta as unfused."""
+    p = _fused_problem(seed=2)
+    beta_ref, it_ref, _ = _run_unfused(p, 0.5, 0.05, 1e-3, 60)
+    beta_out, it_out, _ = _run_fused(p, 0.5, 0.05, 1e-3, 60)
+    assert int(it_ref) < 60  # actually converged
+    assert int(it_out) == int(it_ref)
+    np.testing.assert_allclose(
+        np.asarray(beta_out), np.asarray(beta_ref), atol=2e-4
+    )
+
+
+def test_fused_objective_matches_banded():
+    p = _fused_problem(seed=4)
+    beta, _, _ = _run_unfused(p, 0.7, 0.1, 1e-30, 3)
+    yty = jnp.float32(1e4)
+    ref = objective_terms_banded(
+        beta, p["Xty"], p["XtX"], yty, p["offsets"], p["masks"], p["rest"],
+        p["nnb"], jnp.float32(0.7), jnp.float32(0.1 * 3.0), p["halo"],
+    )
+    carry = to_fused_carry(beta, p["h"], BLOCK)
+    out = objective_terms_banded_fused(
+        carry, p["Xty"].T, p["XtX"], yty, p["offsets"], p["masks"],
+        p["nnb"][None, :], jnp.float32(0.7), jnp.float32(0.1 * 3.0),
+        p["h"], BLOCK,
+    )
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
+
+
+def test_carry_roundtrip():
+    rng = np.random.RandomState(0)
+    beta = jnp.asarray(rng.randn(4 * BLOCK, 9), jnp.float32)
+    carry = to_fused_carry(beta, 2, BLOCK)
+    assert carry.shape == (9, 4 * BLOCK + 4 * BLOCK)
+    back = from_fused_carry(carry, 2, BLOCK)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(beta))
