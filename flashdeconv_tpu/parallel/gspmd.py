@@ -42,6 +42,7 @@ from flashdeconv_tpu.ops.bcd import (
     converge_loop,
     coordinate_descent,
     coordinate_descent_pallas,
+    fused_banded_sweep,
     neighbor_sum_banded,
     sweep_stats,
 )
@@ -145,8 +146,11 @@ class GspmdBandedProblem:
         self.mesh = mesh
         self.n_shards = mesh.devices.size
 
+        # Gate on the MESH devices' platform, not the process default
+        # backend: under the axon plugin the default backend is "tpu" even
+        # when the caller builds a CPU mesh (virtual-device dry runs).
         self.use_pallas = (
-            jax.default_backend() == "tpu"
+            mesh.devices.flat[0].platform == "tpu"
             and self.dtype == np.float32
             and n_types <= 128
         )

@@ -309,8 +309,11 @@ class HaloShardedProblem:
         self.mesh = mesh
         self.n_shards = mesh.devices.size
 
+        # Mesh-platform gate (not jax.default_backend()): the axon plugin
+        # reports "tpu" as the default backend even when this solve runs on
+        # a virtual CPU mesh, and Pallas only lowers on real TPU devices.
         use_pallas = (
-            jax.default_backend() == "tpu"
+            mesh.devices.flat[0].platform == "tpu"
             and self.dtype == np.float32
             and n_types <= 128
         )
