@@ -16,6 +16,15 @@ row-parallel) or the fused Pallas kernel wrapped in a ``shard_map`` (Pallas
 kernels are opaque to the partitioner, but the pass is embarrassingly
 row-parallel so the wrap is trivial).
 
+On TPU meshes the whole sweep goes one step further
+(:func:`_gspmd_iterate_fused`): each shard runs the single fully fused
+banded Pallas kernel (:func:`flashdeconv_tpu.ops.bcd.fused_banded_sweep`)
+on a transposed local carry whose side pads hold the adjacent shards'
+boundary blocks, refreshed once per sweep by two ``ppermute`` block
+transfers over ICI; convergence statistics are per-block partials reduced
+with ``pmax``. Communication per sweep is exactly 2·h·block·K floats per
+shard boundary — the minimum the banded halo requires.
+
 Numerics are identical to the single-device banded path: same static
 shifts, same coordinate updates, same convergence rule.
 """
@@ -82,6 +91,84 @@ def _gspmd_iterate(
     return converge_loop(sweep, beta0, tol, max_iter, iter_cap=iter_cap)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "offsets", "h", "block", "max_iter", "mesh", "interpret"
+    ),
+)
+def _gspmd_iterate_fused(
+    beta0, Xty_t, XtX, masks, nnb_row, lam, rho, tol, iter_cap,
+    offsets: Tuple[int, ...], h: int, block: int, max_iter: int, mesh: Mesh,
+    interpret: bool = False,
+):
+    """Sharded solve loop over the fully fused banded Pallas kernel.
+
+    shard_map over the spot axis; per sweep each shard runs ONE Pallas
+    kernel (:func:`flashdeconv_tpu.ops.bcd.fused_banded_sweep`) on its
+    local transposed carry, whose ``h``-block side pads hold the adjacent
+    shards' boundary blocks — refreshed each sweep by two ``ppermute``
+    block transfers over ICI (the global ends stay zero: ppermute
+    zero-fills shards with no source). Convergence statistics are the
+    kernel's per-block partials reduced by ``pmax`` across shards, so the
+    iterate AND the stopping decision are bit-identical to the
+    single-device fused solve.
+
+    The transposed-carry layout is fully encapsulated: this function takes
+    and returns the (n_pad, K) row-sharded beta of the outer protocol.
+    """
+    n_shards = mesh.shape[_AXIS]
+    hB = h * block
+    perm_fwd = [(i, i + 1) for i in range(n_shards - 1)]  # to right neighbor
+    perm_bwd = [(i + 1, i) for i in range(n_shards - 1)]  # to left neighbor
+
+    def local_solve(beta_loc, xty_t, xtx, masks_loc, nnb_loc,
+                    lam, rho, tol, cap):
+        n_local = beta_loc.shape[0]
+
+        def sweep(ext):
+            # Halo refresh: my first/last h data blocks -> neighbors' pads.
+            first = jax.lax.slice_in_dim(ext, hB, 2 * hB, axis=1)
+            last = jax.lax.slice_in_dim(ext, n_local, n_local + hB, axis=1)
+            from_left = jax.lax.ppermute(last, _AXIS, perm_fwd)
+            from_right = jax.lax.ppermute(first, _AXIS, perm_bwd)
+            ext_in = jax.lax.dynamic_update_slice(ext, from_left, (0, 0))
+            ext_in = jax.lax.dynamic_update_slice(
+                ext_in, from_right, (0, hB + n_local)
+            )
+            out, diff, mabs = fused_banded_sweep(
+                ext_in, xty_t, xtx, masks_loc, nnb_loc, lam, rho,
+                offsets, h, block=block, interpret=interpret,
+            )
+            return (
+                out,
+                jax.lax.pmax(diff, _AXIS),
+                jax.lax.pmax(mabs, _AXIS),
+            )
+
+        ext0 = jnp.pad(beta_loc.T, ((0, 0), (hB, hB)))
+        ext, n_iter, rel = converge_loop(
+            sweep, ext0, tol, max_iter, iter_cap=cap
+        )
+        beta_out = jax.lax.slice_in_dim(ext, hB, hB + n_local, axis=1).T
+        return beta_out, n_iter, rel
+
+    return jax.shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(
+            P(_AXIS, None),   # beta (n_pad, K) row-sharded
+            P(None, _AXIS),   # Xty_t (K, n_pad)
+            P(),              # XtX
+            P(None, _AXIS),   # masks (U, n_pad)
+            P(None, _AXIS),   # nnb_row (1, n_pad)
+            P(), P(), P(), P(),
+        ),
+        out_specs=(P(_AXIS, None), P(), P()),
+        check_vma=False,  # pallas_call out_shape carries no vma info
+    )(beta0, Xty_t, XtX, masks, nnb_row, lam, rho, tol, iter_cap)
+
+
 class GspmdBandedProblem:
     """Prepared GSPMD banded problem: banded analysis, host precompute
     (XtX / YtY / Xty), and the device scatter of every beta-independent
@@ -113,6 +200,8 @@ class GspmdBandedProblem:
         _split=None,
         xty: Optional[np.ndarray] = None,
         yty: Optional[float] = None,
+        fused_block: int = 2048,
+        fused_interpret: bool = False,
     ):
         from flashdeconv_tpu.utils.graph import banded_split
 
@@ -154,7 +243,12 @@ class GspmdBandedProblem:
             and self.dtype == np.float32
             and n_types <= 128
         )
-        block = 2048 if self.use_pallas else 8
+        # fused_interpret=True forces the fused mesh kernel in interpret
+        # mode on a CPU mesh (parity tests); fused_block shrinks its block
+        # so tiny test problems stay fast. Production TPU: 2048.
+        block = (
+            fused_block if (self.use_pallas or fused_interpret) else 8
+        )
         chunk = self.n_shards * block
         n_pad = -(-n_spots // chunk) * chunk
         pad = n_pad - n_spots
@@ -185,6 +279,23 @@ class GspmdBandedProblem:
         self.halo = int(np.max(np.abs(offsets_np))) if offsets_np.size else 0
         self.offsets = tuple(int(o) for o in offsets_np)
 
+        # Fully fused banded mesh path: each shard runs ONE Pallas kernel
+        # per sweep (ops/bcd.fused_banded_sweep) on a transposed local
+        # carry whose side pads are refreshed by ppermute halo transfers.
+        # Eligible when the Pallas tier is on (or forced for interpret
+        # tests), the halo fits <=8 pad blocks, and the pad blocks fit
+        # inside ONE neighbor shard (ppermute reaches adjacent shards only).
+        h = -(-self.halo // block) if self.halo else 0
+        n_local = n_pad // self.n_shards
+        self.use_fused = (
+            (self.use_pallas or fused_interpret)
+            and 1 <= h <= 8
+            and h * block <= n_local
+        )
+        self._fused_h = int(h)
+        self._fused_block = int(block)
+        self._fused_interpret = bool(fused_interpret)
+
         self._shard = NamedSharding(mesh, P(_AXIS))
         shard_cols = NamedSharding(mesh, P(None, _AXIS))
         self._repl = NamedSharding(mesh, P())
@@ -192,6 +303,12 @@ class GspmdBandedProblem:
         put = self._put
         self.Xty_d = put(Xty, self._shard)
         self.nnb_d = put(nnb, self._shard)
+        if self.use_fused:
+            # Kernel-layout copies (the row-layout originals stay resident
+            # for the objective evaluation, which is per-solve, not
+            # per-sweep).
+            self.Xty_t_d = put(np.ascontiguousarray(Xty.T), shard_cols)
+            self.nnb_row_d = put(nnb[None, :], shard_cols)
         # 0/1 masks travel as uint8 (4x less host->device traffic) and
         # widen on device, staying sharded.
         self.masks_d = jax.jit(
@@ -207,10 +324,13 @@ class GspmdBandedProblem:
         self._beta0_uniform_d = None
 
         if verbose:
+            kernel = "fused Pallas" if self.use_fused else (
+                "Pallas CD" if self.use_pallas else "XLA"
+            )
             print(
                 f"GSPMD banded solve: {self.n_shards} shards x "
                 f"{n_pad // self.n_shards} spots, {len(self.offsets)} bands, "
-                f"halo {self.halo}"
+                f"halo {self.halo}, {kernel} sweep kernel"
             )
 
     def _put(self, arr, sharding):
@@ -262,12 +382,21 @@ class GspmdBandedProblem:
         rho_d = self._put(np.asarray(rho_eff, dtype=dtype), self._repl)
         tol_d = self._put(np.asarray(tol, dtype=dtype), self._repl)
 
-        def run_chunk(beta_d, cap):
-            return _gspmd_iterate(
-                beta_d, self.Xty_d, self.XtX_d, self.masks_d, self.nnb_d,
-                lam_d, rho_d, tol_d, cap, self.offsets, self.halo, max_iter,
-                self.mesh, self.use_pallas,
-            )
+        if self.use_fused:
+            def run_chunk(beta_d, cap):
+                return _gspmd_iterate_fused(
+                    beta_d, self.Xty_t_d, self.XtX_d, self.masks_d,
+                    self.nnb_row_d, lam_d, rho_d, tol_d, cap, self.offsets,
+                    self._fused_h, self._fused_block, max_iter, self.mesh,
+                    self._fused_interpret,
+                )
+        else:
+            def run_chunk(beta_d, cap):
+                return _gspmd_iterate(
+                    beta_d, self.Xty_d, self.XtX_d, self.masks_d, self.nnb_d,
+                    lam_d, rho_d, tol_d, cap, self.offsets, self.halo,
+                    max_iter, self.mesh, self.use_pallas,
+                )
 
         def eval_objective(beta_d):
             # Global banded objective over spot-sharded operands; GSPMD
@@ -296,6 +425,7 @@ class GspmdBandedProblem:
             "n_shards": self.n_shards,
             "n_bands": len(self.offsets),
             "halo_width": self.halo,
+            "fused_kernel": self.use_fused,
         }
         return beta, info
 

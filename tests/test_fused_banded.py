@@ -162,6 +162,72 @@ def test_fused_objective_matches_banded():
     np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
 
 
+class TestFusedMeshPath:
+    """The fused kernel under shard_map (GSPMD banded problem): per-shard
+    Pallas sweep + ppermute halo blocks + pmax stats must reproduce the
+    unfused GSPMD solve exactly (same sweeps, same beta)."""
+
+    def _problem(self, side=96, k_types=6, d=48, seed=7):
+        import jax
+
+        xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+        coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+        n = coords.shape[0]
+        rng = np.random.RandomState(seed)
+        X_sketch = rng.randn(k_types, d)
+        Y_sketch = np.abs(rng.randn(n, k_types)) @ X_sketch \
+            + 0.05 * rng.randn(n, d)
+        A = build_knn_graph(coords, k=6)
+        return Y_sketch, X_sketch, A
+
+    def test_matches_unfused_mesh(self):
+        import jax
+        from jax.sharding import Mesh
+
+        from flashdeconv_tpu.parallel.gspmd import GspmdBandedProblem
+
+        Y, X, A = self._problem()
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("spots",))
+        kw = dict(lambda_=0.3, rho=0.01, max_iter=40, tol=1e-5)
+
+        pf = GspmdBandedProblem(
+            Y, X, A, mesh=mesh, dtype=np.float32,
+            fused_interpret=True, fused_block=BLOCK,
+        )
+        assert pf.use_fused and pf._fused_h == 1
+        b_fused, i_fused = pf.solve(**kw)
+
+        pu = GspmdBandedProblem(Y, X, A, mesh=mesh, dtype=np.float32)
+        assert not pu.use_fused
+        b_ref, i_ref = pu.solve(**kw)
+
+        assert i_fused["n_iterations"] == i_ref["n_iterations"]
+        np.testing.assert_allclose(b_fused, b_ref, atol=2e-5)
+        np.testing.assert_allclose(
+            i_fused["final_objective"], i_ref["final_objective"], rtol=1e-5
+        )
+
+    def test_shard_count_invariance(self):
+        import jax
+        from jax.sharding import Mesh
+
+        from flashdeconv_tpu.parallel.gspmd import GspmdBandedProblem
+
+        Y, X, A = self._problem(side=64, seed=3)
+        kw = dict(lambda_=0.2, rho=0.01, max_iter=30, tol=1e-5)
+        betas = []
+        for s in (1, 8):
+            mesh = Mesh(np.asarray(jax.devices()[:s]), ("spots",))
+            p = GspmdBandedProblem(
+                Y, X, A, mesh=mesh, dtype=np.float32,
+                fused_interpret=True, fused_block=BLOCK,
+            )
+            assert p.use_fused
+            beta, _ = p.solve(**kw)
+            betas.append(beta)
+        np.testing.assert_allclose(betas[1], betas[0], atol=2e-5)
+
+
 def test_carry_roundtrip():
     rng = np.random.RandomState(0)
     beta = jnp.asarray(rng.randn(4 * BLOCK, 9), jnp.float32)
