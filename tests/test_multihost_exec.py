@@ -76,6 +76,24 @@ for strategy in ("banded", "halo"):
     }}
     np.save(os.path.join(outdir, f"beta_{{strategy}}_p{{pid}}.npy"), beta)
 
+# Fused banded mesh kernel (interpret mode) across the REAL process
+# boundary: the per-sweep ppermute halo-block transfers at the shard
+# 3 -> 4 boundary ride Gloo here (ICI on a pod). Must be bit-identical
+# to the single-process 8-device fused solve.
+from flashdeconv_tpu.parallel.gspmd import GspmdBandedProblem
+
+pfused = GspmdBandedProblem(
+    Y_sketch, X_sketch, A, mesh=mesh, dtype=np.float32,
+    fused_interpret=True, fused_block=32,
+)
+assert pfused.use_fused
+beta_f, info_f = pfused.solve(lambda_=0.3, max_iter=40, tol=1e-5)
+record["fused"] = {{
+    "n_iterations": info_f["n_iterations"],
+    "final_objective": info_f["final_objective"],
+}}
+np.save(os.path.join(outdir, f"beta_fused_p{{pid}}.npy"), beta_f)
+
 # Distributed gene selection: each process holds ONLY its half of the
 # spots; the HVG moments are the one cross-process reduction
 # (allreduce_sums -> process_allgather). Must reproduce the single-host
@@ -174,6 +192,27 @@ def test_two_process_solve_matches_single_process(tmp_path):
             assert rec["final_objective"] == pytest.approx(
                 info_ref["final_objective"], rel=1e-12
             )
+
+    # Fused mesh kernel: single-process 8-device fused reference.
+    import jax
+    from jax.sharding import Mesh
+
+    from flashdeconv_tpu.parallel.gspmd import GspmdBandedProblem
+
+    mesh8 = Mesh(np.asarray(jax.devices()[:8]), ("spots",))
+    pfused_ref = GspmdBandedProblem(
+        Y_sketch, X_sketch, A, mesh=mesh8, dtype=np.float32,
+        fused_interpret=True, fused_block=32,
+    )
+    assert pfused_ref.use_fused
+    beta_fused_ref, info_fused_ref = pfused_ref.solve(
+        lambda_=0.3, max_iter=40, tol=1e-5
+    )
+    for pid in range(2):
+        beta_mp = np.load(tmp_path / f"beta_fused_p{pid}.npy")
+        np.testing.assert_array_equal(beta_mp, beta_fused_ref)
+        assert (records[pid]["fused"]["n_iterations"]
+                == info_fused_ref["n_iterations"])
 
     # Distributed gene selection across the real process boundary must
     # reproduce the single-host gene set on the concatenated matrix
