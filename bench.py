@@ -64,9 +64,17 @@ def make_problem(n_spots: int, n_types: int, d: int, seed: int = 0):
     beta_true /= beta_true.sum(axis=1, keepdims=True)
 
     Y_sketch = beta_true @ X_sketch
-    noise = rng.standard_normal((n_spots, d), dtype=np.float32)
-    noise *= 0.05
-    Y_sketch += noise
+    # Chunked noise add: PCG64 draws are sequential, so per-block
+    # standard_normal calls produce the exact same stream as one giant
+    # call — but the temporary stays ~256 MB instead of a second full
+    # (N, d) array, which matters on hosts that fault fresh anonymous
+    # pages slowly (20 GB of extra first-touch at 10M spots).
+    step = 1 << 17
+    for s in range(0, n_spots, step):
+        e = min(n_spots, s + step)
+        noise = rng.standard_normal((e - s, d), dtype=np.float32)
+        noise *= 0.05
+        Y_sketch[s:e] += noise
     return Y_sketch, X_sketch, coords
 
 
