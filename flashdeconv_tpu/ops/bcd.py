@@ -386,14 +386,14 @@ def _make_fused_banded_kernel(offsets: Tuple[int, ...], h: int, block: int,
                 r = r + xtx[:, k : k + 1] * delta
                 beta = jnp.where(row_ids == k, new, beta)
             out_beta_ref[:] = beta
-            out_diff_ref[i, 0] = jnp.max(jnp.abs(beta - beta_old))
-            out_abs_ref[i, 0] = jnp.max(jnp.abs(beta_old))
+            out_diff_ref[0, i] = jnp.max(jnp.abs(beta - beta_old))
+            out_abs_ref[0, i] = jnp.max(jnp.abs(beta_old))
 
         @pl.when(jnp.logical_not(is_mid))
         def _edge():
             out_beta_ref[:] = jnp.zeros_like(out_beta_ref)
-            out_diff_ref[i, 0] = 0.0
-            out_abs_ref[i, 0] = 0.0
+            out_diff_ref[0, i] = 0.0
+            out_abs_ref[0, i] = 0.0
 
     return kernel
 
@@ -469,18 +469,21 @@ def fused_banded_sweep(
         out_specs=[
             pl.BlockSpec((K, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            # Per-block scalar stats: one SMEM-resident (n_blocks, 1)
+            # Per-block scalar stats: one SMEM-resident (1, n_blocks)
             # buffer revisited by every grid step (sub-(8, 128) blocks are
             # not lowerable on TPU), indexed by program_id in the kernel.
-            pl.BlockSpec((n_blocks_total, 1), lambda i: (0, 0),
+            # Lane-major (1, n) — the transposed (n, 1) layout pads every
+            # row to 128 lanes and blows the 1 MB SMEM budget at ~5k
+            # blocks (hit at 10M spots).
+            pl.BlockSpec((1, n_blocks_total), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((n_blocks_total, 1), lambda i: (0, 0),
+            pl.BlockSpec((1, n_blocks_total), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((K, n_ext), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks_total, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks_total, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_blocks_total), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_blocks_total), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * n_solve * K * (K + len(offsets)) * 2,
