@@ -342,14 +342,27 @@ class BCDProblem:
         # banded (no gather remainder) and the halo fits a few pad blocks.
         self.use_fused_banded = False
         if use_banded and use_pallas and A_rest.nnz == 0:
+            from flashdeconv_tpu.ops.bcd import (
+                FUSED_VMEM_BUDGET_BYTES,
+                fused_banded_vmem_bytes,
+            )
+
             h = -(-self.halo // 2048)
-            if 1 <= h <= 8:
+            if 1 <= h <= 8 and fused_banded_vmem_bytes(
+                n_types, len(self.offsets), h
+            ) <= FUSED_VMEM_BUDGET_BYTES:
                 self.use_fused_banded = True
                 self.h_blocks = int(h)
                 self.fused_block = 2048
                 # one-time device transposes into the kernel layout
                 self.Xty_t_d = jax.jit(lambda x: x.T)(Xty_d)
                 self.nnb_row_d = jax.jit(lambda x: x[None, :])(self.nnb_d)
+                # The row-layout operands are unreachable on the fused
+                # path (sweep AND objective consume the transposed
+                # copies); release them so the dominant (N, K) buffer is
+                # not resident twice (~800 MB at 10M spots).
+                self.Xty_d = None
+                self.nnb_d = None
         if perm is not None:
             inv = np.empty(n_spots, dtype=np.int32)
             inv[perm] = np.arange(n_spots, dtype=np.int32)

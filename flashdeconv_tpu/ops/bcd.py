@@ -212,33 +212,31 @@ def coordinate_descent(
     return beta
 
 
-def _cd_block_kernel(lam_ref, rho_ref, beta_ref, xty_ref, ns_ref, nnb_ref,
-                     xtx_ref, out_ref):
-    """Pallas TPU kernel: full Gauss-Seidel coordinate pass for one spot block.
+def _gs_pass_kb(beta_old, xty, xtx, ns, nnb, lam, rho):
+    """(K, B)-layout Gauss-Seidel coordinate pass — THE iterate semantics.
 
-    Operates in the transposed (K, B) layout: the spot axis rides the 128-wide
-    vector lanes, so every per-coordinate op is a full-lane (1, B) row op and
-    the rank-1 residual refresh is a (K, B) broadcast FMA — the natural (B, K)
-    layout would leave 128-K lanes idle on every instruction. The whole
-    per-spot state (beta block + maintained residual r = XtX @ beta) lives in
-    VMEM for all K coordinate updates, so HBM sees exactly one read and one
-    write of each (N, K) operand per sweep.
+    Shared by both Pallas kernels (:func:`_cd_block_kernel` and the fused
+    banded kernel) so their iterate paths cannot diverge: beta row k is
+    updated from the maintained residual ``r = XtX @ beta`` (rank-1
+    refreshed after each coordinate), matching the reference per-spot loop
+    (reference ``flashdeconv/core/solver.py:75-99``) vectorized over the B
+    spots on the 128-wide vector lanes.
+
+    All operands are VMEM-resident values: beta_old/xty/ns (K, B),
+    xtx (K, K), nnb (1, B); lam/rho scalars. Returns the updated (K, B)
+    beta. Full-(K, B) ops keep all 8 sublanes busy: per-row (1, B)
+    variants use 1/8 of the VPU and measure slower despite doing less
+    element work.
     """
-    lam = lam_ref[0, 0]
-    rho = rho_ref[0, 0]
-    beta = beta_ref[:]                     # (K, B)
-    xtx = xtx_ref[:]                       # (K, K)
-    xty = xty_ref[:]
-    ns = ns_ref[:]
-    K = beta.shape[0]
-
+    K = beta_old.shape[0]
     r = jax.lax.dot_general(
-        xtx, beta, (((1,), (0,)), ((), ())),
+        xtx, beta_old, (((1,), (0,)), ((), ())),
         precision=_PREC, preferred_element_type=jnp.float32,
     )                                      # (K, B)
-    denom_base = lam * nnb_ref[:]          # (1, B)
+    denom_base = lam * nnb                 # (1, B)
 
     # Mosaic has no scatter: write the updated row back with a sublane mask.
+    beta = beta_old
     row_ids = jax.lax.broadcasted_iota(jnp.int32, beta.shape, 0)
     for k in range(K):
         old = beta[k : k + 1, :]           # (1, B) — full-lane row
@@ -252,8 +250,25 @@ def _cd_block_kernel(lam_ref, rho_ref, beta_ref, xty_ref, ns_ref, nnb_ref,
         delta = new - old
         r = r + xtx[:, k : k + 1] * delta  # rank-1 refresh, exact f32 on VPU
         beta = jnp.where(row_ids == k, new, beta)
+    return beta
 
-    out_ref[:] = beta
+
+def _cd_block_kernel(lam_ref, rho_ref, beta_ref, xty_ref, ns_ref, nnb_ref,
+                     xtx_ref, out_ref):
+    """Pallas TPU kernel: full Gauss-Seidel coordinate pass for one spot block.
+
+    Operates in the transposed (K, B) layout: the spot axis rides the 128-wide
+    vector lanes, so every per-coordinate op is a full-lane (1, B) row op and
+    the rank-1 residual refresh is a (K, B) broadcast FMA — the natural (B, K)
+    layout would leave 128-K lanes idle on every instruction. The whole
+    per-spot state (beta block + maintained residual r = XtX @ beta) lives in
+    VMEM for all K coordinate updates, so HBM sees exactly one read and one
+    write of each (N, K) operand per sweep.
+    """
+    out_ref[:] = _gs_pass_kb(
+        beta_ref[:], xty_ref[:], xtx_ref[:], ns_ref[:], nnb_ref[:],
+        lam_ref[0, 0], rho_ref[0, 0],
+    )
 
 
 def coordinate_descent_pallas(
@@ -315,16 +330,43 @@ def coordinate_descent_pallas(
     return out_t.T
 
 
+#: Conservative per-core VMEM budget for the fused banded kernel's working
+#: set (the hardware has ~16 MB/core; leave room for double buffering
+#: bookkeeping and the compiler's own scratch).
+FUSED_VMEM_BUDGET_BYTES = 14 * 2**20
+
+
+def fused_banded_vmem_bytes(n_types: int, n_bands: int, h: int,
+                            block: int = 2048) -> int:
+    """Estimated VMEM working set of :func:`fused_banded_sweep` per grid step.
+
+    Streams: (2h+1) beta windows + Xty + the output block, double-buffered
+    by the pipeline; masks/nnb likewise. Scratch: the concatenated window
+    plus the ns / r / beta values of the coordinate pass. The eligibility
+    gates (``BCDProblem``, ``GspmdBandedProblem``) require this to fit
+    :data:`FUSED_VMEM_BUDGET_BYTES` — otherwise a legal-looking config
+    (large K x large halo) dies at Mosaic compile time instead of falling
+    back to the unfused banded path.
+    """
+    kp = -(-n_types // 8) * 8              # sublane-padded K
+    kb = kp * block * 4
+    streams = ((2 * h + 1) + 2) * kb * 2   # beta views + Xty + out, x2
+    masks = n_bands * block * 4 * 2 + block * 4 * 2
+    scratch = (2 * h + 1) * kb + 3 * kb    # win concat + ns/r/beta
+    return streams + masks + scratch
+
+
 def _make_fused_banded_kernel(offsets: Tuple[int, ...], h: int, block: int,
                               n_blocks_total: int):
     """Build the fully fused banded-sweep kernel for a static band set.
 
     One grid step = one ``block``-column slab of the transposed carry
     ``beta_ext`` (K, n_solve + 2*h*block). The kernel fuses, entirely in
-    VMEM: the banded neighbor sum (static window slices — beta is read from
-    HBM exactly ONCE per sweep instead of once per offset), the full
-    Gauss-Seidel coordinate pass (identical iterate path to
-    :func:`_cd_block_kernel`), and the per-block convergence statistics
+    VMEM: the banded neighbor sum (static window slices — beta is fetched
+    (2h+1)x per sweep, one window per grid step, instead of once per
+    offset, typically ~18x on grid kNN), the full Gauss-Seidel coordinate
+    pass (identical iterate path to :func:`_cd_block_kernel` — both call
+    :func:`_gs_pass_kb`), and the per-block convergence statistics
     (max |delta|, max |old|) that previously cost a separate full pass.
     Edge slabs (the h zero-pad blocks on each side) write zeros.
     """
@@ -359,32 +401,9 @@ def _make_fused_banded_kernel(offsets: Tuple[int, ...], h: int, block: int,
             beta_old = lax.slice_in_dim(
                 win, h * block, (h + 1) * block, axis=1
             )                                   # (K, B) center slab
-            xtx = xtx_ref[:]
-            xty = xty_ref[:]
-            r = jax.lax.dot_general(
-                xtx, beta_old, (((1,), (0,)), ((), ())),
-                precision=_PREC, preferred_element_type=jnp.float32,
+            beta = _gs_pass_kb(
+                beta_old, xty_ref[:], xtx_ref[:], ns, nnb_ref[:], lam, rho
             )
-            denom_base = lam * nnb_ref[:]
-
-            # Full-(K, B) ops keep all 8 sublanes busy: per-row (1, B)
-            # variants use 1/8 of the VPU and measure slower despite doing
-            # less element work. Same iterate path as _cd_block_kernel.
-            beta = beta_old
-            row_ids = jax.lax.broadcasted_iota(jnp.int32, beta.shape, 0)
-            for k in range(K):
-                old = beta[k : k + 1, :]
-                diag_k = xtx[k, k]
-                resid = xty[k : k + 1, :] - r[k : k + 1, :] \
-                    + diag_k * old + lam * ns[k : k + 1, :]
-                denom = diag_k + denom_base
-                new = jnp.where(
-                    denom > 1e-10,
-                    jnp.maximum(resid - rho, 0.0) / denom, 0.0,
-                )
-                delta = new - old
-                r = r + xtx[:, k : k + 1] * delta
-                beta = jnp.where(row_ids == k, new, beta)
             out_beta_ref[:] = beta
             out_diff_ref[0, i] = jnp.max(jnp.abs(beta - beta_old))
             out_abs_ref[0, i] = jnp.max(jnp.abs(beta_old))
@@ -423,10 +442,12 @@ def fused_banded_sweep(
     Returns ``(new beta_ext_t, max_diff, max_abs)`` — stats reduced over
     per-block partials (a (n_blocks,) max, fused by XLA).
 
-    HBM traffic per sweep: ONE read of beta/Xty/masks + one write of beta —
-    the separate neighbor-sum pass (one beta read per offset), the
-    transposes into/out of the (K, B) kernel layout, and the sweep_stats
-    pass of the unfused path all disappear.
+    HBM traffic per sweep: (2h+1) window reads of beta (each grid step
+    DMAs its own (2h+1)-block window — 3x at the typical h=1) + one write
+    of beta + one read of Xty/masks/nnb. The unfused path reads beta once
+    PER OFFSET (~18x on grid kNN) plus the separate coordinate-pass and
+    sweep_stats passes and the per-sweep (N, K) <-> (K, B) transposes —
+    all of which disappear here.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -487,7 +508,10 @@ def fused_banded_sweep(
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * n_solve * K * (K + len(offsets)) * 2,
-            bytes_accessed=4 * (3 * n_ext * K + n_solve * (U + 1) + K * K),
+            # (2h+1) beta window reads + 1 beta write + Xty/masks/nnb reads
+            bytes_accessed=4 * (
+                (2 * h + 2) * n_ext * K + n_solve * (K + U + 1) + K * K
+            ),
             transcendentals=0,
         ),
         interpret=interpret,

@@ -243,12 +243,46 @@ class GspmdBandedProblem:
             and self.dtype == np.float32
             and n_types <= 128
         )
-        # fused_interpret=True forces the fused mesh kernel in interpret
-        # mode on a CPU mesh (parity tests); fused_block shrinks its block
-        # so tiny test problems stay fast. Production TPU: 2048.
-        block = (
-            fused_block if (self.use_pallas or fused_interpret) else 8
+        self.halo = int(np.max(np.abs(offsets_np))) if offsets_np.size else 0
+
+        # Fully fused banded mesh path: each shard runs ONE Pallas kernel
+        # per sweep (ops/bcd.fused_banded_sweep) on a transposed local
+        # carry whose side pads are refreshed by ppermute halo transfers.
+        # Eligible when the Pallas tier is on (or forced for interpret
+        # parity tests via fused_interpret=True, where fused_block shrinks
+        # the block so tiny test problems stay fast), the halo fits <=8
+        # pad blocks that fit inside ONE neighbor shard (ppermute reaches
+        # adjacent shards only), and the kernel's VMEM working set fits
+        # the per-core budget. The eligibility decision fixes the padding
+        # block: a non-default fused_block only ever applies when the
+        # fused kernel actually engages, so an unfused Pallas fallback
+        # always sees its required 2048-aligned shards.
+        from flashdeconv_tpu.ops.bcd import (
+            FUSED_VMEM_BUDGET_BYTES,
+            fused_banded_vmem_bytes,
         )
+
+        use_fused = False
+        block = 2048 if self.use_pallas else 8
+        if self.use_pallas or fused_interpret:
+            cand = int(fused_block)
+            h = -(-self.halo // cand) if self.halo else 0
+            chunk_c = self.n_shards * cand
+            n_local_c = (-(-n_spots // chunk_c) * chunk_c) // self.n_shards
+            if (
+                1 <= h <= 8
+                and h * cand <= n_local_c
+                and fused_banded_vmem_bytes(
+                    n_types, int(offsets_np.size), h, cand
+                ) <= FUSED_VMEM_BUDGET_BYTES
+            ):
+                use_fused = True
+                block = cand
+        self.use_fused = use_fused
+        self._fused_h = -(-self.halo // block) if self.halo else 0
+        self._fused_block = int(block)
+        self._fused_interpret = bool(fused_interpret)
+
         chunk = self.n_shards * block
         n_pad = -(-n_spots // chunk) * chunk
         pad = n_pad - n_spots
@@ -276,25 +310,7 @@ class GspmdBandedProblem:
                 [masks_np, np.zeros((masks_np.shape[0], pad), np.float32)],
                 axis=1,
             )
-        self.halo = int(np.max(np.abs(offsets_np))) if offsets_np.size else 0
         self.offsets = tuple(int(o) for o in offsets_np)
-
-        # Fully fused banded mesh path: each shard runs ONE Pallas kernel
-        # per sweep (ops/bcd.fused_banded_sweep) on a transposed local
-        # carry whose side pads are refreshed by ppermute halo transfers.
-        # Eligible when the Pallas tier is on (or forced for interpret
-        # tests), the halo fits <=8 pad blocks, and the pad blocks fit
-        # inside ONE neighbor shard (ppermute reaches adjacent shards only).
-        h = -(-self.halo // block) if self.halo else 0
-        n_local = n_pad // self.n_shards
-        self.use_fused = (
-            (self.use_pallas or fused_interpret)
-            and 1 <= h <= 8
-            and h * block <= n_local
-        )
-        self._fused_h = int(h)
-        self._fused_block = int(block)
-        self._fused_interpret = bool(fused_interpret)
 
         self._shard = NamedSharding(mesh, P(_AXIS))
         shard_cols = NamedSharding(mesh, P(None, _AXIS))
