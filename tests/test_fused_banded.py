@@ -228,6 +228,57 @@ class TestFusedMeshPath:
         np.testing.assert_allclose(betas[1], betas[0], atol=2e-5)
 
 
+def test_fused_holey_grid_matches_unfused():
+    """Tissue-masked grid (random missing spots — the realistic Visium HD
+    case): the banded masks carry the holes; the fused iterate must still
+    match the unfused banded path exactly."""
+    rng = np.random.RandomState(11)
+    side = 72
+    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+    coords_full = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+    keep = rng.rand(side * side) > 0.3          # drop ~30% of bins
+    # pad the kept set to a BLOCK multiple by re-adding dropped spots
+    n_keep = -(-int(keep.sum()) // BLOCK) * BLOCK
+    dropped = np.flatnonzero(~keep)
+    keep[dropped[: n_keep - keep.sum()]] = True
+    coords = coords_full[keep]
+    n = coords.shape[0]
+    assert n % BLOCK == 0
+
+    A = build_knn_graph(coords, k=6)
+    offsets, masks, rest = banded_split(A, max_offsets=32, min_coverage=0.0)
+    assert offsets.size > 0
+    # keep only the banded part (fused eligibility contract)
+    rows = np.concatenate(
+        [np.flatnonzero(masks[u]) for u in range(len(offsets))]
+    )
+    nnb = np.bincount(rows, minlength=n).astype(np.float32)
+    halo = int(np.max(np.abs(offsets)))
+    h = -(-halo // BLOCK)
+    assert h <= 8
+
+    k_types = 5
+    beta0 = jnp.asarray(np.abs(rng.randn(n, k_types)), jnp.float32)
+    Xs = rng.randn(k_types, 48)
+    p = {
+        "beta0": beta0,
+        "Xty": jnp.asarray(np.abs(rng.randn(n, k_types)) * 4, jnp.float32),
+        "XtX": jnp.asarray(Xs @ Xs.T, jnp.float32),
+        "offsets": tuple(int(o) for o in offsets),
+        "masks": jnp.asarray(masks, jnp.float32),
+        "nnb": jnp.asarray(nnb),
+        "halo": halo,
+        "h": int(h),
+        "rest": jnp.zeros((n, 0), dtype=jnp.int32),
+    }
+    beta_ref, it_ref, _ = _run_unfused(p, 0.6, 0.05, 1e-4, 50)
+    beta_out, it_out, _ = _run_fused(p, 0.6, 0.05, 1e-4, 50)
+    assert int(it_out) == int(it_ref)
+    np.testing.assert_allclose(
+        np.asarray(beta_out), np.asarray(beta_ref), atol=2e-5
+    )
+
+
 def test_carry_roundtrip():
     rng = np.random.RandomState(0)
     beta = jnp.asarray(rng.randn(4 * BLOCK, 9), jnp.float32)
