@@ -354,9 +354,13 @@ class BCDProblem:
                 self.use_fused_banded = True
                 self.h_blocks = int(h)
                 self.fused_block = 2048
-                # one-time device transposes into the kernel layout
-                self.Xty_t_d = jax.jit(lambda x: x.T)(Xty_d)
-                self.nnb_row_d = jax.jit(lambda x: x[None, :])(self.nnb_d)
+                # One-time device transposes into the kernel layout.
+                # Eager ops, NOT jax.jit(lambda ...): a fresh jit wrapper
+                # per ctor call would retrace AND remote-recompile on
+                # every prepare (~0.4 s each over the tunnel); eager
+                # primitives hit the cached dispatch path.
+                self.Xty_t_d = Xty_d.T
+                self.nnb_row_d = self.nnb_d[None, :]
                 # The row-layout operands are unreachable on the fused
                 # path (sweep AND objective consume the transposed
                 # copies); release them so the dominant (N, K) buffer is

@@ -326,10 +326,12 @@ class GspmdBandedProblem:
             self.Xty_t_d = put(np.ascontiguousarray(Xty.T), shard_cols)
             self.nnb_row_d = put(nnb[None, :], shard_cols)
         # 0/1 masks travel as uint8 (4x less host->device traffic) and
-        # widen on device, staying sharded.
-        self.masks_d = jax.jit(
-            lambda m: m.astype(dtype), out_shardings=shard_cols
-        )(put(masks_np.astype(np.uint8), shard_cols))
+        # widen on device, staying sharded (eager astype preserves the
+        # input sharding; a fresh jax.jit wrapper here would
+        # remote-recompile on every ctor call).
+        self.masks_d = put(masks_np.astype(np.uint8), shard_cols).astype(
+            dtype
+        )
         self.XtX_d = put(XtX.astype(dtype), self._repl)
         self.YtY_d = put(np.asarray(YtY, dtype=dtype), self._repl)
         self.rest_d = put(np.zeros((n_pad, 0), dtype=np.int32), self._shard)
