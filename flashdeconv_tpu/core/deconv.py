@@ -379,9 +379,8 @@ class FlashDeconv:
                     # constant — contract row-wise inside the kernel and
                     # never materialize the sketch (multi-GB at atlas
                     # scale).
-                    res = native.fused_log1pcpm_xty(
-                        Y, gene_idx, op.buckets, op.weights,
-                        op.sketch_dim, X_sketch,
+                    res = self._fused_xty_feed(
+                        Y, gene_idx, op, X_sketch
                     )
                     if res is None:
                         # use_fused is native.fused_available, the
@@ -444,6 +443,49 @@ class FlashDeconv:
                 lambda_ = float(self.lambda_spatial)
                 self._log(f"Step 5: using lambda = {lambda_:.4f}")
         return lambda_
+
+    def _fused_xty_feed(self, Y, gene_idx, op, X_sketch):
+        """Compute (Xty, YtY) via the native fused log-CPM pass.
+
+        Single-device accelerator fits stream the kernel in row chunks and
+        enqueue each chunk's host->device transfer while the next chunk
+        computes — the (N, K) upload (the solve stage's dominant cost on a
+        remote-attached chip) hides behind the O(nnz) pass. Returns
+        ``(xty, yty)`` with ``xty`` a device array on the streamed path,
+        else a host (N, K) float64 array; None if the native kernel is
+        unavailable.
+        """
+        import jax
+
+        from flashdeconv_tpu import native
+
+        sharded = self.mesh is not None or (
+            self.n_shards is not None and self.n_shards > 1
+        )
+        chunk_rows = 262_144
+        if (
+            not sharded
+            and jax.default_backend() != "cpu"
+            and Y.shape[0] > chunk_rows
+        ):
+            chunks = native.fused_log1pcpm_xty_chunks(
+                Y, gene_idx, op.buckets, op.weights, op.sketch_dim,
+                X_sketch, chunk_rows=chunk_rows,
+            )
+            if chunks is None:
+                return None
+            import jax.numpy as jnp
+
+            parts, yty = [], 0.0
+            for _, _, xty_np, yty_part in chunks:
+                parts.append(
+                    jnp.asarray(np.asarray(xty_np, dtype=self.solver_dtype))
+                )
+                yty += yty_part
+            return jnp.concatenate(parts, axis=0), yty
+        return native.fused_log1pcpm_xty(
+            Y, gene_idx, op.buckets, op.weights, op.sketch_dim, X_sketch,
+        )
 
     def _solve(self, Y_sketch, X_sketch, A, coords, lambda_, beta_init):
         """Stage-6 dispatch: single-device vs spot-sharded mesh solve."""

@@ -212,10 +212,16 @@ class BCDProblem:
         # permutation is applied to the device copy afterwards (an exact
         # row gather, sub-ms on device).
         if xty is not None:
-            Xty_np = np.asarray(xty, dtype=self.dtype)
+            if isinstance(xty, jax.Array):
+                # Already device-resident (the pipeline's streamed chunked
+                # upload, core/deconv._fused_xty_feed): cast on device.
+                Xty_raw_d = jnp.asarray(xty, dtype=self.dtype)
+            else:
+                Xty_raw_d = jnp.asarray(np.asarray(xty, dtype=self.dtype))
         else:
-            Xty_np = np.asarray(Y_sketch @ X_sketch.T, dtype=self.dtype)
-        Xty_raw_d = jnp.asarray(Xty_np)  # (n_spots, K), input order
+            Xty_raw_d = jnp.asarray(
+                np.asarray(Y_sketch @ X_sketch.T, dtype=self.dtype)
+            )  # (n_spots, K), input order
         # rho is user-facing dimensionless: rescaled by the Gram diagonal so
         # the soft threshold is commensurate with the residual magnitude.
         self.mean_diag = float(np.mean(np.diag(XtX)))

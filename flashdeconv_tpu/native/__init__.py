@@ -353,38 +353,95 @@ def fused_log1pcpm_xty(
     a fixed deterministic accumulator structure (ULP-level vs a BLAS gemm).
     Returns None when the native path is unavailable.
     """
+    ctx = _fused_xty_setup(Y, gene_idx, buckets, weights, X_sketch)
+    if ctx is None:
+        return None
+    n_rows = Y.shape[0]
+    out_xty = np.empty((n_rows, ctx["n_types"]), dtype=np.float64)
+    yty = _fused_xty_call(ctx, 0, n_rows, sketch_dim, out_xty)
+    return out_xty, yty
+
+
+def _fused_xty_setup(Y, gene_idx, buckets, weights, X_sketch):
+    """Shared argument prep for the fused-Xty kernel; None if unavailable."""
     lib = _load()
     if lib is None or not _log1p_gate_ok(Y.data.dtype):
         return None
-    n_rows, n_genes = Y.shape
+    n_genes = Y.shape[1]
     indptr, indices, data, tag = _csr_buffers(Y)
     new_col = np.full(n_genes, -1, dtype=np.int32)
     new_col[np.asarray(gene_idx, dtype=np.int64)] = np.arange(
         len(gene_idx), dtype=np.int32
     )
-    buckets = np.ascontiguousarray(buckets, dtype=np.int32)
-    weights = np.ascontiguousarray(weights, dtype=np.float64)
-    Xsk = np.ascontiguousarray(X_sketch, dtype=np.float64)
-    n_types = Xsk.shape[0]
-    out_xty = np.empty((n_rows, n_types), dtype=np.float64)
+    return {
+        "fn": getattr(lib, f"fused_log1pcpm_xty_{tag}"),
+        "indptr": indptr,
+        "indices": indices,
+        "data": data,
+        "new_col": new_col,
+        "buckets": np.ascontiguousarray(buckets, dtype=np.int32),
+        "weights": np.ascontiguousarray(weights, dtype=np.float64),
+        "Xsk": np.ascontiguousarray(X_sketch, dtype=np.float64),
+        "n_types": int(np.asarray(X_sketch).shape[0]),
+    }
+
+
+def _fused_xty_call(ctx, row_start: int, row_end: int, sketch_dim: int,
+                    out_xty: np.ndarray) -> float:
+    """Run the kernel over rows [row_start, row_end) writing (rows, K)
+    into ``out_xty``; returns that range's YtY partial.
+
+    Zero-copy row ranges: the kernel indexes ``data``/``indices`` with the
+    ABSOLUTE ``indptr`` values, so an ``indptr[a:b+1]`` view over the
+    original buffers addresses exactly rows a..b-1.
+    """
     out_yty = np.empty(1, dtype=np.float64)
-    fn = getattr(lib, f"fused_log1pcpm_xty_{tag}")
-    fn(
-        indptr.ctypes.data_as(ctypes.c_void_p),
-        indices.ctypes.data_as(ctypes.c_void_p),
-        data.ctypes.data_as(ctypes.c_void_p),
-        new_col.ctypes.data_as(ctypes.c_void_p),
-        buckets.ctypes.data_as(ctypes.c_void_p),
-        weights.ctypes.data_as(ctypes.c_void_p),
-        Xsk.ctypes.data_as(ctypes.c_void_p),
-        ctypes.c_int64(n_rows),
+    ctx["fn"](
+        ctx["indptr"][row_start:row_end + 1].ctypes.data_as(ctypes.c_void_p),
+        ctx["indices"].ctypes.data_as(ctypes.c_void_p),
+        ctx["data"].ctypes.data_as(ctypes.c_void_p),
+        ctx["new_col"].ctypes.data_as(ctypes.c_void_p),
+        ctx["buckets"].ctypes.data_as(ctypes.c_void_p),
+        ctx["weights"].ctypes.data_as(ctypes.c_void_p),
+        ctx["Xsk"].ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(row_end - row_start),
         ctypes.c_int64(sketch_dim),
-        ctypes.c_int64(n_types),
+        ctypes.c_int64(ctx["n_types"]),
         ctypes.c_int(_n_threads()),
         out_xty.ctypes.data_as(ctypes.c_void_p),
         out_yty.ctypes.data_as(ctypes.c_void_p),
     )
-    return out_xty, float(out_yty[0])
+    return float(out_yty[0])
+
+
+def fused_log1pcpm_xty_chunks(
+    Y, gene_idx: np.ndarray, buckets: np.ndarray, weights: np.ndarray,
+    sketch_dim: int, X_sketch: np.ndarray, chunk_rows: int = 262_144,
+):
+    """Chunked variant of :func:`fused_log1pcpm_xty` for streaming consumers.
+
+    Returns a generator of ``(row_start, row_end, xty_chunk, yty_partial)``
+    — or None when the native path is unavailable. Per-row Xty values are
+    bit-identical to the single-call variant (rows are independent); only
+    the YtY partial-sum association differs, and YtY feeds nothing but the
+    objective constant. The point of chunking: a pipeline can enqueue each
+    chunk's host->device transfer while the kernel computes the next one,
+    hiding the (N, K) upload behind the O(nnz) pass on remote-attached
+    accelerators.
+    """
+    ctx = _fused_xty_setup(Y, gene_idx, buckets, weights, X_sketch)
+    if ctx is None:
+        return None
+    n_rows = Y.shape[0]
+
+    def gen():
+        for a in range(0, n_rows, chunk_rows):
+            b = min(a + chunk_rows, n_rows)
+            out = np.empty((b - a, ctx["n_types"]), dtype=np.float64)
+            yty = _fused_xty_call(ctx, a, b, sketch_dim, out)
+            yield a, b, out, yty
+
+    return gen()
 
 
 def csr_row_sums(Y) -> Optional[np.ndarray]:

@@ -333,6 +333,42 @@ class TestFusedKernels:
             yty, float(np.einsum("ij,ij->", sketch, sketch)), rtol=1e-12
         )
 
+    @pytest.mark.parametrize("dtype", [np.float32, np.float64])
+    def test_fused_xty_chunks_bitwise(self, dtype):
+        """The chunked streaming variant must produce bit-identical per-row
+        Xty (rows are independent — zero-copy indptr-view ranges over the
+        same buffers) and an additively equivalent YtY."""
+        from flashdeconv_tpu.core.sketching import make_countsketch_op
+
+        Y = _random_csr(n_rows=701, n_cols=500, density=0.08, dtype=dtype,
+                        seed=17)
+        gene_idx = np.sort(
+            np.random.RandomState(6).choice(500, size=150, replace=False)
+        )
+        op = make_countsketch_op(len(gene_idx), 64, random_state=2)
+        Xsk = np.random.RandomState(7).standard_normal((6, 64))
+
+        full = native.fused_log1pcpm_xty(
+            Y, gene_idx, op.buckets, op.weights, op.sketch_dim, Xsk
+        )
+        if full is None:
+            pytest.skip("fused kernel gated off (log1p self-test)")
+        xty_full, yty_full = full
+
+        chunks = native.fused_log1pcpm_xty_chunks(
+            Y, gene_idx, op.buckets, op.weights, op.sketch_dim, Xsk,
+            chunk_rows=128,  # uneven tail: 701 = 5*128 + 61
+        )
+        parts, yty = [], 0.0
+        spans = []
+        for a, b, xty_c, yty_c in chunks:
+            spans.append((a, b))
+            parts.append(xty_c)
+            yty += yty_c
+        assert spans[0] == (0, 128) and spans[-1] == (640, 701)
+        np.testing.assert_array_equal(np.concatenate(parts), xty_full)
+        np.testing.assert_allclose(yty, yty_full, rtol=1e-12)
+
     # End-to-end coverage: TestNativeColumnSubset.
     # test_pipeline_equals_scipy_subset_pipeline compares a full fit through
     # this fused path against a FLASHDECONV_NO_NATIVE subprocess (pure
