@@ -287,9 +287,7 @@ class FlashDeconv:
 
         # Clear any consume-once state a previously aborted fit left behind
         # (these describe THAT fit's operands, not this one's).
-        self.__dict__.pop("_fused_xty", None)
-        self.__dict__.pop("_fused_yty", None)
-        self.__dict__.pop("_graph_plan_future", None)
+        self._clear_consume_once()
 
         # [4, started early] spatial graph on a background thread: the
         # KD-tree build/query depends only on coords, so it overlaps the
@@ -417,7 +415,7 @@ class FlashDeconv:
         # Chain the banded-vs-gather analysis onto a background thread —
         # it overlaps lambda tuning and the solve's Xty matmul/upload; the
         # solver joins it inside prepare.
-        if self.mesh is None and (self.n_shards is None or self.n_shards <= 1):
+        if not self._is_sharded:
             from flashdeconv_tpu.core.solver import GraphDecomposition
 
             plan_pool = _cf.ThreadPoolExecutor(1)
@@ -459,12 +457,9 @@ class FlashDeconv:
 
         from flashdeconv_tpu import native
 
-        sharded = self.mesh is not None or (
-            self.n_shards is not None and self.n_shards > 1
-        )
-        chunk_rows = 262_144
+        chunk_rows = native.XTY_STREAM_CHUNK_ROWS
         if (
-            not sharded
+            not self._is_sharded
             and jax.default_backend() != "cpu"
             and Y.shape[0] > chunk_rows
         ):
@@ -491,9 +486,7 @@ class FlashDeconv:
         """Stage-6 dispatch: single-device vs spot-sharded mesh solve."""
         from flashdeconv_tpu.core.solver import bcd_solve
 
-        if self.mesh is not None or (
-            self.n_shards is not None and self.n_shards > 1
-        ):
+        if self._is_sharded:
             from flashdeconv_tpu.parallel import prepare_sharded_bcd
 
             self._log(
@@ -546,26 +539,33 @@ class FlashDeconv:
         from flashdeconv_tpu.utils.timing import StageTimer, trace
 
         timer = StageTimer()
-        Y_sketch, X_sketch, A = self._pipeline_operands(
-            Y, X, coords, cell_type_names, timer
-        )
-        lambda_ = self._resolve_lambda(Y_sketch, X_sketch, A, timer)
-        self.lambda_used_ = lambda_
-
-        beta_init = None
-        if (
-            self.warm_start
-            and self.beta_ is not None
-            and self.beta_.shape == (Y.shape[0], X.shape[0])
-        ):
-            beta_init = self.beta_
-            self._log("  Warm-starting from previous beta_")
-
-        # [6] solve — multi-device when a mesh / shard count is configured
-        with timer.stage("solve"), trace("bcd_solve"):
-            beta, info = self._solve(
-                Y_sketch, X_sketch, A, coords, lambda_, beta_init
+        try:
+            Y_sketch, X_sketch, A = self._pipeline_operands(
+                Y, X, coords, cell_type_names, timer
             )
+            lambda_ = self._resolve_lambda(Y_sketch, X_sketch, A, timer)
+            self.lambda_used_ = lambda_
+
+            beta_init = None
+            if (
+                self.warm_start
+                and self.beta_ is not None
+                and self.beta_.shape == (Y.shape[0], X.shape[0])
+            ):
+                beta_init = self.beta_
+                self._log("  Warm-starting from previous beta_")
+
+            # [6] solve — multi-device when a mesh/shard count configured
+            with timer.stage("solve"), trace("bcd_solve"):
+                beta, info = self._solve(
+                    Y_sketch, X_sketch, A, coords, lambda_, beta_init
+                )
+        except BaseException:
+            # Don't let a failed fit pin the consume-once operands — on
+            # the streamed path _fused_xty is an (N, K) DEVICE buffer
+            # (~800 MB of HBM at 10M spots).
+            self._clear_consume_once()
+            raise
 
         self.beta_ = beta
         self.proportions_ = normalize_proportions(beta)
@@ -627,47 +627,52 @@ class FlashDeconv:
         from flashdeconv_tpu.utils.timing import StageTimer, trace
 
         timer = StageTimer()
-        Y_sketch, X_sketch, A = self._pipeline_operands(
-            Y, X, coords, cell_type_names, timer
-        )
-        if lambdas is None:
-            base = self._resolve_lambda(Y_sketch, X_sketch, A, timer)
-            lambdas = base * np.array([0.1, 0.3, 1.0, 3.0, 10.0])
-        lambdas = np.sort(np.asarray(lambdas, dtype=float))
-        if lambdas.size == 0:
-            raise ValueError("lambdas must be non-empty")
-        if lambdas[0] < 0:
-            raise ValueError(
-                f"lambdas must be non-negative, got min {lambdas[0]}"
+        try:
+            Y_sketch, X_sketch, A = self._pipeline_operands(
+                Y, X, coords, cell_type_names, timer
             )
-
-        sharded = self.mesh is not None or (
-            self.n_shards is not None and self.n_shards > 1
-        )
-        with timer.stage("solver_prepare"):
-            if sharded:
-                # Mesh path gets the same prepare-once treatment: graph
-                # analysis / partition, host precompute, and device scatter
-                # happen here; each lambda pays only the fused device loop.
-                from flashdeconv_tpu.parallel import prepare_sharded_bcd
-
-                problem = prepare_sharded_bcd(
-                    Y_sketch, X_sketch, A, coords=coords, mesh=self.mesh,
-                    n_shards=self.n_shards, dtype=self.solver_dtype,
-                    verbose=self.verbose,
-                    xty=self.__dict__.pop("_fused_xty", None),
-                    yty=self.__dict__.pop("_fused_yty", None),
+            if lambdas is None:
+                base = self._resolve_lambda(Y_sketch, X_sketch, A, timer)
+                lambdas = base * np.array([0.1, 0.3, 1.0, 3.0, 10.0])
+            lambdas = np.sort(np.asarray(lambdas, dtype=float))
+            if lambdas.size == 0:
+                raise ValueError("lambdas must be non-empty")
+            if lambdas[0] < 0:
+                raise ValueError(
+                    f"lambdas must be non-negative, got min {lambdas[0]}"
                 )
-            else:
-                from flashdeconv_tpu.core.solver import prepare_bcd
 
-                problem = prepare_bcd(
-                    Y_sketch, X_sketch, A, dtype=self.solver_dtype,
-                    coords=coords,
-                    graph_plan=self.__dict__.pop("_graph_plan_future", None),
-                    xty=self.__dict__.pop("_fused_xty", None),
-                    yty=self.__dict__.pop("_fused_yty", None),
-                )
+            sharded = self._is_sharded
+            with timer.stage("solver_prepare"):
+                if sharded:
+                    # Mesh path gets the same prepare-once treatment:
+                    # graph analysis / partition, host precompute, and
+                    # device scatter happen here; each lambda pays only
+                    # the fused device loop.
+                    from flashdeconv_tpu.parallel import prepare_sharded_bcd
+
+                    problem = prepare_sharded_bcd(
+                        Y_sketch, X_sketch, A, coords=coords,
+                        mesh=self.mesh, n_shards=self.n_shards,
+                        dtype=self.solver_dtype, verbose=self.verbose,
+                        xty=self.__dict__.pop("_fused_xty", None),
+                        yty=self.__dict__.pop("_fused_yty", None),
+                    )
+                else:
+                    from flashdeconv_tpu.core.solver import prepare_bcd
+
+                    problem = prepare_bcd(
+                        Y_sketch, X_sketch, A, dtype=self.solver_dtype,
+                        coords=coords,
+                        graph_plan=self.__dict__.pop(
+                            "_graph_plan_future", None
+                        ),
+                        xty=self.__dict__.pop("_fused_xty", None),
+                        yty=self.__dict__.pop("_fused_yty", None),
+                    )
+        except BaseException:
+            self._clear_consume_once()  # see fit(): device-buffer orphan
+            raise
 
         results = []
         beta_prev = None
@@ -799,6 +804,20 @@ class FlashDeconv:
         }
         model._fitted = True
         return model
+
+    @property
+    def _is_sharded(self) -> bool:
+        """True when the solve dispatches to the spot-sharded mesh path."""
+        return self.mesh is not None or (
+            self.n_shards is not None and self.n_shards > 1
+        )
+
+    def _clear_consume_once(self):
+        """Drop consume-once operand state (fused Xty/YtY — possibly a
+        device buffer on the streamed path — and the graph-plan future)."""
+        self.__dict__.pop("_fused_xty", None)
+        self.__dict__.pop("_fused_yty", None)
+        self.__dict__.pop("_graph_plan_future", None)
 
     def _check_fitted(self):
         if not self._fitted:

@@ -191,6 +191,13 @@ class BCDProblem:
                 "Y_sketch=None requires both xty and yty precomputed "
                 "(e.g. from native.fused_log1pcpm_xty)."
             )
+        if xty is not None and np.shape(xty) != (
+            A.shape[0], int(X_sketch.shape[0])
+        ):
+            raise ValueError(
+                f"xty shape {np.shape(xty)} does not match the adjacency / "
+                f"signature dimensions ({A.shape[0]}, {X_sketch.shape[0]})"
+            )
         self.n_spots = int(
             Y_sketch.shape[0] if Y_sketch is not None else xty.shape[0]
         )

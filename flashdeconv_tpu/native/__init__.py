@@ -414,9 +414,15 @@ def _fused_xty_call(ctx, row_start: int, row_end: int, sketch_dim: int,
     return float(out_yty[0])
 
 
+#: Default row-chunk size for the streamed fused-Xty pass — also the
+#: threshold above which the pipeline streams (core/deconv._fused_xty_feed).
+XTY_STREAM_CHUNK_ROWS = 262_144
+
+
 def fused_log1pcpm_xty_chunks(
     Y, gene_idx: np.ndarray, buckets: np.ndarray, weights: np.ndarray,
-    sketch_dim: int, X_sketch: np.ndarray, chunk_rows: int = 262_144,
+    sketch_dim: int, X_sketch: np.ndarray,
+    chunk_rows: int = XTY_STREAM_CHUNK_ROWS,
 ):
     """Chunked variant of :func:`fused_log1pcpm_xty` for streaming consumers.
 

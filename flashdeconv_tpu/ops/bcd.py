@@ -334,8 +334,8 @@ def coordinate_descent_pallas(
 #: The hardware limit is 16 MB (measured: Mosaic rejects a block=8192,
 #: K=20, h=1 config at "21.21M vs limit 16.00M" where the estimator below
 #: predicts 13.7M — actual usage runs ~1.55x the estimate, so the gate
-#: compares against 16 MB / 1.55 ≈ 9 MB).
-FUSED_VMEM_BUDGET_BYTES = 9 * 2**20
+#: compares against 16 MB / 1.55 ≈ 10.3 MB, held at 10 MB).
+FUSED_VMEM_BUDGET_BYTES = 10 * 2**20
 
 
 def fused_banded_vmem_bytes(n_types: int, n_bands: int, h: int,
