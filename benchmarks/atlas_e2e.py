@@ -26,8 +26,14 @@ from scipy import sparse
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def make_sparse_counts(n_spots: int, n_genes: int, nnz_per_spot: int, n_types: int, seed=0):
-    """Random CSR counts with type-structured columns + grid coordinates."""
+def make_sparse_counts(n_spots: int, n_genes: int, nnz_per_spot: int, n_types: int, seed=0,
+                       irregular: bool = False):
+    """Random CSR counts with type-structured columns + coordinates.
+
+    ``irregular=True`` draws uniform-random (dissociated / imaging-platform)
+    coordinates instead of a grid — the kNN graph then has no banded
+    structure in any row order, so the solver takes the padded-gather path
+    (Morton/halo plan when sharded)."""
     rng = np.random.default_rng(seed)
 
     # Type-dependent gene pools so gene selection has real structure to find.
@@ -35,9 +41,12 @@ def make_sparse_counts(n_spots: int, n_genes: int, nnz_per_spot: int, n_types: i
     X *= rng.random((n_types, n_genes)) < 0.3
 
     side = int(np.ceil(np.sqrt(n_spots)))
-    xs, ys = np.meshgrid(np.arange(side, dtype=np.float64),
-                         np.arange(side, dtype=np.float64))
-    coords = np.column_stack([xs.ravel(), ys.ravel()])[:n_spots]
+    if irregular:
+        coords = rng.random((n_spots, 2)) * side
+    else:
+        xs, ys = np.meshgrid(np.arange(side, dtype=np.float64),
+                             np.arange(side, dtype=np.float64))
+        coords = np.column_stack([xs.ravel(), ys.ravel()])[:n_spots]
 
     # Dominant type varies smoothly over space (block pattern).
     block = max(side // 8, 1)
@@ -71,6 +80,10 @@ def main() -> None:
                    help="spatial graph method (grid = Visium HD bins: "
                    "auto-detected spacing, radius 1.5x spacing)")
     p.add_argument("--radius", type=float, default=None)
+    p.add_argument("--irregular", action="store_true",
+                   help="uniform-random coordinates (dissociated/imaging "
+                        "platforms) — exercises the padded-gather solver "
+                        "path instead of the banded grid fast path")
     p.add_argument("--fits", type=int, default=1,
                    help="number of fits; the reported value is the best "
                         "(the first fit of a new shape pays a one-time XLA "
@@ -113,7 +126,8 @@ def main() -> None:
         print(f"# generating {args.spots} x {args.genes} sparse counts...",
               file=sys.stderr)
         Y, X, coords = make_sparse_counts(
-            args.spots, args.genes, args.nnz_per_spot, args.types
+            args.spots, args.genes, args.nnz_per_spot, args.types,
+            irregular=args.irregular,
         )
         print(f"# generated in {time.perf_counter() - t0:.1f}s "
               f"({Y.nnz / 1e6:.0f}M nnz, "
@@ -167,7 +181,8 @@ def main() -> None:
     total = totals[best]
     best_timings, best_info = runs[best]
     print(json.dumps({
-        "metric": f"spots_per_sec_e2e_{args.spots}spots",
+        "metric": f"spots_per_sec_e2e_{args.spots}spots"
+                  + ("_irregular" if args.irregular else ""),
         "value": round(args.spots / total, 1),
         "unit": "spots/s",
         "vs_baseline": round((args.spots / total) / (1_000_000 / 180.0), 2),
