@@ -26,6 +26,25 @@ def _log_cpm_dense(X: np.ndarray) -> np.ndarray:
     return np.log1p(Xd / (Xd.sum(axis=1, keepdims=True) + 1e-10) * 1e4)
 
 
+#: NB overdispersion for the pearson-residual preprocess (reference
+#: flashdeconv/core/deconv.py:199-225 hard-codes theta=100).
+_PEARSON_THETA = 100.0
+
+
+def _pearson_sigma(mu: np.ndarray) -> np.ndarray:
+    """NB standard deviation sqrt(mu + mu^2/theta) in mu's dtype — the ONE
+    home of the formula so the staged and fused pearson paths cannot
+    drift."""
+    return np.sqrt(mu + mu**2 / _PEARSON_THETA)
+
+
+def _pearson_dense(X: np.ndarray) -> np.ndarray:
+    """Dense uncentered Pearson residuals (the signature-matrix branch)."""
+    Xd = np.asarray(X, dtype=np.float64)
+    mu_x = Xd.mean(axis=0, keepdims=True) + 1e-6
+    return Xd / _pearson_sigma(mu_x)
+
+
 def preprocess_data(
     Y: ArrayLike,
     X: np.ndarray,
@@ -77,19 +96,14 @@ def preprocess_data(
         return Y_norm, _log_cpm_dense(X)
 
     if method == "pearson":
-        theta = 100.0
         if sparse.issparse(Y):
             mu = np.asarray(Y.mean(axis=0)).ravel() + 1e-6
-            sigma = np.sqrt(mu + mu**2 / theta)
-            Y_norm = Y.multiply(1.0 / sigma).tocsr()
+            Y_norm = Y.multiply(1.0 / _pearson_sigma(mu)).tocsr()
         else:
             Yd = np.asarray(Y, dtype=np.float64)
             mu = Yd.mean(axis=0, keepdims=True) + 1e-6
-            Y_norm = Yd / np.sqrt(mu + mu**2 / theta)
-        Xd = np.asarray(X, dtype=np.float64)
-        mu_x = Xd.mean(axis=0, keepdims=True) + 1e-6
-        X_norm = Xd / np.sqrt(mu_x + mu_x**2 / theta)
-        return Y_norm, X_norm
+            Y_norm = Yd / _pearson_sigma(mu)
+        return Y_norm, _pearson_dense(X)
 
     if method == "raw":
         return Y.astype(np.float64, copy=False), X.astype(np.float64, copy=False)
@@ -313,12 +327,22 @@ class FlashDeconv:
         # (see native/host_kernels.cpp fused_log1pcpm_project_impl), within
         # 1 ULP per log1p value of the pure-numpy path (the libm gate in
         # native._load()).
-        # native.fused_available is the kernels' own authoritative gate
-        # (CSR + float dtype + per-dtype libm self-test), so the only
-        # pipeline-side condition is the preprocessing mode. A None from
-        # the fused kernels below is therefore gate drift — an internal
-        # error, not a runtime fallback.
-        use_fused = self.preprocess == "log_cpm" and native.fused_available(Y)
+        # native.fused_available / native.colscale_available are the
+        # kernels' own authoritative gates (CSR + float dtype; the log_cpm
+        # family additionally needs the per-dtype libm self-test), so the
+        # only pipeline-side condition is the preprocessing mode. A None
+        # from the fused kernels below is therefore gate drift — an
+        # internal error, not a runtime fallback.
+        #
+        # pearson / raw reduce to a per-gene column scale (pearson:
+        # 1/sigma from the subset column means; raw: identity), so they
+        # share one fused subset->scale->sketch kernel family — unlike the
+        # log_cpm kernels it contains no libm and is bit-identical to the
+        # staged scipy pipeline.
+        if self.preprocess == "log_cpm":
+            use_fused = native.fused_available(Y)
+        else:
+            use_fused = native.colscale_available(Y)
 
         try:
             # [1] informative genes + leverage
@@ -349,9 +373,29 @@ class FlashDeconv:
             self._log(
                 f"Step 2: preprocessing with method='{self.preprocess}'..."
             )
+            colscale = None
             with timer.stage("preprocess"):
-                if use_fused:
+                if use_fused and self.preprocess == "log_cpm":
                     X_tilde = _log_cpm_dense(X_subset)  # Y: stage 3
+                elif use_fused and self.preprocess == "pearson":
+                    # Subset column means without materializing the subset
+                    # (bit-identical to Y[:, gene_idx].mean(axis=0)); the
+                    # Y normalization itself becomes the fused kernel's
+                    # per-gene scale in stage 3. Dtype promotions mirror
+                    # preprocess_data exactly: mu keeps the data dtype
+                    # (+1e-6 does not promote f32 under NumPy 2), so
+                    # sigma and 1/sigma match the staged path bitwise.
+                    mu = native.subset_col_mean(Y, gene_idx)
+                    if mu is None:
+                        raise RuntimeError(
+                            "subset_col_mean returned None despite "
+                            "colscale_available passing — native gate drift"
+                        )
+                    mu = mu + 1e-6
+                    colscale = 1.0 / _pearson_sigma(mu)
+                    X_tilde = _pearson_dense(X_subset)
+                elif use_fused:  # raw
+                    X_tilde = X_subset.astype(np.float64, copy=False)
                 else:
                     Y_tilde, X_tilde = preprocess_data(
                         Y_subset, X_subset, self.preprocess
@@ -378,14 +422,15 @@ class FlashDeconv:
                     # never materialize the sketch (multi-GB at atlas
                     # scale).
                     res = self._fused_xty_feed(
-                        Y, gene_idx, op, X_sketch
+                        Y, gene_idx, op, X_sketch, colscale=colscale
                     )
                     if res is None:
-                        # use_fused is native.fused_available, the
-                        # kernel's own gate; a None here is gate drift —
-                        # a bug, not a runtime condition.
+                        # use_fused is the kernel family's own gate
+                        # (fused_available / colscale_available); a None
+                        # here is gate drift — a bug, not a runtime
+                        # condition.
                         raise RuntimeError(
-                            "fused_log1pcpm_xty returned None despite "
+                            "fused xty kernel returned None despite "
                             "its gates passing — native gate drift"
                         )
                     self._fused_xty, self._fused_yty = res
@@ -442,8 +487,12 @@ class FlashDeconv:
                 self._log(f"Step 5: using lambda = {lambda_:.4f}")
         return lambda_
 
-    def _fused_xty_feed(self, Y, gene_idx, op, X_sketch):
-        """Compute (Xty, YtY) via the native fused log-CPM pass.
+    def _fused_xty_feed(self, Y, gene_idx, op, X_sketch, colscale=None):
+        """Compute (Xty, YtY) via the native fused sketch pass.
+
+        Kernel family follows ``self.preprocess``: the log-CPM kernels for
+        "log_cpm", the column-scale kernels for "pearson" (``colscale`` =
+        1/sigma per subset gene) and "raw" (``colscale`` = None).
 
         Single-device accelerator fits stream the kernel in row chunks and
         enqueue each chunk's host->device transfer while the next chunk
@@ -457,16 +506,31 @@ class FlashDeconv:
 
         from flashdeconv_tpu import native
 
+        if self.preprocess == "log_cpm":
+            xty_full = lambda: native.fused_log1pcpm_xty(  # noqa: E731
+                Y, gene_idx, op.buckets, op.weights, op.sketch_dim, X_sketch,
+            )
+            xty_chunks = lambda rows: native.fused_log1pcpm_xty_chunks(  # noqa: E731,E501
+                Y, gene_idx, op.buckets, op.weights, op.sketch_dim,
+                X_sketch, chunk_rows=rows,
+            )
+        else:
+            xty_full = lambda: native.fused_colscale_xty(  # noqa: E731
+                Y, gene_idx, colscale, op.buckets, op.weights,
+                op.sketch_dim, X_sketch,
+            )
+            xty_chunks = lambda rows: native.fused_colscale_xty_chunks(  # noqa: E731,E501
+                Y, gene_idx, colscale, op.buckets, op.weights,
+                op.sketch_dim, X_sketch, chunk_rows=rows,
+            )
+
         chunk_rows = native.XTY_STREAM_CHUNK_ROWS
         if (
             not self._is_sharded
             and jax.default_backend() != "cpu"
             and Y.shape[0] > chunk_rows
         ):
-            chunks = native.fused_log1pcpm_xty_chunks(
-                Y, gene_idx, op.buckets, op.weights, op.sketch_dim,
-                X_sketch, chunk_rows=chunk_rows,
-            )
+            chunks = xty_chunks(chunk_rows)
             if chunks is None:
                 return None
             import jax.numpy as jnp
@@ -478,9 +542,7 @@ class FlashDeconv:
                 )
                 yty += yty_part
             return jnp.concatenate(parts, axis=0), yty
-        return native.fused_log1pcpm_xty(
-            Y, gene_idx, op.buckets, op.weights, op.sketch_dim, X_sketch,
-        )
+        return xty_full()
 
     def _solve(self, Y_sketch, X_sketch, A, coords, lambda_, beta_init):
         """Stage-6 dispatch: single-device vs spot-sharded mesh solve."""

@@ -362,10 +362,20 @@ def fused_log1pcpm_xty(
     return out_xty, yty
 
 
-def _fused_xty_setup(Y, gene_idx, buckets, weights, X_sketch):
-    """Shared argument prep for the fused-Xty kernel; None if unavailable."""
+def _fused_xty_setup(Y, gene_idx, buckets, weights, X_sketch,
+                     kind: str = "log1pcpm", colscale=None):
+    """Shared argument prep for the fused-Xty kernels; None if unavailable.
+
+    ``kind`` selects the kernel family: "log1pcpm" (subset -> log-CPM ->
+    sketch; gated on the per-dtype libm self-test) or "colscale" (subset ->
+    per-gene scale -> sketch; no libm, so no gate beyond the library
+    loading). For "colscale", ``colscale`` is the per-subset-gene scale in
+    the data dtype, or None for the identity (the raw pipeline).
+    """
     lib = _load()
-    if lib is None or not _log1p_gate_ok(Y.data.dtype):
+    if lib is None:
+        return None
+    if kind == "log1pcpm" and not _log1p_gate_ok(Y.data.dtype):
         return None
     n_genes = Y.shape[1]
     indptr, indices, data, tag = _csr_buffers(Y)
@@ -373,12 +383,16 @@ def _fused_xty_setup(Y, gene_idx, buckets, weights, X_sketch):
     new_col[np.asarray(gene_idx, dtype=np.int64)] = np.arange(
         len(gene_idx), dtype=np.int32
     )
+    if kind == "colscale" and colscale is not None:
+        colscale = np.ascontiguousarray(colscale, dtype=data.dtype)
     return {
-        "fn": getattr(lib, f"fused_log1pcpm_xty_{tag}"),
+        "fn": getattr(lib, f"fused_{kind}_xty_{tag}"),
+        "kind": kind,
         "indptr": indptr,
         "indices": indices,
         "data": data,
         "new_col": new_col,
+        "colscale": colscale,
         "buckets": np.ascontiguousarray(buckets, dtype=np.int32),
         "weights": np.ascontiguousarray(weights, dtype=np.float64),
         "Xsk": np.ascontiguousarray(X_sketch, dtype=np.float64),
@@ -396,11 +410,18 @@ def _fused_xty_call(ctx, row_start: int, row_end: int, sketch_dim: int,
     original buffers addresses exactly rows a..b-1.
     """
     out_yty = np.empty(1, dtype=np.float64)
-    ctx["fn"](
+    args = [
         ctx["indptr"][row_start:row_end + 1].ctypes.data_as(ctypes.c_void_p),
         ctx["indices"].ctypes.data_as(ctypes.c_void_p),
         ctx["data"].ctypes.data_as(ctypes.c_void_p),
         ctx["new_col"].ctypes.data_as(ctypes.c_void_p),
+    ]
+    if ctx["kind"] == "colscale":
+        cs = ctx["colscale"]
+        args.append(
+            cs.ctypes.data_as(ctypes.c_void_p) if cs is not None else None
+        )
+    args += [
         ctx["buckets"].ctypes.data_as(ctypes.c_void_p),
         ctx["weights"].ctypes.data_as(ctypes.c_void_p),
         ctx["Xsk"].ctypes.data_as(ctypes.c_void_p),
@@ -410,7 +431,8 @@ def _fused_xty_call(ctx, row_start: int, row_end: int, sketch_dim: int,
         ctypes.c_int(_n_threads()),
         out_xty.ctypes.data_as(ctypes.c_void_p),
         out_yty.ctypes.data_as(ctypes.c_void_p),
-    )
+    ]
+    ctx["fn"](*args)
     return float(out_yty[0])
 
 
@@ -438,8 +460,10 @@ def fused_log1pcpm_xty_chunks(
     ctx = _fused_xty_setup(Y, gene_idx, buckets, weights, X_sketch)
     if ctx is None:
         return None
-    n_rows = Y.shape[0]
+    return _xty_chunk_gen(ctx, Y.shape[0], sketch_dim, chunk_rows)
 
+
+def _xty_chunk_gen(ctx, n_rows: int, sketch_dim: int, chunk_rows: int):
     def gen():
         for a in range(0, n_rows, chunk_rows):
             b = min(a + chunk_rows, n_rows)
@@ -448,6 +472,142 @@ def fused_log1pcpm_xty_chunks(
             yield a, b, out, yty
 
     return gen()
+
+
+def colscale_available(Y) -> bool:
+    """True iff the fused subset->column-scale->CountSketch kernels
+    (:func:`fused_colscale_project` / :func:`fused_colscale_xty` — the
+    pearson / raw sparse pipelines) will run on ``Y``: CSR input, float
+    data dtype, native library loaded. No libm gate — these kernels contain
+    no transcendentals and are bit-identical to the scipy staged pipeline
+    they replace. Like :func:`fused_available`, this is the ONE
+    authoritative gate: a None from the kernels despite it passing is an
+    internal error, not a fallback condition."""
+    from scipy import sparse as _sparse
+
+    return (
+        _sparse.isspmatrix_csr(Y)
+        and Y.data.dtype in (np.float32, np.float64)
+        and _load() is not None
+    )
+
+
+def subset_col_mean(Y, gene_idx: np.ndarray) -> Optional[np.ndarray]:
+    """Per-gene means of ``Y[:, gene_idx]`` without materializing the subset.
+
+    Bit-identical to ``np.asarray(Y[:, gene_idx].mean(axis=0)).ravel()``
+    for float CSR input: scipy's mean multiplies every stored entry by
+    ``1.0/n_rows`` in the data dtype FIRST, then column-sums the products
+    sequentially in row-major nnz order in the data dtype — the kernel
+    replays exactly that association on one thread (the pass is read-bound,
+    so single-threading costs little). Returns the (len(gene_idx),) means
+    in the data dtype, or None when the native path is unavailable.
+    """
+    lib = _load()
+    if lib is None or Y.data.dtype not in (np.float32, np.float64):
+        return None
+    n_rows, n_genes = Y.shape
+    indptr, indices, data, tag = _csr_buffers(Y)
+    new_col = np.full(n_genes, -1, dtype=np.int32)
+    new_col[np.asarray(gene_idx, dtype=np.int64)] = np.arange(
+        len(gene_idx), dtype=np.int32
+    )
+    out = np.empty(len(gene_idx), dtype=data.dtype)
+    getattr(lib, f"subset_scaled_col_sums_{tag}")(
+        indptr.ctypes.data_as(ctypes.c_void_p),
+        indices.ctypes.data_as(ctypes.c_void_p),
+        data.ctypes.data_as(ctypes.c_void_p),
+        new_col.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_double(1.0 / n_rows if n_rows else 0.0),
+        ctypes.c_int64(n_rows),
+        ctypes.c_int64(len(gene_idx)),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
+
+
+def fused_colscale_project(
+    Y, gene_idx: np.ndarray, colscale: Optional[np.ndarray],
+    buckets: np.ndarray, weights: np.ndarray, sketch_dim: int,
+) -> Optional[np.ndarray]:
+    """Gene subset -> per-gene scale -> CountSketch projection in ONE pass.
+
+    The pearson / raw sparse pipelines' analog of
+    :func:`fused_log1pcpm_project`: equivalent to
+    ``Y[:, gene_idx].multiply(colscale)`` -> ``countsketch_project`` (or
+    ``Y[:, gene_idx].astype(float64)`` -> project when ``colscale`` is
+    None), and — since no libm is involved — bit-identical to that staged
+    *scipy* pipeline, not just the staged native one. ``colscale`` must
+    already have the data dtype (the caller owns the promotion rule; see
+    ``preprocess_data``'s pearson branch). ``buckets`` / ``weights`` are
+    indexed by SUBSET column. Returns the dense (n_rows, sketch_dim)
+    float64 sketch, or None when the native path is unavailable.
+    """
+    lib = _load()
+    if lib is None or Y.data.dtype not in (np.float32, np.float64):
+        return None
+    n_rows, n_genes = Y.shape
+    indptr, indices, data, tag = _csr_buffers(Y)
+    new_col = np.full(n_genes, -1, dtype=np.int32)
+    new_col[np.asarray(gene_idx, dtype=np.int64)] = np.arange(
+        len(gene_idx), dtype=np.int32
+    )
+    if colscale is not None:
+        colscale = np.ascontiguousarray(colscale, dtype=data.dtype)
+    buckets = np.ascontiguousarray(buckets, dtype=np.int32)
+    weights = np.ascontiguousarray(weights, dtype=np.float64)
+    out = np.empty((n_rows, sketch_dim), dtype=np.float64)
+    getattr(lib, f"fused_colscale_project_{tag}")(
+        indptr.ctypes.data_as(ctypes.c_void_p),
+        indices.ctypes.data_as(ctypes.c_void_p),
+        data.ctypes.data_as(ctypes.c_void_p),
+        new_col.ctypes.data_as(ctypes.c_void_p),
+        colscale.ctypes.data_as(ctypes.c_void_p)
+        if colscale is not None else None,
+        buckets.ctypes.data_as(ctypes.c_void_p),
+        weights.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(n_rows),
+        ctypes.c_int64(sketch_dim),
+        ctypes.c_int(_n_threads()),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
+
+
+def fused_colscale_xty(
+    Y, gene_idx: np.ndarray, colscale: Optional[np.ndarray],
+    buckets: np.ndarray, weights: np.ndarray, sketch_dim: int,
+    X_sketch: np.ndarray,
+) -> Optional[Tuple[np.ndarray, float]]:
+    """Like :func:`fused_colscale_project`, but contracts each row's sketch
+    against ``X_sketch`` (K, d) on the fly — the pearson / raw analog of
+    :func:`fused_log1pcpm_xty`, with the same contraction structure and the
+    same never-materialize-the-sketch rationale. Returns ``(Xty, YtY)`` or
+    None when unavailable."""
+    ctx = _fused_xty_setup(Y, gene_idx, buckets, weights, X_sketch,
+                           kind="colscale", colscale=colscale)
+    if ctx is None:
+        return None
+    n_rows = Y.shape[0]
+    out_xty = np.empty((n_rows, ctx["n_types"]), dtype=np.float64)
+    yty = _fused_xty_call(ctx, 0, n_rows, sketch_dim, out_xty)
+    return out_xty, yty
+
+
+def fused_colscale_xty_chunks(
+    Y, gene_idx: np.ndarray, colscale: Optional[np.ndarray],
+    buckets: np.ndarray, weights: np.ndarray, sketch_dim: int,
+    X_sketch: np.ndarray, chunk_rows: int = XTY_STREAM_CHUNK_ROWS,
+):
+    """Chunked streaming variant of :func:`fused_colscale_xty` (see
+    :func:`fused_log1pcpm_xty_chunks` for the streaming rationale and the
+    chunk-boundary YtY caveat). Returns a generator of
+    ``(row_start, row_end, xty_chunk, yty_partial)`` or None."""
+    ctx = _fused_xty_setup(Y, gene_idx, buckets, weights, X_sketch,
+                           kind="colscale", colscale=colscale)
+    if ctx is None:
+        return None
+    return _xty_chunk_gen(ctx, Y.shape[0], sketch_dim, chunk_rows)
 
 
 def csr_row_sums(Y) -> Optional[np.ndarray]:

@@ -479,6 +479,113 @@ void fused_log1pcpm_xty_impl(const int64_t* indptr, const IdxT* indices,
   *out_yty = total;
 }
 
+// Column sums of the gene-subset matrix with a constant pre-scale,
+// replicating scipy's ``(Y[:, gene_idx] * scale).sum(axis=0)`` BITWISE:
+// scipy's mean(axis=0) multiplies every stored entry by 1/n in the data
+// dtype first, then column-sums the products in row-major nnz order in the
+// data dtype (csr sum(axis=0) is a sequential ones-vector matvec). This
+// kernel replays exactly that on ONE thread — block partials would change
+// the f32/f64 association — skipping dropped genes (new_col < 0). O(nnz)
+// read-bound; feeds the fused pearson pipeline's per-gene means
+// (reference flashdeconv/core/deconv.py:199-225 pearson branch).
+template <typename DataT, typename IdxT>
+void subset_scaled_col_sums_impl(const int64_t* indptr, const IdxT* indices,
+                                 const DataT* data, const int32_t* new_col,
+                                 double scale, int64_t n_rows, int64_t n_sub,
+                                 DataT* out) {
+  std::memset(out, 0, sizeof(DataT) * static_cast<size_t>(n_sub));
+  const DataT s = static_cast<DataT>(scale);
+  // Row boundaries are irrelevant to a column accumulation; walk the nnz
+  // span directly (indptr may be a zero-copy row-range view with
+  // indptr[0] != 0, like the fused-Xty kernels).
+  for (int64_t i = indptr[0]; i < indptr[n_rows]; ++i) {
+    const int32_t c = new_col[indices[i]];
+    if (c >= 0) out[c] += data[i] * s;
+  }
+}
+
+// Fused subset -> per-gene column scale -> CountSketch projection: the
+// pearson / raw sparse pipelines' analog of fused_log1pcpm_project_impl.
+// Per kept entry: v = data * colscale[c] in the data dtype — exactly the
+// value scipy's ``Y_sub.multiply(colscale)`` stores (same dtype, same
+// single multiply) — then out[r, bucket[c]] += weight[c] * (double)v, the
+// projection kernel's contract. colscale == nullptr means v = data (the
+// raw pipeline; its astype(float64) is exactly this widening). No libm
+// involved, so unlike the log_cpm kernels this is bit-identical to the
+// staged *scipy* pipeline, not just the staged native one.
+template <typename DataT, typename IdxT>
+void fused_colscale_project_impl(const int64_t* indptr, const IdxT* indices,
+                                 const DataT* data, const int32_t* new_col,
+                                 const DataT* colscale,
+                                 const int32_t* buckets,
+                                 const double* weights, int64_t n_rows,
+                                 int64_t sketch_dim, int n_threads,
+                                 double* out) {
+  parallel_blocks(n_blocks(n_rows), n_threads, [&](int64_t b) {
+    const int64_t r0 = b * block_rows(n_rows);
+    const int64_t r1 = std::min(r0 + block_rows(n_rows), n_rows);
+    std::memset(out + static_cast<size_t>(r0) * sketch_dim, 0,
+                sizeof(double) * static_cast<size_t>(r1 - r0) * sketch_dim);
+    for (int64_t r = r0; r < r1; ++r) {
+      double* row = out + static_cast<size_t>(r) * sketch_dim;
+      for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+        const int32_t c = new_col[indices[i]];
+        if (c >= 0) {
+          const DataT v =
+              colscale ? static_cast<DataT>(data[i] * colscale[c]) : data[i];
+          row[buckets[c]] += weights[c] * static_cast<double>(v);
+        }
+      }
+    }
+  });
+}
+
+// Fused subset -> column scale -> sketch -> (Xty, YtY): the pearson / raw
+// analog of fused_log1pcpm_xty_impl. Per-row sketch values are bit-identical
+// to fused_colscale_project_impl; the contractions use the shared fixed dot
+// structure (ULP-level vs a BLAS gemm — consumed as f32 Xty on device / by
+// the objective constant).
+template <typename DataT, typename IdxT>
+void fused_colscale_xty_impl(const int64_t* indptr, const IdxT* indices,
+                             const DataT* data, const int32_t* new_col,
+                             const DataT* colscale, const int32_t* buckets,
+                             const double* weights, const double* Xsk,
+                             int64_t n_rows, int64_t sketch_dim,
+                             int64_t n_types, int n_threads, double* out_xty,
+                             double* out_yty) {
+  const int64_t blocks = n_blocks(n_rows);
+  std::vector<double> yty_partial(static_cast<size_t>(blocks), 0.0);
+  parallel_blocks(blocks, n_threads, [&](int64_t b) {
+    std::vector<double> rowbuf(static_cast<size_t>(sketch_dim));
+    const int64_t r0 = b * block_rows(n_rows);
+    const int64_t r1 = std::min(r0 + block_rows(n_rows), n_rows);
+    double yty = 0.0;
+    for (int64_t r = r0; r < r1; ++r) {
+      std::memset(rowbuf.data(), 0, sizeof(double) * sketch_dim);
+      for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+        const int32_t c = new_col[indices[i]];
+        if (c >= 0) {
+          const DataT v =
+              colscale ? static_cast<DataT>(data[i] * colscale[c]) : data[i];
+          rowbuf[buckets[c]] += weights[c] * static_cast<double>(v);
+        }
+      }
+      double* xty_row = out_xty + static_cast<size_t>(r) * n_types;
+      for (int64_t k = 0; k < n_types; ++k) {
+        xty_row[k] = dot_f64(rowbuf.data(),
+                             Xsk + static_cast<size_t>(k) * sketch_dim,
+                             sketch_dim);
+      }
+      yty += dot_f64(rowbuf.data(), rowbuf.data(), sketch_dim);
+    }
+    yty_partial[static_cast<size_t>(b)] = yty;
+  });
+  double total = 0.0;
+  for (int64_t b = 0; b < blocks; ++b)
+    total += yty_partial[static_cast<size_t>(b)];
+  *out_yty = total;
+}
+
 // Per-row sums in the data dtype: scipy ``.sum(axis=1)`` computes each row
 // as a sequential nnz-order accumulation in the input dtype (csr_matvec
 // against ones); rows are independent, so any thread partition is
@@ -705,6 +812,42 @@ DEFINE_FUSED_XTY(f32_i64, float, int64_t)
 DEFINE_FUSED_XTY(f64_i32, double, int32_t)
 DEFINE_FUSED_XTY(f64_i64, double, int64_t)
 #undef DEFINE_FUSED_XTY
+
+// ---- fused subset -> column scale -> projection / (Xty, YtY) ---------------
+#define DEFINE_COLSCALE(SUFFIX, DATA_T, IDX_T)                                \
+  void subset_scaled_col_sums_##SUFFIX(                                      \
+      const int64_t* indptr, const IDX_T* indices, const DATA_T* data,       \
+      const int32_t* new_col, double scale, int64_t n_rows, int64_t n_sub,   \
+      DATA_T* out) {                                                         \
+    subset_scaled_col_sums_impl<DATA_T, IDX_T>(indptr, indices, data,        \
+                                               new_col, scale, n_rows,       \
+                                               n_sub, out);                  \
+  }                                                                          \
+  void fused_colscale_project_##SUFFIX(                                      \
+      const int64_t* indptr, const IDX_T* indices, const DATA_T* data,       \
+      const int32_t* new_col, const DATA_T* colscale,                        \
+      const int32_t* buckets, const double* weights, int64_t n_rows,         \
+      int64_t sketch_dim, int n_threads, double* out) {                      \
+    fused_colscale_project_impl<DATA_T, IDX_T>(                              \
+        indptr, indices, data, new_col, colscale, buckets, weights, n_rows,  \
+        sketch_dim, n_threads, out);                                         \
+  }                                                                          \
+  void fused_colscale_xty_##SUFFIX(                                          \
+      const int64_t* indptr, const IDX_T* indices, const DATA_T* data,       \
+      const int32_t* new_col, const DATA_T* colscale,                        \
+      const int32_t* buckets, const double* weights, const double* Xsk,      \
+      int64_t n_rows, int64_t sketch_dim, int64_t n_types, int n_threads,    \
+      double* out_xty, double* out_yty) {                                    \
+    fused_colscale_xty_impl<DATA_T, IDX_T>(                                  \
+        indptr, indices, data, new_col, colscale, buckets, weights, Xsk,     \
+        n_rows, sketch_dim, n_types, n_threads, out_xty, out_yty);           \
+  }
+
+DEFINE_COLSCALE(f32_i32, float, int32_t)
+DEFINE_COLSCALE(f32_i64, float, int64_t)
+DEFINE_COLSCALE(f64_i32, double, int32_t)
+DEFINE_COLSCALE(f64_i64, double, int64_t)
+#undef DEFINE_COLSCALE
 
 // ---- CSR column subset: data {f32, f64} x indices {i32, i64} --------------
 #define DEFINE_SUBSET(SUFFIX, DATA_T, IDX_T)                                 \

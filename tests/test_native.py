@@ -374,6 +374,155 @@ class TestFusedKernels:
     # this fused path against a FLASHDECONV_NO_NATIVE subprocess (pure
     # scipy staged pipeline) at rtol 1e-6.
 
+    @pytest.mark.parametrize("dtype", [np.float32, np.float64])
+    @pytest.mark.parametrize("idx_dtype", [np.int32, np.int64])
+    def test_subset_col_mean_bitwise(self, dtype, idx_dtype):
+        """subset_col_mean must equal scipy's Y[:, idx].mean(axis=0)
+        bit-for-bit (scipy scales each entry by 1/n in the data dtype, then
+        column-sums in row-major nnz order in the data dtype — the kernel
+        replays that association exactly)."""
+        Y = _random_csr(n_rows=903, n_cols=600, density=0.08, dtype=dtype,
+                        seed=21)
+        Y.indices = Y.indices.astype(idx_dtype)
+        gene_idx = np.sort(
+            np.random.RandomState(9).choice(600, size=180, replace=False)
+        )
+        mine = native.subset_col_mean(Y, gene_idx)
+        ref = np.asarray(Y[:, gene_idx].mean(axis=0)).ravel()
+        assert mine.dtype == ref.dtype
+        np.testing.assert_array_equal(mine, ref)
+
+    @pytest.mark.parametrize("dtype", [np.float32, np.float64])
+    def test_fused_colscale_project_pearson_bitwise_vs_scipy(self, dtype):
+        """The pearson fused pass contains no libm, so unlike the log_cpm
+        kernels it must be bit-identical to the STAGED SCIPY pipeline
+        (subset -> preprocess_data('pearson') -> Omega matmul), not just
+        the staged native one."""
+        from flashdeconv_tpu.core.deconv import _pearson_sigma, preprocess_data
+        from flashdeconv_tpu.core.sketching import make_countsketch_op
+
+        Y = _random_csr(n_rows=700, n_cols=500, density=0.08, dtype=dtype,
+                        seed=23)
+        gene_idx = np.sort(
+            np.random.RandomState(10).choice(500, size=160, replace=False)
+        )
+        op = make_countsketch_op(len(gene_idx), 64, random_state=3)
+
+        mu = np.asarray(Y[:, gene_idx].mean(axis=0)).ravel() + 1e-6
+        colscale = 1.0 / _pearson_sigma(mu)
+        fused = native.fused_colscale_project(
+            Y, gene_idx, colscale, op.buckets, op.weights, op.sketch_dim
+        )
+        assert fused is not None
+
+        Y_sub = Y[:, gene_idx].tocsr()
+        Y_tilde, _ = preprocess_data(
+            Y_sub, np.ones((3, len(gene_idx))), "pearson"
+        )
+        staged = np.asarray((Y_tilde @ op.to_csr()).todense())
+        np.testing.assert_array_equal(fused, staged)
+
+    @pytest.mark.parametrize("dtype", [np.float32, np.float64])
+    def test_fused_colscale_project_raw_bitwise_vs_scipy(self, dtype):
+        """colscale=None is the raw pipeline: subset -> astype(float64) ->
+        project, bit-identical to the scipy staging."""
+        from flashdeconv_tpu.core.sketching import make_countsketch_op
+
+        Y = _random_csr(n_rows=650, n_cols=500, density=0.08, dtype=dtype,
+                        seed=29)
+        gene_idx = np.sort(
+            np.random.RandomState(11).choice(500, size=150, replace=False)
+        )
+        op = make_countsketch_op(len(gene_idx), 64, random_state=4)
+        fused = native.fused_colscale_project(
+            Y, gene_idx, None, op.buckets, op.weights, op.sketch_dim
+        )
+        assert fused is not None
+        staged = np.asarray(
+            (Y[:, gene_idx].astype(np.float64) @ op.to_csr()).todense()
+        )
+        np.testing.assert_array_equal(fused, staged)
+
+    @pytest.mark.parametrize("dtype", [np.float32, np.float64])
+    def test_fused_colscale_xty_equals_project_then_gemm(self, dtype):
+        """fused_colscale_xty == (fused sketch) @ X_sketch.T to f64
+        dot-reassociation tolerance; the chunked variant is bitwise equal
+        per row and additively equivalent in YtY."""
+        from flashdeconv_tpu.core.deconv import _pearson_sigma
+        from flashdeconv_tpu.core.sketching import make_countsketch_op
+
+        Y = _random_csr(n_rows=701, n_cols=500, density=0.08, dtype=dtype,
+                        seed=31)
+        gene_idx = np.sort(
+            np.random.RandomState(12).choice(500, size=150, replace=False)
+        )
+        op = make_countsketch_op(len(gene_idx), 64, random_state=5)
+        Xsk = np.random.RandomState(13).standard_normal((6, 64))
+        mu = np.asarray(Y[:, gene_idx].mean(axis=0)).ravel() + 1e-6
+        colscale = 1.0 / _pearson_sigma(mu)
+
+        res = native.fused_colscale_xty(
+            Y, gene_idx, colscale, op.buckets, op.weights, op.sketch_dim,
+            Xsk,
+        )
+        assert res is not None
+        xty, yty = res
+        sketch = native.fused_colscale_project(
+            Y, gene_idx, colscale, op.buckets, op.weights, op.sketch_dim
+        )
+        np.testing.assert_allclose(xty, sketch @ Xsk.T, rtol=1e-10,
+                                   atol=1e-11)
+        np.testing.assert_allclose(
+            yty, float(np.einsum("ij,ij->", sketch, sketch)), rtol=1e-12
+        )
+
+        chunks = native.fused_colscale_xty_chunks(
+            Y, gene_idx, colscale, op.buckets, op.weights, op.sketch_dim,
+            Xsk, chunk_rows=128,
+        )
+        parts, yty_c = [], 0.0
+        for _, _, xty_chunk, yty_part in chunks:
+            parts.append(xty_chunk)
+            yty_c += yty_part
+        np.testing.assert_array_equal(np.concatenate(parts), xty)
+        np.testing.assert_allclose(yty_c, yty, rtol=1e-12)
+
+    @pytest.mark.parametrize("method", ["pearson", "raw"])
+    def test_fused_colscale_fit_equals_staged_sparse_fit(
+        self, method, monkeypatch
+    ):
+        """A sparse-CSR fit through the fused colscale pipeline vs the
+        staged sparse fit (subset -> scipy pearson multiply / astype ->
+        projection). Sketch VALUES are bit-identical (the kernels replay
+        scipy's exact precision and accumulation order), but the fused
+        path contracts Xty with a fixed dot structure while the staged
+        path runs a BLAS gemm — f64 reassociation noise (~1e-11 on Xty)
+        perturbs the f64 trajectory at the last-ULP level, so the fit
+        comparison is a tight allclose, not array_equal. Staged run forced
+        by gating the colscale predicate off (gene selection stays native
+        in both runs, so the comparison isolates preprocess+sketch)."""
+        from conftest import make_synthetic
+
+        from flashdeconv_tpu import FlashDeconv
+
+        Y, X, coords, _ = make_synthetic(n_spots=120, n_genes=300, n_types=5)
+        Ysp = sparse.csr_matrix(Y)
+        kw = dict(
+            sketch_dim=64, n_hvg=120, n_markers_per_type=10, random_state=0,
+            max_iter=30, preprocess=method, solver_dtype=np.float64,
+        )
+        m_fused = FlashDeconv(**kw)
+        P_fused = m_fused.fit_transform(Ysp, X, coords)
+
+        monkeypatch.setattr(native, "colscale_available", lambda _Y: False)
+        m_staged = FlashDeconv(**kw)
+        P_staged = m_staged.fit_transform(Ysp, X, coords)
+
+        np.testing.assert_allclose(P_fused, P_staged, rtol=1e-9, atol=1e-12)
+        assert (
+            m_fused.info_["n_iterations"] == m_staged.info_["n_iterations"]
+        )
+
     def test_f32_moments_vector_log1p_extreme_range(self):
         """The f32 moments path (AVX2 vector log1p on x86) must agree with
         the correctly-rounded reference float(np.log1p(float64(x))) to <= 1

@@ -214,3 +214,29 @@ class TestSolverParity:
         )
         P_ref = RefModel(**kw).fit_transform(Y, X, coords)
         np.testing.assert_allclose(P_ours, P_ref, rtol=1e-6, atol=1e-8)
+
+    @pytest.mark.parametrize("method", ["pearson", "raw"])
+    def test_end_to_end_parity_sparse_fused_preprocess(self, ref, method):
+        """Sparse-CSR fit_transform parity for the non-default preprocess
+        modes (float64). On our side sparse input engages the fused
+        subset->column-scale->sketch native path (when available), which is
+        bit-identical to the scipy staging the reference runs — so parity
+        holds at the same tolerance as the log_cpm e2e test."""
+        from scipy import sparse
+
+        from flashdeconv_tpu import FlashDeconv
+        from flashdeconv.core.deconv import FlashDeconv as RefModel
+
+        from conftest import make_synthetic
+
+        Y, X, coords, _ = make_synthetic(n_spots=100, n_genes=250, n_types=5)
+        Ysp = sparse.csr_matrix(Y)
+        kw = dict(
+            sketch_dim=64, n_hvg=120, n_markers_per_type=10, random_state=0,
+            max_iter=30, preprocess=method,
+        )
+        P_ours = FlashDeconv(solver_dtype=np.float64, **kw).fit_transform(
+            Ysp, X, coords
+        )
+        P_ref = RefModel(**kw).fit_transform(Ysp, X, coords)
+        np.testing.assert_allclose(P_ours, P_ref, rtol=1e-6, atol=1e-8)
