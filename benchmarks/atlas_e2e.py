@@ -84,6 +84,10 @@ def main() -> None:
                    help="uniform-random coordinates (dissociated/imaging "
                         "platforms) — exercises the padded-gather solver "
                         "path instead of the banded grid fast path")
+    p.add_argument("--preprocess", type=str, default="log_cpm",
+                   choices=["log_cpm", "pearson", "raw"],
+                   help="normalization mode; pearson/raw exercise the fused "
+                        "subset->colscale->sketch sparse kernels")
     p.add_argument("--fits", type=int, default=1,
                    help="number of fits; the reported value is the best "
                         "(the first fit of a new shape pays a one-time XLA "
@@ -111,7 +115,9 @@ def main() -> None:
     # a cached start costs milliseconds instead of a multi-GB zip copy.
     t0 = time.perf_counter()
     names = ("data", "indices", "indptr", "X", "coords")
-    if args.cache and os.path.isdir(args.cache):
+    if args.cache and all(
+        os.path.exists(os.path.join(args.cache, n + ".npy")) for n in names
+    ):
         print(f"# loading cached problem from {args.cache}/...",
               file=sys.stderr)
         z = {n: np.load(os.path.join(args.cache, n + ".npy"), mmap_mode="r")
@@ -164,6 +170,7 @@ def main() -> None:
             sketch_dim=512, lambda_spatial="auto", n_hvg=2000,
             n_markers_per_type=50, k_neighbors=6, random_state=0,
             spatial_method=args.spatial_method, radius=args.radius,
+            preprocess=args.preprocess,
             n_shards=args.n_shards, verbose=False,
         )
         t0 = time.perf_counter()
@@ -182,7 +189,9 @@ def main() -> None:
     best_timings, best_info = runs[best]
     print(json.dumps({
         "metric": f"spots_per_sec_e2e_{args.spots}spots"
-                  + ("_irregular" if args.irregular else ""),
+                  + ("_irregular" if args.irregular else "")
+                  + ("" if args.preprocess == "log_cpm"
+                     else f"_{args.preprocess}"),
         "value": round(args.spots / total, 1),
         "unit": "spots/s",
         "vs_baseline": round((args.spots / total) / (1_000_000 / 180.0), 2),
