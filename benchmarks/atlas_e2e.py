@@ -113,11 +113,46 @@ def main() -> None:
 
     # Cache as raw .npy files in a directory: np.load memory-maps them, so
     # a cached start costs milliseconds instead of a multi-GB zip copy.
+    # A params.json sidecar records the generation parameters; a cache dir
+    # generated under different flags is refused instead of silently loading
+    # stale data (e.g. --irregular pointed at a grid-generated cache).
     t0 = time.perf_counter()
     names = ("data", "indices", "indptr", "X", "coords")
-    if args.cache and all(
+    gen_params = {
+        "spots": args.spots, "genes": args.genes,
+        "nnz_per_spot": args.nnz_per_spot, "types": args.types,
+        "irregular": bool(args.irregular),
+    }
+    cache_hit = args.cache and all(
         os.path.exists(os.path.join(args.cache, n + ".npy")) for n in names
-    ):
+    )
+    if cache_hit:
+        params_path = os.path.join(args.cache, "params.json")
+        if os.path.exists(params_path):
+            with open(params_path) as f:
+                cached = json.load(f)
+            if cached != gen_params:
+                raise SystemExit(
+                    f"cache {args.cache} was generated with {cached}, "
+                    f"current flags need {gen_params}; use a different "
+                    "--cache dir (or delete this one)"
+                )
+        else:
+            # pre-sidecar cache: at least reject shape mismatches
+            coords_chk = np.load(
+                os.path.join(args.cache, "coords.npy"), mmap_mode="r"
+            )
+            indices_chk = np.load(
+                os.path.join(args.cache, "indices.npy"), mmap_mode="r"
+            )
+            if coords_chk.shape[0] != args.spots or (
+                indices_chk.size and int(indices_chk.max()) >= args.genes
+            ):
+                raise SystemExit(
+                    f"cache {args.cache} does not match --spots/--genes "
+                    "(no params.json sidecar); regenerate with a fresh dir"
+                )
+    if cache_hit:
         print(f"# loading cached problem from {args.cache}/...",
               file=sys.stderr)
         z = {n: np.load(os.path.join(args.cache, n + ".npy"), mmap_mode="r")
@@ -143,6 +178,8 @@ def main() -> None:
             os.makedirs(args.cache, exist_ok=True)
             for n, arr in zip(names, (Y.data, Y.indices, Y.indptr, X, coords)):
                 np.save(os.path.join(args.cache, n + ".npy"), arr)
+            with open(os.path.join(args.cache, "params.json"), "w") as f:
+                json.dump(gen_params, f)
 
     # Warm-up: on shared/remote-attached accelerators the process's FIRST
     # sizeable execution can wait minutes for a scheduling slot; absorb that
