@@ -335,12 +335,12 @@ class BCDProblem:
         self.XtX_d = jnp.asarray(XtX, dtype=self.dtype)
         self.nnb_d = jnp.asarray(n_nbrs, dtype=self.dtype)
         if use_banded:
-            # The masks are 0/1 floats: ship them as uint8 (4x less tunnel
-            # traffic at 1M spots) and widen on device; the f32 copy stays
-            # resident for every sweep.
-            self.masks_d = jnp.asarray(masks_np.astype(np.uint8)).astype(
-                self.dtype
-            )
+            # The masks are 0/1: ship them as uint8 (4x less tunnel
+            # traffic at 1M spots). The fused kernel consumes the uint8
+            # copy directly (widening in-VMEM, 4x less HBM per sweep);
+            # the unfused banded path widens once here.
+            masks_u8_d = jnp.asarray(masks_np.astype(np.uint8))
+            self.masks_d = masks_u8_d
             self.rest_d = jnp.asarray(rest_nbr_np)
         else:
             self.nbr_d = jnp.asarray(nbr_idx)
@@ -373,13 +373,17 @@ class BCDProblem:
                 # every prepare (~0.4 s each over the tunnel); eager
                 # primitives hit the cached dispatch path.
                 self.Xty_t_d = Xty_d.T
-                self.nnb_row_d = self.nnb_d[None, :]
                 # The row-layout operands are unreachable on the fused
-                # path (sweep AND objective consume the transposed
-                # copies); release them so the dominant (N, K) buffer is
-                # not resident twice (~800 MB at 10M spots).
+                # path (sweep AND objective consume the transposed /
+                # uint8 copies, and derive the degree from the masks);
+                # release them so the dominant (N, K) buffer is not
+                # resident twice (~800 MB at 10M spots).
                 self.Xty_d = None
                 self.nnb_d = None
+        if use_banded and not self.use_fused_banded:
+            # Unfused banded sweeps multiply by the masks every offset
+            # pass: widen the uint8 copy once and keep only the f32.
+            self.masks_d = masks_u8_d.astype(self.dtype)
         if perm is not None:
             inv = np.empty(n_spots, dtype=np.int32)
             inv[perm] = np.arange(n_spots, dtype=np.int32)
@@ -407,10 +411,11 @@ class BCDProblem:
         )
 
         if self.use_fused_banded:
-            # beta_d is the transposed padded carry here (see solve()).
+            # beta_d is the transposed padded carry here (see solve());
+            # masks_d is the uint8 copy, widened in-kernel.
             return bcd_iterate_banded_fused(
                 beta_d, self.Xty_t_d, self.XtX_d, self.masks_d,
-                self.nnb_row_d, lam_d, rho_d, tol_d, max_iter,
+                lam_d, rho_d, tol_d, max_iter,
                 self.offsets, self.h_blocks, block=self.fused_block,
                 iter_cap=cap,
             )
@@ -438,7 +443,7 @@ class BCDProblem:
 
             return objective_terms_banded_fused(
                 beta_d, self.Xty_t_d, self.XtX_d, self.YtY_d, self.offsets,
-                self.masks_d, self.nnb_row_d, lam_d, rho_d,
+                self.masks_d, lam_d, rho_d,
                 self.h_blocks, self.fused_block,
             )
         if self.use_banded:

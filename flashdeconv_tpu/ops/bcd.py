@@ -224,33 +224,62 @@ def _gs_pass_kb(beta_old, xty, xtx, ns, nnb, lam, rho):
 
     All operands are VMEM-resident values: beta_old/xty/ns (K, B),
     xtx (K, K), nnb (1, B); lam/rho scalars. Returns the updated (K, B)
-    beta. Full-(K, B) ops keep all 8 sublanes busy: per-row (1, B)
-    variants use 1/8 of the VPU and measure slower despite doing less
-    element work.
+    beta.
+
+    VPU schedule (this loop is instruction-throughput bound — at K=20,
+    B=2048 the sweep kernel spends ~all of its time here, far above the
+    HBM stream time): every quantity that does not depend on the
+    in-sweep coordinate order is hoisted out of the loop as ONE
+    full-(K, B) op (all 8 sublanes busy) instead of K per-row (1, B)
+    ops (1/8 of the VPU each):
+
+    - the constant part of the numerator, ``C = xty + lam*ns - r0 +
+      diag(xtx)*beta_old - rho``, so the per-coordinate residual is a
+      single subtract of the accumulated rank-1 corrections;
+    - the denominator with its positivity guard pre-applied
+      (``den<=1e-10 -> +inf``, so ``num/den`` yields the guarded 0.0
+      without a per-row compare+select — num is finite and >= 0).
+
+    The loop body is then 3 per-row (1, B) ops (subtract+clip, divide,
+    delta) plus the full-(K, B) rank-1 accumulator refresh; updated rows
+    are collected and assembled with one concatenate (row k is read once,
+    before its own update, and written once). Measured ~15% faster per
+    sweep than the direct-form loop at 1M x 20.
+
+    Numerics: algebraically identical to the reference update
+    (reference ``flashdeconv/core/solver.py:75-99``); the hoisting
+    reassociates f32 additions, so this pass differs from the XLA
+    :func:`coordinate_descent` fallback by ~1 ulp per sweep (observed
+    max 6e-8 at 1M spots). Both Pallas paths share THIS function, so
+    fused and unfused Pallas sweeps remain bit-identical to each other;
+    the f64 CPU path (XLA) and its reference parity are untouched.
     """
     K = beta_old.shape[0]
-    r = jax.lax.dot_general(
+    r0 = jax.lax.dot_general(
         xtx, beta_old, (((1,), (0,)), ((), ())),
         precision=_PREC, preferred_element_type=jnp.float32,
     )                                      # (K, B)
-    denom_base = lam * nnb                 # (1, B)
+    # diag(xtx) as a (K, 1) column (Mosaic lowers the masked row-sum of the
+    # tiny (K, K) tile; there is no diagonal-extract primitive).
+    rid = lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    cid = lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    diag = jnp.sum(jnp.where(rid == cid, xtx, 0.0), axis=1, keepdims=True)
 
-    # Mosaic has no scatter: write the updated row back with a sublane mask.
-    beta = beta_old
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, beta.shape, 0)
+    C = (xty + lam * ns - r0 + diag * beta_old) - rho      # (K, B)
+    den = diag + lam * nnb                                 # (K, B)
+    den_safe = jnp.where(den > 1e-10, den, jnp.inf)
+
+    acc = jnp.zeros_like(beta_old)         # accumulated rank-1 corrections
+    rows = []
     for k in range(K):
-        old = beta[k : k + 1, :]           # (1, B) — full-lane row
-        diag_k = xtx[k, k]
-        resid = xty[k : k + 1, :] - r[k : k + 1, :] + diag_k * old \
-            + lam * ns[k : k + 1, :]
-        denom = diag_k + denom_base
-        new = jnp.where(
-            denom > 1e-10, jnp.maximum(resid - rho, 0.0) / denom, 0.0
-        )
-        delta = new - old
-        r = r + xtx[:, k : k + 1] * delta  # rank-1 refresh, exact f32 on VPU
-        beta = jnp.where(row_ids == k, new, beta)
-    return beta
+        num = jnp.maximum(C[k : k + 1, :] - acc[k : k + 1, :], 0.0)
+        new = num / den_safe[k : k + 1, :]
+        # Row k is untouched before its own turn, so the current carry
+        # row equals beta_old's — read it there directly.
+        delta = new - beta_old[k : k + 1, :]
+        acc = acc + xtx[:, k : k + 1] * delta  # rank-1 refresh, exact f32
+        rows.append(new)
+    return jnp.concatenate(rows, axis=0)
 
 
 def _cd_block_kernel(lam_ref, rho_ref, beta_ref, xty_ref, ns_ref, nnb_ref,
@@ -342,79 +371,101 @@ def fused_banded_vmem_bytes(n_types: int, n_bands: int, h: int,
                             block: int = 2048) -> int:
     """Estimated VMEM working set of :func:`fused_banded_sweep` per grid step.
 
-    Streams: (2h+1) beta windows + Xty + the output block, double-buffered
-    by the pipeline; masks/nnb likewise. Scratch: the concatenated window
-    plus the ns / r / beta values of the coordinate pass. The eligibility
-    gates (``BCDProblem``, ``GspmdBandedProblem``) require this to fit
+    Streams (double-buffered by the pipeline): ONE beta block in, one out,
+    one Xty block, one uint8 masks block. Scratch: the rolling
+    (2h+1)-block beta window, plus the window/ns/r/beta values of the
+    coordinate pass. The eligibility gates (``BCDProblem``,
+    ``GspmdBandedProblem``) require this to fit
     :data:`FUSED_VMEM_BUDGET_BYTES` — otherwise a legal-looking config
     (large K x large halo) dies at Mosaic compile time instead of falling
     back to the unfused banded path.
     """
     kp = -(-n_types // 8) * 8              # sublane-padded K
     kb = kp * block * 4
-    streams = ((2 * h + 1) + 2) * kb * 2   # beta views + Xty + out, x2
-    masks = n_bands * block * 4 * 2 + block * 4 * 2
-    scratch = (2 * h + 1) * kb + 3 * kb    # win concat + ns/r/beta
-    return streams + masks + scratch
+    streams = 3 * kb * 2                   # beta in + out + Xty, x2
+    masks = n_bands * block * 2            # uint8 masks block, x2
+    scratch = (2 * h + 1) * kb             # rolling window scratch
+    values = (2 * h + 1) * kb + 3 * kb     # window value + ns/r/beta
+    return streams + masks + scratch + values
 
 
 def _make_fused_banded_kernel(offsets: Tuple[int, ...], h: int, block: int,
                               n_blocks_total: int):
     """Build the fully fused banded-sweep kernel for a static band set.
 
-    One grid step = one ``block``-column slab of the transposed carry
-    ``beta_ext`` (K, n_solve + 2*h*block). The kernel fuses, entirely in
-    VMEM: the banded neighbor sum (static window slices — beta is fetched
-    (2h+1)x per sweep, one window per grid step, instead of once per
-    offset, typically ~18x on grid kNN), the full Gauss-Seidel coordinate
-    pass (identical iterate path to :func:`_cd_block_kernel` — both call
-    :func:`_gs_pass_kb`), and the per-block convergence statistics
-    (max |delta|, max |old|) that previously cost a separate full pass.
-    Edge slabs (the h zero-pad blocks on each side) write zeros.
+    Software-pipelined streaming schedule: grid step ``i`` DMAs beta block
+    ``min(i, nbt-1)`` of the transposed carry (K, n_solve + 2*h*block),
+    appends it to a rolling (2h+1)-block VMEM scratch window, and processes
+    + writes block ``i - h`` — so HBM reads every beta block EXACTLY once
+    per sweep (the previous schedule fetched a fresh (2h+1)-block window
+    per grid step, (2h+1)x the traffic). The kernel fuses, entirely in
+    VMEM: the banded neighbor sum (static shifted slices of the window),
+    the full Gauss-Seidel coordinate pass (identical iterate path to
+    :func:`_cd_block_kernel` — both call :func:`_gs_pass_kb`), the per-spot
+    degree (the band masks' column sum — exact, since fused eligibility
+    requires 100% banded edge coverage), and the per-block convergence
+    statistics (max |delta|, max |old|). Edge slabs (the h pad blocks on
+    each side) write zeros.
     """
     from jax.experimental import pallas as pl
 
-    def kernel(lam_ref, rho_ref, *refs):
-        beta_views = refs[: 2 * h + 1]
-        xty_ref, masks_ref, nnb_ref, xtx_ref = refs[2 * h + 1 : 2 * h + 5]
-        out_beta_ref, out_diff_ref, out_abs_ref = refs[2 * h + 5 :]
-
+    def kernel(lam_ref, rho_ref, beta_in_ref, xty_ref, masks_ref, xtx_ref,
+               out_beta_ref, out_diff_ref, out_abs_ref, win_ref):
         i = pl.program_id(0)
-        is_mid = jnp.logical_and(i >= h, i < n_blocks_total - h)
+        # Mid (data) slabs j = i - h with j in [h, nbt - h): processed at
+        # steps i in [2h, nbt).
+        is_mid = jnp.logical_and(i >= 2 * h, i < n_blocks_total)
+        jc = jnp.clip(i - h, 0, n_blocks_total - 1)
+
+        # Roll the window left one block and append the fetched block. The
+        # shifted part is loaded as a value first, so the overlapping store
+        # cannot alias; both values then feed the compute directly (no
+        # re-load of the scratch).
+        shifted = win_ref[:, block:]             # (K, 2h*block)
+        newblk = beta_in_ref[:]                  # (K, block)
+        win_ref[:, : 2 * h * block] = shifted
+        win_ref[:, 2 * h * block :] = newblk
 
         @pl.when(is_mid)
         def _mid():
             lam = lam_ref[0, 0]
             rho = rho_ref[0, 0]
-            win = jnp.concatenate([v[:] for v in beta_views], axis=1)
+            win = jnp.concatenate([shifted, newblk], axis=1)
             K = win.shape[0]
 
-            # Banded neighbor sum from the VMEM window: data row g of this
-            # slab sits at window column h*block + j, its offset-o neighbor
-            # at h*block + j + o — a static slice per band.
+            # Banded neighbor sum from the window: data column j of the
+            # center slab sits at window column h*block + j, its offset-o
+            # neighbor at h*block + j + o — a static slice per band. The
+            # 0/1 masks arrive uint8 (4x less HBM than f32) and widen here
+            # (via int32 — Mosaic has no direct uint8->f32 cast); their
+            # column sum IS the degree (all edges are banded).
+            masksf = masks_ref[:]
+            if jnp.issubdtype(masksf.dtype, jnp.integer):
+                masksf = masksf.astype(jnp.int32)
+            masksf = masksf.astype(win.dtype)
+            nnb = jnp.sum(masksf, axis=0, keepdims=True)   # (1, B)
             ns = jnp.zeros((K, block), dtype=win.dtype)
-            masks = masks_ref[:]
             for u, off in enumerate(offsets):
                 sl = lax.slice_in_dim(
                     win, h * block + off, h * block + off + block, axis=1
                 )
-                ns = ns + masks[u : u + 1, :] * sl
+                ns = ns + masksf[u : u + 1, :] * sl
 
             beta_old = lax.slice_in_dim(
                 win, h * block, (h + 1) * block, axis=1
             )                                   # (K, B) center slab
             beta = _gs_pass_kb(
-                beta_old, xty_ref[:], xtx_ref[:], ns, nnb_ref[:], lam, rho
+                beta_old, xty_ref[:], xtx_ref[:], ns, nnb, lam, rho
             )
             out_beta_ref[:] = beta
-            out_diff_ref[0, i] = jnp.max(jnp.abs(beta - beta_old))
-            out_abs_ref[0, i] = jnp.max(jnp.abs(beta_old))
+            out_diff_ref[0, jc] = jnp.max(jnp.abs(beta - beta_old))
+            out_abs_ref[0, jc] = jnp.max(jnp.abs(beta_old))
 
         @pl.when(jnp.logical_not(is_mid))
         def _edge():
             out_beta_ref[:] = jnp.zeros_like(out_beta_ref)
-            out_diff_ref[0, i] = 0.0
-            out_abs_ref[0, i] = 0.0
+            out_diff_ref[0, jc] = 0.0
+            out_abs_ref[0, jc] = 0.0
 
     return kernel
 
@@ -424,7 +475,6 @@ def fused_banded_sweep(
     Xty_t: jnp.ndarray,
     XtX: jnp.ndarray,
     masks: jnp.ndarray,
-    nnb_row: jnp.ndarray,
     lambda_,
     rho,
     offsets: Tuple[int, ...],
@@ -437,17 +487,23 @@ def fused_banded_sweep(
     Parameters
     ----------
     beta_ext_t : (K, n_solve + 2*h*block) f32 — transposed beta with ``h``
-        all-zero pad blocks on each side (the carry stays in this layout
-        for the whole solve loop; see ``BCDProblem``).
-    Xty_t : (K, n_solve); masks : (U, n_solve) f32; nnb_row : (1, n_solve).
+        pad blocks on each side (all-zero single-device; neighbor-shard
+        halo blocks under the GSPMD mesh path — the carry stays in this
+        layout for the whole solve loop; see ``BCDProblem``).
+    Xty_t : (K, n_solve); masks : (U, n_solve) 0/1, uint8 (preferred — 4x
+        less HBM per sweep) or float32 (widened in-kernel either way).
+        The per-spot degree is the masks' column sum — exact because fused
+        eligibility requires every edge on a band.
     offsets : static band offsets, each |o| <= h*block.
     Returns ``(new beta_ext_t, max_diff, max_abs)`` — stats reduced over
     per-block partials (a (n_blocks,) max, fused by XLA).
 
-    HBM traffic per sweep: (2h+1) window reads of beta (each grid step
-    DMAs its own (2h+1)-block window — 3x at the typical h=1) + one write
-    of beta + one read of Xty/masks/nnb. The unfused path reads beta once
-    PER OFFSET (~18x on grid kNN) plus the separate coordinate-pass and
+    HBM traffic per sweep: ONE read + ONE write of beta, one read of
+    Xty, one uint8 read of masks — the streaming minimum. Grid step i
+    fetches beta block min(i, nbt-1) into a rolling VMEM scratch window
+    and processes block i-h (grid runs h steps past the carry), so no
+    beta block is ever DMA'd twice. The unfused path reads beta once PER
+    OFFSET (~18x on grid kNN) plus the separate coordinate-pass and
     sweep_stats passes and the per-sweep (N, K) <-> (K, B) transposes —
     all of which disappear here.
     """
@@ -459,45 +515,47 @@ def fused_banded_sweep(
     assert n_solve % block == 0 and n_solve > 0
     n_blocks_total = n_ext // block
     n_mid = n_solve // block
-    grid = (n_blocks_total,)
+    grid = (n_blocks_total + h,)
 
     lam2d = jnp.reshape(jnp.asarray(lambda_, jnp.float32), (1, 1))
     rho2d = jnp.reshape(jnp.asarray(rho, jnp.float32), (1, 1))
 
     kernel = _make_fused_banded_kernel(offsets, h, block, n_blocks_total)
 
-    def view_map(j):
-        return lambda i: (0, jnp.clip(i + j - h, 0, n_blocks_total - 1))
+    def beta_map(i):
+        # Streaming fetch: block i, clipped (trailing steps re-map to the
+        # last block, whose DMA the pipeline skips as the index is equal).
+        return (0, jnp.minimum(i, n_blocks_total - 1))
 
     def data_map(i):
-        return (0, jnp.clip(i - h, 0, n_mid - 1))
+        # Data slab for the processed block j = i - h (data arrays carry
+        # no pad blocks, so the data index is j - h = i - 2h).
+        return (0, jnp.clip(i - 2 * h, 0, n_mid - 1))
+
+    def out_map(i):
+        return (0, jnp.clip(i - h, 0, n_blocks_total - 1))
 
     U = masks.shape[0]
-    beta_specs = [
-        pl.BlockSpec((K, block), view_map(j), memory_space=pltpu.VMEM)
-        for j in range(2 * h + 1)
-    ]
+    msize = masks.dtype.itemsize
     out_beta, diff_p, abs_p = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            *beta_specs,
+            pl.BlockSpec((K, block), beta_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((K, block), data_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((U, block), data_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block), data_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((K, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((K, block), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, block), out_map, memory_space=pltpu.VMEM),
             # Per-block scalar stats: one SMEM-resident (1, n_blocks)
             # buffer revisited by every grid step (sub-(8, 128) blocks are
-            # not lowerable on TPU), indexed by program_id in the kernel.
-            # Lane-major (1, n) — the transposed (n, 1) layout pads every
-            # row to 128 lanes and blows the 1 MB SMEM budget at ~5k
-            # blocks (hit at 10M spots).
+            # not lowerable on TPU), indexed by the processed-block id in
+            # the kernel. Lane-major (1, n) — the transposed (n, 1) layout
+            # pads every row to 128 lanes and blows the 1 MB SMEM budget
+            # at ~5k blocks (hit at 10M spots).
             pl.BlockSpec((1, n_blocks_total), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, n_blocks_total), lambda i: (0, 0),
@@ -508,19 +566,20 @@ def fused_banded_sweep(
             jax.ShapeDtypeStruct((1, n_blocks_total), jnp.float32),
             jax.ShapeDtypeStruct((1, n_blocks_total), jnp.float32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((K, (2 * h + 1) * block), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * n_solve * K * (K + len(offsets)) * 2,
-            # (2h+1) beta window reads + 1 beta write + Xty/masks/nnb reads
-            bytes_accessed=4 * (
-                (2 * h + 2) * n_ext * K + n_solve * (K + U + 1) + K * K
+            # 1 beta read + 1 beta write + Xty read + uint8 masks read
+            bytes_accessed=(
+                4 * (2 * n_ext * K + n_solve * K + K * K)
+                + msize * n_solve * U
             ),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(
-        lam2d, rho2d, *([beta_ext_t] * (2 * h + 1)),
-        Xty_t, masks, nnb_row, XtX,
-    )
+    )(lam2d, rho2d, beta_ext_t, Xty_t, masks, XtX)
     return out_beta, jnp.max(diff_p), jnp.max(abs_p)
 
 
@@ -529,7 +588,7 @@ def fused_banded_sweep(
     static_argnames=("offsets", "max_iter", "h", "block", "interpret"),
 )
 def bcd_iterate_banded_fused(
-    beta_ext_t0, Xty_t, XtX, masks, nnb_row, lambda_, rho, tol,
+    beta_ext_t0, Xty_t, XtX, masks, lambda_, rho, tol,
     max_iter: int, offsets: Tuple[int, ...], h: int, block: int = 2048,
     iter_cap=None, interpret: bool = False,
 ):
@@ -538,7 +597,7 @@ def bcd_iterate_banded_fused(
     identical — only the memory schedule changed)."""
     return converge_loop(
         lambda beta_ext: fused_banded_sweep(
-            beta_ext, Xty_t, XtX, masks, nnb_row, lambda_, rho,
+            beta_ext, Xty_t, XtX, masks, lambda_, rho,
             offsets, h, block=block, interpret=interpret,
         ),
         beta_ext_t0, tol, max_iter, iter_cap=iter_cap,
@@ -565,12 +624,14 @@ def from_fused_carry(beta_ext_t: jnp.ndarray, h: int, block: int
 
 @partial(jax.jit, static_argnames=("offsets", "h", "block"))
 def objective_terms_banded_fused(
-    beta_ext_t, Xty_t, XtX, YtY, offsets: Tuple[int, ...], masks, nnb_row,
+    beta_ext_t, Xty_t, XtX, YtY, offsets: Tuple[int, ...], masks,
     lambda_, rho, h: int, block: int,
 ):
     """Objective on the fused carry's transposed layout — same algebra as
     :func:`objective_terms_banded`, shifts taken directly from the carry's
-    own zero padding (h*block >= halo by construction)."""
+    own zero padding (h*block >= halo by construction). ``masks`` may be
+    uint8 (the fused solve's resident copy) or float; the per-spot degree
+    is their column sum (exact on the fully banded fused path)."""
     n_solve = Xty_t.shape[1]
     beta_t = lax.slice_in_dim(
         beta_ext_t, h * block, h * block + n_solve, axis=1
@@ -580,12 +641,14 @@ def objective_terms_banded_fused(
     quad = jnp.sum(BtB * XtX)
     fidelity = 0.5 * (YtY - 2.0 * cross + quad)
 
+    masksf = masks.astype(beta_t.dtype)
+    nnb_row = jnp.sum(masksf, axis=0, keepdims=True)
     ns_t = jnp.zeros_like(beta_t)
     for u, off in enumerate(offsets):
         sl = lax.slice_in_dim(
             beta_ext_t, h * block + off, h * block + off + n_solve, axis=1
         )
-        ns_t = ns_t + masks[u : u + 1, :] * sl
+        ns_t = ns_t + masksf[u : u + 1, :] * sl
     deg_term = jnp.sum(nnb_row * jnp.sum(beta_t * beta_t, axis=0,
                                          keepdims=True))
     adj_term = jnp.sum(beta_t * ns_t)

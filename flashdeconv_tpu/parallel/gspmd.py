@@ -98,7 +98,7 @@ def _gspmd_iterate(
     ),
 )
 def _gspmd_iterate_fused(
-    beta0, Xty_t, XtX, masks, nnb_row, lam, rho, tol, iter_cap,
+    beta0, Xty_t, XtX, masks, lam, rho, tol, iter_cap,
     offsets: Tuple[int, ...], h: int, block: int, max_iter: int, mesh: Mesh,
     interpret: bool = False,
 ):
@@ -122,7 +122,7 @@ def _gspmd_iterate_fused(
     perm_fwd = [(i, i + 1) for i in range(n_shards - 1)]  # to right neighbor
     perm_bwd = [(i + 1, i) for i in range(n_shards - 1)]  # to left neighbor
 
-    def local_solve(beta_loc, xty_t, xtx, masks_loc, nnb_loc,
+    def local_solve(beta_loc, xty_t, xtx, masks_loc,
                     lam, rho, tol, cap):
         n_local = beta_loc.shape[0]
 
@@ -137,7 +137,7 @@ def _gspmd_iterate_fused(
                 ext_in, from_right, (0, hB + n_local)
             )
             out, diff, mabs = fused_banded_sweep(
-                ext_in, xty_t, xtx, masks_loc, nnb_loc, lam, rho,
+                ext_in, xty_t, xtx, masks_loc, lam, rho,
                 offsets, h, block=block, interpret=interpret,
             )
             return (
@@ -160,13 +160,12 @@ def _gspmd_iterate_fused(
             P(_AXIS, None),   # beta (n_pad, K) row-sharded
             P(None, _AXIS),   # Xty_t (K, n_pad)
             P(),              # XtX
-            P(None, _AXIS),   # masks (U, n_pad)
-            P(None, _AXIS),   # nnb_row (1, n_pad)
+            P(None, _AXIS),   # masks (U, n_pad) uint8
             P(), P(), P(), P(),
         ),
         out_specs=(P(_AXIS, None), P(), P()),
         check_vma=False,  # pallas_call out_shape carries no vma info
-    )(beta0, Xty_t, XtX, masks, nnb_row, lam, rho, tol, iter_cap)
+    )(beta0, Xty_t, XtX, masks, lam, rho, tol, iter_cap)
 
 
 class GspmdBandedProblem:
@@ -320,16 +319,19 @@ class GspmdBandedProblem:
         self.Xty_d = put(Xty, self._shard)
         self.nnb_d = put(nnb, self._shard)
         if self.use_fused:
-            # Kernel-layout copies (the row-layout originals stay resident
+            # Kernel-layout copy (the row-layout original stays resident
             # for the objective evaluation, which is per-solve, not
             # per-sweep).
             self.Xty_t_d = put(np.ascontiguousarray(Xty.T), shard_cols)
-            self.nnb_row_d = put(nnb[None, :], shard_cols)
-        # 0/1 masks travel as uint8 (4x less host->device traffic) and
-        # widen on device, staying sharded (eager astype preserves the
-        # input sharding; a fresh jax.jit wrapper here would
-        # remote-recompile on every ctor call).
-        self.masks_d = put(masks_np.astype(np.uint8), shard_cols).astype(
+        # 0/1 masks travel as uint8 (4x less host->device traffic). The
+        # fused kernel consumes uint8 directly (widening in-VMEM — 4x
+        # less HBM per sweep) and the banded objective auto-promotes, so
+        # the fused path keeps only the uint8 copy; the unfused sweep
+        # multiplies by the masks every offset pass, so it widens once
+        # here (eager astype preserves the sharding; a fresh jax.jit
+        # wrapper would remote-recompile on every ctor call).
+        masks_u8_d = put(masks_np.astype(np.uint8), shard_cols)
+        self.masks_d = masks_u8_d if self.use_fused else masks_u8_d.astype(
             dtype
         )
         self.XtX_d = put(XtX.astype(dtype), self._repl)
@@ -404,7 +406,7 @@ class GspmdBandedProblem:
             def run_chunk(beta_d, cap):
                 return _gspmd_iterate_fused(
                     beta_d, self.Xty_t_d, self.XtX_d, self.masks_d,
-                    self.nnb_row_d, lam_d, rho_d, tol_d, cap, self.offsets,
+                    lam_d, rho_d, tol_d, cap, self.offsets,
                     self._fused_h, self._fused_block, max_iter, self.mesh,
                     self._fused_interpret,
                 )

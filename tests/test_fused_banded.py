@@ -76,7 +76,7 @@ def _run_unfused(p, lam, rho, tol, max_iter):
 def _run_fused(p, lam, rho, tol, max_iter):
     carry0 = to_fused_carry(p["beta0"], p["h"], BLOCK)
     carry, n_iter, rel = bcd_iterate_banded_fused(
-        carry0, p["Xty"].T, p["XtX"], p["masks"], p["nnb"][None, :],
+        carry0, p["Xty"].T, p["XtX"], p["masks"],
         jnp.float32(lam), jnp.float32(rho), jnp.float32(tol), max_iter,
         p["offsets"], p["h"], block=BLOCK, interpret=True,
     )
@@ -107,7 +107,7 @@ def test_fused_single_sweep_stats_match():
     )
     carry0 = to_fused_carry(p["beta0"], p["h"], BLOCK)
     carry, diff, mabs = fused_banded_sweep(
-        carry0, p["Xty"].T, p["XtX"], p["masks"], p["nnb"][None, :],
+        carry0, p["Xty"].T, p["XtX"], p["masks"],
         jnp.float32(0.5), jnp.float32(0.1), p["offsets"], p["h"],
         block=BLOCK, interpret=True,
     )
@@ -124,13 +124,34 @@ def test_fused_pad_blocks_stay_zero():
     p = _fused_problem(seed=1)
     carry0 = to_fused_carry(p["beta0"], p["h"], BLOCK)
     carry, _, _ = fused_banded_sweep(
-        carry0, p["Xty"].T, p["XtX"], p["masks"], p["nnb"][None, :],
+        carry0, p["Xty"].T, p["XtX"], p["masks"],
         jnp.float32(1.0), jnp.float32(0.2), p["offsets"], p["h"],
         block=BLOCK, interpret=True,
     )
     pad = p["h"] * BLOCK
     assert np.all(np.asarray(carry[:, :pad]) == 0.0)
     assert np.all(np.asarray(carry[:, -pad:]) == 0.0)
+
+
+def test_fused_uint8_masks_bit_identical():
+    """uint8 masks (the production residency) must produce the exact same
+    sweep as float32 masks — the kernel widens in-VMEM and derives the
+    degree as the masks' column sum."""
+    p = _fused_problem(seed=5)
+    carry0 = to_fused_carry(p["beta0"], p["h"], BLOCK)
+    kw = dict(block=BLOCK, interpret=True)
+    args = (p["Xty"].T, p["XtX"])
+    c_f32, d_f32, a_f32 = fused_banded_sweep(
+        carry0, *args, p["masks"], jnp.float32(0.5), jnp.float32(0.1),
+        p["offsets"], p["h"], **kw,
+    )
+    masks_u8 = jnp.asarray(np.asarray(p["masks"]).astype(np.uint8))
+    c_u8, d_u8, a_u8 = fused_banded_sweep(
+        carry0, *args, masks_u8, jnp.float32(0.5), jnp.float32(0.1),
+        p["offsets"], p["h"], **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(c_u8), np.asarray(c_f32))
+    assert float(d_u8) == float(d_f32) and float(a_u8) == float(a_f32)
 
 
 def test_fused_convergence_iteration_count():
@@ -156,7 +177,7 @@ def test_fused_objective_matches_banded():
     carry = to_fused_carry(beta, p["h"], BLOCK)
     out = objective_terms_banded_fused(
         carry, p["Xty"].T, p["XtX"], yty, p["offsets"], p["masks"],
-        p["nnb"][None, :], jnp.float32(0.7), jnp.float32(0.1 * 3.0),
+        jnp.float32(0.7), jnp.float32(0.1 * 3.0),
         p["h"], BLOCK,
     )
     np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
