@@ -186,6 +186,7 @@ class FlashDeconv:
         mesh=None,
         n_shards: Optional[int] = None,
         warm_start: bool = False,
+        device_outputs: Optional[bool] = None,
     ):
         if sketch_dim <= 0:
             raise ValueError(f"sketch_dim must be positive, got {sketch_dim}")
@@ -236,6 +237,12 @@ class FlashDeconv:
         self.mesh = mesh
         self.n_shards = n_shards
         self.warm_start = warm_start
+        # None = auto: keep the solve output on its device (and fetch
+        # f32 proportions directly) when fitting on an accelerator
+        # single-device path; False = always fetch + normalize on host
+        # (the reference-exact f64 post-processing); True = force the
+        # device path even on CPU.
+        self.device_outputs = device_outputs
 
         self.beta_ = None
         self.proportions_ = None
@@ -544,7 +551,8 @@ class FlashDeconv:
             return jnp.concatenate(parts, axis=0), yty
         return xty_full()
 
-    def _solve(self, Y_sketch, X_sketch, A, coords, lambda_, beta_init):
+    def _solve(self, Y_sketch, X_sketch, A, coords, lambda_, beta_init,
+               return_device: bool = False):
         """Stage-6 dispatch: single-device vs spot-sharded mesh solve."""
         from flashdeconv_tpu.core.solver import bcd_solve
 
@@ -587,6 +595,7 @@ class FlashDeconv:
             graph_plan=self.__dict__.pop("_graph_plan_future", None),
             xty=self.__dict__.pop("_fused_xty", None),
             yty=self.__dict__.pop("_fused_yty", None),
+            return_device=return_device,
         )
 
     def fit(
@@ -617,11 +626,37 @@ class FlashDeconv:
                 beta_init = self.beta_
                 self._log("  Warm-starting from previous beta_")
 
+            # Device-outputs path: leave beta on its device, normalize
+            # there, fetch only the f32 proportions (the host f64 convert
+            # + normalize pass disappears; beta_ fetches lazily on first
+            # access). auto (None) = on for non-sharded accelerator fits.
+            device_out = self.device_outputs
+            if device_out is None:
+                import jax
+
+                device_out = (
+                    not self._is_sharded and jax.default_backend() != "cpu"
+                )
+            else:
+                device_out = bool(device_out) and not self._is_sharded
+
             # [6] solve — multi-device when a mesh/shard count configured
             with timer.stage("solve"), trace("bcd_solve"):
                 beta, info = self._solve(
-                    Y_sketch, X_sketch, A, coords, lambda_, beta_init
+                    Y_sketch, X_sketch, A, coords, lambda_, beta_init,
+                    return_device=device_out,
                 )
+                if device_out:
+                    import jax
+
+                    from flashdeconv_tpu.core.solver import (
+                        normalize_proportions_device,
+                    )
+
+                    props = np.asarray(
+                        jax.device_get(normalize_proportions_device(beta)),
+                        dtype=np.float64,
+                    )
         except BaseException:
             # Don't let a failed fit pin the consume-once operands — on
             # the streamed path _fused_xty is an (N, K) DEVICE buffer
@@ -629,8 +664,13 @@ class FlashDeconv:
             self._clear_consume_once()
             raise
 
-        self.beta_ = beta
-        self.proportions_ = normalize_proportions(beta)
+        if device_out:
+            self._beta_host = None if not isinstance(beta, np.ndarray) else beta
+            self._beta_dev = None if isinstance(beta, np.ndarray) else beta
+            self.proportions_ = props
+        else:
+            self.beta_ = beta
+            self.proportions_ = normalize_proportions(beta)
         self.info_ = info
         self.timings_ = timer.timings
         self._fitted = True
@@ -866,6 +906,32 @@ class FlashDeconv:
         }
         model._fitted = True
         return model
+
+    @property
+    def beta_(self):
+        """(n_spots, n_cell_types) float64 abundances.
+
+        On the device-outputs path (see ``device_outputs``) the solve
+        leaves beta on its device and only the f32 proportions are
+        fetched eagerly; the first access of ``beta_`` fetches and
+        converts it (then caches the host copy and releases the device
+        buffer). Consumers that never touch raw abundances — e.g. a
+        ``fit_transform`` pipeline — skip that (n_spots, K) transfer
+        entirely.
+        """
+        if self._beta_host is None and self._beta_dev is not None:
+            import jax
+
+            self._beta_host = np.asarray(
+                jax.device_get(self._beta_dev), dtype=np.float64
+            )
+            self._beta_dev = None
+        return self._beta_host
+
+    @beta_.setter
+    def beta_(self, value):
+        self._beta_host = value
+        self._beta_dev = None
 
     @property
     def _is_sharded(self) -> bool:

@@ -639,6 +639,7 @@ def bcd_solve(
     graph_plan: Optional[GraphDecomposition] = None,
     xty: Optional[np.ndarray] = None,
     yty: Optional[float] = None,
+    return_device: bool = False,
 ) -> Tuple[np.ndarray, dict]:
     """Solve min 0.5||Y - beta X||^2 + 0.5*lambda Tr(beta^T L beta) + rho||beta||_1, beta >= 0.
 
@@ -694,7 +695,7 @@ def bcd_solve(
     )
     return problem.solve(
         lambda_=lambda_, rho=rho, max_iter=max_iter, tol=tol,
-        verbose=verbose, beta_init=beta_init,
+        verbose=verbose, beta_init=beta_init, return_device=return_device,
     )
 
 
@@ -707,3 +708,32 @@ def normalize_proportions(beta: np.ndarray) -> np.ndarray:
     if np.any(zero_rows):
         proportions[zero_rows] = 1.0 / beta.shape[1]
     return proportions
+
+
+_NORMALIZE_DEVICE_JIT = None
+
+
+def normalize_proportions_device(beta):
+    """Device-side :func:`normalize_proportions` (same zero-row rule).
+
+    Runs in the solve dtype on the array's device so a remote-attached
+    fit can fetch the proportions directly — the host f64 conversion and
+    normalize pass (~0.7 s at 1M x 20) disappear from the pipeline, and
+    downstream device consumers never leave HBM. Matches the host path
+    to solve-dtype (f32) resolution.
+    """
+    global _NORMALIZE_DEVICE_JIT
+    if _NORMALIZE_DEVICE_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _f(b):
+            s = jnp.sum(b, axis=1, keepdims=True)
+            p = b / jnp.maximum(s, jnp.asarray(1e-10, b.dtype))
+            return jnp.where(s == 0.0, jnp.asarray(1.0 / b.shape[1], b.dtype), p)
+
+        _NORMALIZE_DEVICE_JIT = _f
+    import jax.numpy as jnp
+
+    return _NORMALIZE_DEVICE_JIT(jnp.asarray(beta))

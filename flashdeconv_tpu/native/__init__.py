@@ -123,12 +123,18 @@ def _load() -> Optional[ctypes.CDLL]:
         _log1p_matches_numpy = False
         _log1p_exact = False
 
-    # Same self-test for the float32 instantiations, which call libm's
-    # log1pf (std::log1p's float overload) — a separate code path from the
-    # double log1p tested above, so it gets its own gate. Guards the f32
-    # fused project/xty and log1p_cpm_transform kernels; the f32 *moments*
-    # kernels compute log1p in double and round once, so they stay under
-    # the double gate.
+    # Self-test for the float32 instantiations (fused project/xty and
+    # log1p_cpm_transform), which — like the f32 moments kernels — compute
+    # log1p in double precision and round once to f32 (vectorized 8-wide
+    # with a bit-identical scalar replay for tails; see
+    # host_kernels.cpp log1p_poly_pos). Two checks:
+    # (a) ULP agreement with numpy's float32 log1p (both are
+    #     correctly-rounded-or-adjacent, so <= 1 ULP apart);
+    # (b) shift-invariance: log1p over x[1:] must equal log1p over x
+    #     sliced — this exercises different vector/scalar lane groupings
+    #     of the SAME values, proving the per-element function property
+    #     that keeps the fused and staged f32 kernels mutually
+    #     bit-identical no matter how each batches its spans.
     try:
         x32 = x.astype(np.float32)
         out32 = np.empty_like(x32)
@@ -141,7 +147,15 @@ def _load() -> Optional[ctypes.CDLL]:
             out32.view(np.int32).astype(np.int64)
             - np.log1p(x32).view(np.int32).astype(np.int64)
         )
-        _log1pf_matches_numpy = bool(ulp32.max() <= 1)
+        x32s = np.ascontiguousarray(x32[1:])
+        out32s = np.empty_like(x32s)
+        lib.log1p_buffer_f32(
+            x32s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out32s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_int64(x32s.size),
+        )
+        shift_ok = bool(np.array_equal(out32s, out32[1:]))
+        _log1pf_matches_numpy = bool(ulp32.max() <= 1) and shift_ok
     except Exception:
         _log1pf_matches_numpy = False
 
@@ -155,9 +169,10 @@ def available() -> bool:
 
 
 def _log1p_gate_ok(dtype) -> bool:
-    """Dtype-aware libm gate: the f64 kernels call log1p, the f32 fused /
-    transform kernels call log1pf — independent libm code paths, each
-    enabled only by its own self-test against the matching numpy dtype."""
+    """Dtype-aware log1p gate: the f64 kernels call libm log1p; the f32
+    fused / transform kernels use the vectorized double-precision log1p
+    rounded once to f32 — independent code paths, each enabled only by
+    its own self-test against the matching numpy dtype."""
     if dtype == np.float64:
         return _log1p_matches_numpy
     if dtype == np.float32:

@@ -158,6 +158,86 @@ inline float log1pf_via_double(float p) {
   return static_cast<float>(std::log1p(static_cast<double>(p)));
 }
 
+// Scalar REPLAY of log1p4d_pos: the identical IEEE operation sequence
+// (add/sub/mul/div + std::fma mirror the intrinsic lanes one-for-one, and
+// the exponent int->double conversion is exact), so it produces the SAME
+// double as a vector lane for every x >= 0. This makes the f32 value
+// kernels' log1p a PER-ELEMENT pure function: vector groups and scalar
+// tails can be mixed freely (different kernels batch the same logical
+// values over different spans) without the grouping becoming observable.
+// The Python-side gate verifies both properties at load time (numpy match
+// and shift-invariance of log1p_buffer_f32); kernels are disabled if
+// either fails.
+inline double log1p_poly_pos(double x) {
+  const double u = 1.0 + x;
+  const double c = (x - (u - 1.0)) / u;
+  uint64_t bits;
+  std::memcpy(&bits, &u, sizeof(bits));
+  int64_t e = static_cast<int64_t>(bits >> 52) - 1023;
+  const uint64_t mbits =
+      (bits & 0x000FFFFFFFFFFFFFULL) | 0x3FF0000000000000ULL;
+  double m;
+  std::memcpy(&m, &mbits, sizeof(m));
+  if (m > 1.4142135623730951) {
+    m *= 0.5;
+    e += 1;
+  }
+  const double f = m - 1.0;
+  const double s = f / (2.0 + f);
+  const double s2 = s * s;
+  double t = 1.0 / 11.0;
+  t = std::fma(t, s2, 1.0 / 9.0);
+  t = std::fma(t, s2, 1.0 / 7.0);
+  t = std::fma(t, s2, 1.0 / 5.0);
+  t = std::fma(t, s2, 1.0 / 3.0);
+  const double two_s = s + s;
+  const double log_m = std::fma(two_s * s2, t, two_s);
+  return std::fma(static_cast<double>(e), 0.6931471805599453, log_m) + c;
+}
+
+// The f32 value kernels' log1p: poly (double, rounded once) for valid
+// inputs, libm-via-double for degenerate ones. The valid/degenerate choice
+// is PER ELEMENT (a pure function of the value), so batched and scalar
+// evaluation agree bitwise everywhere.
+inline float log1p_f32_value(float p) {
+  if (p >= 0.0f && p <= 3.4028235e38f)
+    return static_cast<float>(log1p_poly_pos(static_cast<double>(p)));
+  return log1pf_via_double(p);
+}
+
+#if defined(__x86_64__)
+
+__attribute__((target("avx2,fma"))) inline void log1p_f32_batch_avx2(
+    const float* p, float* out, int64_t n) {
+  int64_t i = 0;
+  for (; i + 8 <= n; i += 8) {
+    const __m256 v = _mm256_loadu_ps(p + i);
+    const __m256 ok = _mm256_and_ps(
+        _mm256_cmp_ps(v, _mm256_setzero_ps(), _CMP_GE_OQ),
+        _mm256_cmp_ps(v, _mm256_set1_ps(3.4028235e38f), _CMP_LE_OQ));
+    _mm256_storeu_ps(out + i, log1p8f_pos(v));
+    const int mask = _mm256_movemask_ps(ok);
+    if (mask != 0xFF) {
+      for (int l = 0; l < 8; ++l)
+        if (!((mask >> l) & 1)) out[i + l] = log1pf_via_double(p[i + l]);
+    }
+  }
+  for (; i < n; ++i) out[i] = log1p_f32_value(p[i]);
+}
+
+#endif  // __x86_64__
+
+// out[i] = log1p(p[i]) rounded once to f32 — in-place safe (out may be p).
+inline void log1p_f32_batch(const float* p, float* out, int64_t n) {
+#if defined(__x86_64__)
+  if (log1p_avx2_available()) {
+    log1p_f32_batch_avx2(p, out, n);
+    return;
+  }
+#endif
+  for (int64_t i = 0; i < n; ++i) out[i] = log1p_f32_value(p[i]);
+}
+
 #if defined(__x86_64__)
 
 // One row's worth of f32 moments accumulation with the vector log1p.
@@ -445,21 +525,52 @@ void fused_log1pcpm_xty_impl(const int64_t* indptr, const IdxT* indices,
   std::vector<double> yty_partial(static_cast<size_t>(blocks), 0.0);
   parallel_blocks(blocks, n_threads, [&](int64_t b) {
     std::vector<double> rowbuf(static_cast<size_t>(sketch_dim));
+    // Per-row gather buffers: the subset entries are collected during the
+    // library-size scan, so the 20x-larger raw row is read ONCE (the old
+    // two-pass form re-scanned every nnz and re-gathered new_col per pass
+    // — the dominant cost at atlas scale), and the log1p runs batched
+    // over the compact buffer (vectorized on the f32 path).
+    std::vector<DataT> vals;
+    std::vector<int32_t> cols;
+    std::vector<float> logs;
     const int64_t r0 = b * block_rows(n_rows);
     const int64_t r1 = std::min(r0 + block_rows(n_rows), n_rows);
     double yty = 0.0;
     for (int64_t r = r0; r < r1; ++r) {
+      const int64_t lo = indptr[r], hi = indptr[r + 1];
+      if (static_cast<int64_t>(vals.size()) < hi - lo) {
+        vals.resize(static_cast<size_t>(hi - lo));
+        cols.resize(static_cast<size_t>(hi - lo));
+      }
       DataT acc = 0;
-      for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
-        if (new_col[indices[i]] >= 0) acc += data[i];
+      int64_t m = 0;
+      for (int64_t i = lo; i < hi; ++i) {
+        const int32_t c = new_col[indices[i]];
+        if (c >= 0) {
+          acc += data[i];
+          vals[static_cast<size_t>(m)] = data[i];
+          cols[static_cast<size_t>(m)] = c;
+          ++m;
+        }
       }
       const DataT lib = (acc == DataT(0)) ? DataT(1) : acc;
       const DataT s = DataT(1e4) / lib;
       std::memset(rowbuf.data(), 0, sizeof(double) * sketch_dim);
-      for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
-        const int32_t c = new_col[indices[i]];
-        if (c >= 0) {
-          const DataT v = std::log1p(data[i] * s);
+      if constexpr (std::is_same_v<DataT, float>) {
+        if (static_cast<int64_t>(logs.size()) < m)
+          logs.resize(static_cast<size_t>(m));
+        for (int64_t j = 0; j < m; ++j)
+          logs[static_cast<size_t>(j)] = vals[static_cast<size_t>(j)] * s;
+        log1p_f32_batch(logs.data(), logs.data(), m);
+        for (int64_t j = 0; j < m; ++j) {
+          const int32_t c = cols[static_cast<size_t>(j)];
+          rowbuf[buckets[c]] +=
+              weights[c] * static_cast<double>(logs[static_cast<size_t>(j)]);
+        }
+      } else {
+        for (int64_t j = 0; j < m; ++j) {
+          const int32_t c = cols[static_cast<size_t>(j)];
+          const DataT v = std::log1p(vals[static_cast<size_t>(j)] * s);
           rowbuf[buckets[c]] += weights[c] * static_cast<double>(v);
         }
       }
@@ -623,22 +734,52 @@ void fused_log1pcpm_project_impl(const int64_t* indptr, const IdxT* indices,
                                  int64_t sketch_dim, int n_threads,
                                  double* out) {
   parallel_blocks(n_blocks(n_rows), n_threads, [&](int64_t b) {
+    // Same one-scan gather + batched log1p as fused_log1pcpm_xty_impl —
+    // the per-value log1p is a per-element pure function (see
+    // log1p_f32_value), so the two kernels' values stay mutually
+    // bit-identical despite batching over different spans.
+    std::vector<DataT> vals;
+    std::vector<int32_t> cols;
+    std::vector<float> logs;
     const int64_t r0 = b * block_rows(n_rows);
     const int64_t r1 = std::min(r0 + block_rows(n_rows), n_rows);
     std::memset(out + static_cast<size_t>(r0) * sketch_dim, 0,
                 sizeof(double) * static_cast<size_t>(r1 - r0) * sketch_dim);
     for (int64_t r = r0; r < r1; ++r) {
+      const int64_t lo = indptr[r], hi = indptr[r + 1];
+      if (static_cast<int64_t>(vals.size()) < hi - lo) {
+        vals.resize(static_cast<size_t>(hi - lo));
+        cols.resize(static_cast<size_t>(hi - lo));
+      }
       DataT acc = 0;
-      for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
-        if (new_col[indices[i]] >= 0) acc += data[i];
+      int64_t m = 0;
+      for (int64_t i = lo; i < hi; ++i) {
+        const int32_t c = new_col[indices[i]];
+        if (c >= 0) {
+          acc += data[i];
+          vals[static_cast<size_t>(m)] = data[i];
+          cols[static_cast<size_t>(m)] = c;
+          ++m;
+        }
       }
       const DataT lib = (acc == DataT(0)) ? DataT(1) : acc;
       const DataT s = DataT(1e4) / lib;
       double* row = out + static_cast<size_t>(r) * sketch_dim;
-      for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
-        const int32_t c = new_col[indices[i]];
-        if (c >= 0) {
-          const DataT v = std::log1p(data[i] * s);
+      if constexpr (std::is_same_v<DataT, float>) {
+        if (static_cast<int64_t>(logs.size()) < m)
+          logs.resize(static_cast<size_t>(m));
+        for (int64_t j = 0; j < m; ++j)
+          logs[static_cast<size_t>(j)] = vals[static_cast<size_t>(j)] * s;
+        log1p_f32_batch(logs.data(), logs.data(), m);
+        for (int64_t j = 0; j < m; ++j) {
+          const int32_t c = cols[static_cast<size_t>(j)];
+          row[buckets[c]] +=
+              weights[c] * static_cast<double>(logs[static_cast<size_t>(j)]);
+        }
+      } else {
+        for (int64_t j = 0; j < m; ++j) {
+          const int32_t c = cols[static_cast<size_t>(j)];
+          const DataT v = std::log1p(vals[static_cast<size_t>(j)] * s);
           row[buckets[c]] += weights[c] * static_cast<double>(v);
         }
       }
@@ -649,8 +790,11 @@ void fused_log1pcpm_project_impl(const int64_t* indptr, const IdxT* indices,
 // out[i] = log1p(data[i] * scale[row]) in the data dtype — the sparse
 // log_cpm preprocess. Element-wise (no accumulation): matches the numpy
 // expression ``np.log1p(data * np.repeat(scale, counts))`` to <= 1 ULP
-// (bitwise where libm log1p == numpy's — see the Python-side self-test)
-// without materializing the per-nnz scale vector.
+// (f64: bitwise where libm log1p == numpy's; f32: the vectorized
+// double-precision log1p rounded once — see the Python-side self-tests)
+// without materializing the per-nnz scale vector. The f32 values are the
+// SAME per-element function the fused project/xty kernels apply, so
+// staged and fused native paths stay mutually bit-identical.
 template <typename DataT>
 void log1p_cpm_transform_impl(const int64_t* indptr, const DataT* data,
                               const DataT* scale, int64_t n_rows,
@@ -661,8 +805,16 @@ void log1p_cpm_transform_impl(const int64_t* indptr, const DataT* data,
     for (int64_t r = r0; r < r1; ++r) {
       const DataT s = scale[r];
       for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
-        out[i] = std::log1p(data[i] * s);
+        if constexpr (std::is_same_v<DataT, float>) {
+          out[i] = data[i] * s;  // products first; one batched log1p below
+        } else {
+          out[i] = std::log1p(data[i] * s);
+        }
       }
+    }
+    if constexpr (std::is_same_v<DataT, float>) {
+      const int64_t lo = indptr[r0], hi = indptr[r1];
+      log1p_f32_batch(out + lo, out + lo, hi - lo);
     }
   });
 }
@@ -878,12 +1030,16 @@ void log1p_buffer(const double* in, double* out, int64_t n) {
   for (int64_t i = 0; i < n; ++i) out[i] = std::log1p(in[i]);
 }
 
-// Self-test hook for the float32 kernels: the exact expression the f32
-// fused/transform instantiations apply (libm log1pf via std::log1p's float
-// overload), so the loader can gate them on ULP agreement with numpy's
-// float32 log1p independently of the double test above.
+// Self-test hook for the float32 kernels: the exact batched expression the
+// f32 fused/transform instantiations apply (vectorized double-precision
+// log1p rounded once to f32; scalar tail replays the identical operation
+// sequence). The loader gates those kernels on (a) ULP agreement with
+// numpy's float32 log1p and (b) shift-invariance of this buffer — which
+// verifies the vector lanes and the scalar replay produce identical bits,
+// the property that lets different kernels batch the same values over
+// different spans and stay mutually bit-identical.
 void log1p_buffer_f32(const float* in, float* out, int64_t n) {
-  for (int64_t i = 0; i < n; ++i) out[i] = std::log1p(in[i]);
+  log1p_f32_batch(in, out, n);
 }
 
 // Zero a buffer from many threads. Functionally memset; exists because

@@ -265,3 +265,50 @@ class TestReviewRegressions:
         Yn.sort_indices()           # structural op on the result...
         Yn.data[:] = -1.0           # ...and value mutation
         np.testing.assert_array_equal(Y.toarray(), Y_before)  # input intact
+
+
+class TestDeviceOutputs:
+    """device_outputs=True: device-side normalize + lazy beta_ fetch."""
+
+    def test_matches_host_path(self, synthetic_small):
+        Y, X, coords, _ = synthetic_small
+        host = FlashDeconv(**_FIT_KWARGS, device_outputs=False).fit(
+            Y, X, coords
+        )
+        dev = FlashDeconv(**_FIT_KWARGS, device_outputs=True).fit(
+            Y, X, coords
+        )
+        # proportions normalized on device in solve dtype (f32): equal to
+        # the host f64 normalize to f32 resolution
+        np.testing.assert_allclose(
+            dev.proportions_, host.proportions_, atol=1e-6
+        )
+        assert dev.proportions_.dtype == np.float64
+        np.testing.assert_allclose(
+            dev.proportions_.sum(axis=1), 1.0, atol=1e-5
+        )
+
+    def test_beta_lazy_fetch(self, synthetic_small):
+        Y, X, coords, _ = synthetic_small
+        dev = FlashDeconv(**_FIT_KWARGS, device_outputs=True).fit(
+            Y, X, coords
+        )
+        assert dev._beta_host is None and dev._beta_dev is not None
+        host = FlashDeconv(**_FIT_KWARGS, device_outputs=False).fit(
+            Y, X, coords
+        )
+        b = dev.beta_  # first access fetches + converts + caches
+        assert dev._beta_host is not None and dev._beta_dev is None
+        assert b.dtype == np.float64
+        np.testing.assert_allclose(b, host.beta_, atol=1e-6)
+        # warm-start and save/load consume beta_ through the property
+        assert dev.get_abundances() is not None
+
+    def test_save_load_through_device_path(self, synthetic_small, tmp_path):
+        Y, X, coords, _ = synthetic_small
+        m = FlashDeconv(**_FIT_KWARGS, device_outputs=True).fit(Y, X, coords)
+        p = tmp_path / "dev.npz"
+        m.save(str(p))
+        r = FlashDeconv.load(str(p), **_FIT_KWARGS)
+        np.testing.assert_array_equal(r.proportions_, m.proportions_)
+        np.testing.assert_array_equal(r.beta_, m.beta_)
