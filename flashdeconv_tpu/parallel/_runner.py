@@ -45,12 +45,17 @@ def run_prepared_solve(
     max_iter: int,
     tol: float,
     verbose: bool,
+    return_device: bool = False,
 ) -> Tuple[np.ndarray, int, float, float, bool, list]:
     """Run the fused loop and fetch results.
 
-    Returns ``(beta_pad_f64, n_iter, rel_change, final_obj, converged,
-    objectives)`` where ``beta_pad_f64`` is the full padded beta as a host
-    float64 array (gathered across processes on a multi-host mesh).
+    Returns ``(beta_pad, n_iter, rel_change, final_obj, converged,
+    objectives)`` where ``beta_pad`` is the full padded beta as a host
+    float64 array (gathered across processes on a multi-host mesh) — or,
+    with ``return_device=True``, the (possibly sharded) device array in
+    the solve dtype: only the three convergence/objective scalars cross
+    the interconnect, which at atlas scale removes the dominant (N, K)
+    transfer for device-side consumers.
     """
     objectives: list = []
     beta_pad = None
@@ -69,9 +74,10 @@ def run_prepared_solve(
         )
         # Device objective, async-dispatched behind the solve; one bundled
         # fetch for all three scalars (no host (K, N) matmul / Laplacian).
-        # Single-process meshes bundle beta into the same round trip.
+        # Single-process host-fetch solves bundle beta into the same round
+        # trip.
         obj_d = eval_objective(beta_d)
-        if jax.process_count() > 1:
+        if return_device or jax.process_count() > 1:
             n_iter_h, rel_h, obj_h = jax.device_get((n_iter_d, rel_d, obj_d))
         else:
             n_iter_h, rel_h, obj_h, beta_pad = jax.device_get(
@@ -82,6 +88,11 @@ def run_prepared_solve(
         final_obj = float(obj_h)
         converged = rel_change < tol
 
+    if return_device:
+        return (
+            beta_d, int(n_iter), float(rel_change), float(final_obj),
+            bool(converged), objectives,
+        )
     if jax.process_count() > 1:
         # Global array spans non-addressable devices: gather across hosts.
         from jax.experimental import multihost_utils

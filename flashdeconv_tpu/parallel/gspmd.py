@@ -371,9 +371,15 @@ class GspmdBandedProblem:
         tol: float = 1e-4,
         verbose: bool = False,
         beta_init: Optional[np.ndarray] = None,
+        return_device: bool = False,
     ) -> Tuple[np.ndarray, dict]:
         """Run the fused solve on the resident operands; see module
-        docstring for semantics and objective-precision notes."""
+        docstring for semantics and objective-precision notes.
+
+        ``return_device=True`` returns beta as the sharded device array in
+        the solve dtype (only the convergence/objective scalars cross the
+        interconnect) instead of a gathered host float64 copy.
+        """
         n_spots, n_types = self.n_spots, self.n_types
         dtype = self.dtype
         if max_iter == 0:
@@ -431,7 +437,8 @@ class GspmdBandedProblem:
 
         beta_pad, n_iter, rel_change, final_obj, converged, objectives = (
             run_prepared_solve(
-                run_chunk, eval_objective, beta0_d, max_iter, tol, verbose
+                run_chunk, eval_objective, beta0_d, max_iter, tol, verbose,
+                return_device=return_device,
             )
         )
         beta = beta_pad[:n_spots]

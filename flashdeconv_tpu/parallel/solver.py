@@ -384,6 +384,7 @@ class HaloShardedProblem:
         tol: float = 1e-4,
         verbose: bool = False,
         beta_init: Optional[np.ndarray] = None,
+        return_device: bool = False,
     ) -> Tuple[np.ndarray, dict]:
         n_spots, n_types = self.n_spots, self.n_types
         dtype = self.dtype
@@ -429,10 +430,22 @@ class HaloShardedProblem:
 
         beta_pad, n_iter, rel_change, final_obj, converged, objectives = (
             run_prepared_solve(
-                run_chunk, eval_objective, beta0_d, max_iter, tol, verbose
+                run_chunk, eval_objective, beta0_d, max_iter, tol, verbose,
+                return_device=return_device,
             )
         )
-        beta = plan.gather(beta_pad)
+        if return_device:
+            # Device-side inverse of plan.scatter: un-permute the Morton
+            # row order with a gather (the host copy never materializes).
+            import jax.numpy as jnp
+
+            if getattr(self, "_inv_perm_d", None) is None:
+                inv = np.empty(n_spots, dtype=np.int32)
+                inv[plan.perm] = np.arange(n_spots, dtype=np.int32)
+                self._inv_perm_d = jnp.asarray(inv)
+            beta = jnp.take(beta_pad[:n_spots], self._inv_perm_d, axis=0)
+        else:
+            beta = plan.gather(beta_pad)
 
         info = {
             "converged": converged,
@@ -487,6 +500,7 @@ class ShardedBCDProblem:
         tol: float = 1e-4,
         verbose: bool = False,
         beta_init: Optional[np.ndarray] = None,
+        return_device: bool = False,
     ) -> Tuple[np.ndarray, dict]:
         perm = self._perm
         if beta_init is not None:
@@ -500,11 +514,21 @@ class ShardedBCDProblem:
         beta, info = self._inner.solve(
             lambda_=lambda_, rho=rho, max_iter=max_iter, tol=tol,
             verbose=verbose, beta_init=beta_init,
+            return_device=return_device,
         )
         if perm is not None:
-            out = np.empty_like(beta)
-            out[perm] = beta
-            beta = out
+            if return_device:
+                import jax.numpy as jnp
+
+                if getattr(self, "_inv_perm_d", None) is None:
+                    inv = np.empty(self.n_spots, dtype=np.int32)
+                    inv[perm] = np.arange(self.n_spots, dtype=np.int32)
+                    self._inv_perm_d = jnp.asarray(inv)
+                beta = jnp.take(beta, self._inv_perm_d, axis=0)
+            else:
+                out = np.empty_like(beta)
+                out[perm] = beta
+                beta = out
         return beta, info
 
 

@@ -534,3 +534,28 @@ class TestDistributedGeneSelection:
         out = allreduce_sums(a, b)
         np.testing.assert_array_equal(out[0], a)
         np.testing.assert_array_equal(out[1], b)
+
+
+@pytest.mark.parametrize("strategy", ["banded", "halo"])
+def test_sharded_return_device_matches_host(strategy):
+    """return_device=True: the sharded solve returns a device array
+    bitwise-equal (after dtype widening) to the host-fetch path, in the
+    ORIGINAL spot order for both strategies (incl. the halo plan's Morton
+    un-permute, done on device via gather)."""
+    from flashdeconv_tpu.parallel.solver import prepare_sharded_bcd
+
+    Y_sketch, X_sketch, A, coords = _problem()
+    kwargs = dict(lambda_=0.3, rho=0.01, max_iter=40, tol=1e-5)
+
+    sp = prepare_sharded_bcd(
+        Y_sketch, X_sketch, A, coords=coords, n_shards=4, strategy=strategy
+    )
+    beta_host, info_host = sp.solve(**kwargs)
+    beta_dev, info_dev = sp.solve(return_device=True, **kwargs)
+
+    assert not isinstance(beta_dev, np.ndarray)  # stayed on device
+    assert beta_dev.shape == (A.shape[0], X_sketch.shape[0])
+    assert info_dev["n_iterations"] == info_host["n_iterations"]
+    np.testing.assert_array_equal(
+        np.asarray(beta_dev, dtype=np.float64), beta_host
+    )
