@@ -1,15 +1,21 @@
 """REAL multi-process distributed execution (jax.distributed over Gloo).
 
 Everything else in the suite exercises the mesh paths inside one process
-(8 virtual devices). This test launches TWO actual Python processes that
-form a distributed JAX job over localhost (``multihost.initialize`` →
-Gloo CPU collectives), each owning 4 of the 8 global devices, and runs
+(8 virtual devices). These tests launch 2 or 4 actual Python processes
+that form a distributed JAX job over localhost (``multihost.initialize``
+→ Gloo CPU collectives), splitting the same 8 global devices, and run
 ``sharded_bcd_solve`` through both strategies — exercising the
 ``jax.process_count() > 1`` branches (per-process shard materialization in
 ``make_array_from_callback``, the ``process_allgather`` beta collection)
 that single-process tests cannot reach. The result must be BIT-IDENTICAL
 to the same solve on a single-process 8-device mesh: the mesh topology is
-the same, only the process boundary moved.
+the same, only the process boundaries moved.
+
+The 4-process topology is the qualitatively new case: processes 1 and 2
+are INTERIOR — each exchanges per-sweep ppermute halo blocks with a live
+left AND right neighbor across two different process boundaries
+simultaneously (a 2-process job only ever has one boundary, with one
+sender per direction).
 
 The TPU-pod analog is the same code path with devices discovered by
 ``multihost.initialize()`` (no arguments) — see parallel/multihost.py.
@@ -77,9 +83,11 @@ for strategy in ("banded", "halo"):
     np.save(os.path.join(outdir, f"beta_{{strategy}}_p{{pid}}.npy"), beta)
 
 # Fused banded mesh kernel (interpret mode) across the REAL process
-# boundary: the per-sweep ppermute halo-block transfers at the shard
-# 3 -> 4 boundary ride Gloo here (ICI on a pod). Must be bit-identical
-# to the single-process 8-device fused solve.
+# boundaries: the per-sweep ppermute halo-block transfers at every
+# cross-process shard boundary ride Gloo here (ICI on a pod) — with 4
+# processes the interior ones send AND receive across two boundaries
+# per sweep. Must be bit-identical to the single-process 8-device
+# fused solve.
 from flashdeconv_tpu.parallel.gspmd import GspmdBandedProblem
 
 pfused = GspmdBandedProblem(
@@ -94,7 +102,7 @@ record["fused"] = {{
 }}
 np.save(os.path.join(outdir, f"beta_fused_p{{pid}}.npy"), beta_f)
 
-# Distributed gene selection: each process holds ONLY its half of the
+# Distributed gene selection: each process holds ONLY its slice of the
 # spots; the HVG moments are the one cross-process reduction
 # (allreduce_sums -> process_allgather). Must reproduce the single-host
 # gene set exactly.
@@ -110,8 +118,8 @@ counts = sparse.random(
     n, G, density=0.1, format="csr", random_state=3,
     data_rvs=lambda k: grng.poisson(5, k).astype(np.float64) + 1.0,
 )
-half = n // 2
-Y_local = counts[pid * half:(pid + 1) * half]
+rows = n // nproc
+Y_local = counts[pid * rows:(pid + 1) * rows]
 gene_idx, leverage = distributed_select_informative_genes(
     Y_local, Xref, n_hvg=100, n_markers_per_type=10
 )
@@ -129,30 +137,36 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_solve_matches_single_process(tmp_path):
+@pytest.mark.parametrize(
+    "nproc", [2, 4], ids=["2proc-boundary", "4proc-interior"]
+)
+def test_multi_process_solve_matches_single_process(tmp_path, nproc):
+    devices_per_proc = 8 // nproc
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER.format(repo=str(REPO)))
     port = str(_free_port())
 
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devices_per_proc}"
+    )
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("JAX_ENABLE_X64", None)  # the worker sets x64 via jax.config
 
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(pid), "2", port,
+            [sys.executable, str(worker), str(pid), str(nproc), port,
              str(tmp_path)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True,
         )
-        for pid in range(2)
+        for pid in range(nproc)
     ]
     try:
         outs = [p.communicate(timeout=240) for p in procs]
     finally:
         # If one worker hangs (e.g. its peer crashed inside the Gloo
-        # barrier), kill BOTH so no orphan holds the coordinator port.
+        # barrier), kill ALL so no orphan holds the coordinator port.
         for p in procs:
             if p.poll() is None:
                 p.kill()
@@ -161,9 +175,9 @@ def test_two_process_solve_matches_single_process(tmp_path):
 
     records = [
         json.loads((tmp_path / f"record_p{pid}.json").read_text())
-        for pid in range(2)
+        for pid in range(nproc)
     ]
-    assert all(r["processes"] == 2 for r in records)
+    assert all(r["processes"] == nproc for r in records)
 
     # in-process single-process reference on the same 8-device mesh
     from flashdeconv_tpu.parallel import sharded_bcd_solve
@@ -183,7 +197,7 @@ def test_two_process_solve_matches_single_process(tmp_path):
             strategy=strategy, lambda_=0.3, max_iter=40, tol=1e-5,
             dtype=np.float64,
         )
-        for pid in range(2):
+        for pid in range(nproc):
             beta_mp = np.load(tmp_path / f"beta_{strategy}_p{pid}.npy")
             np.testing.assert_array_equal(beta_mp, beta_ref)
             rec = records[pid][strategy]
@@ -208,7 +222,7 @@ def test_two_process_solve_matches_single_process(tmp_path):
     beta_fused_ref, info_fused_ref = pfused_ref.solve(
         lambda_=0.3, max_iter=40, tol=1e-5
     )
-    for pid in range(2):
+    for pid in range(nproc):
         beta_mp = np.load(tmp_path / f"beta_fused_p{pid}.npy")
         np.testing.assert_array_equal(beta_mp, beta_fused_ref)
         assert (records[pid]["fused"]["n_iterations"]
@@ -228,11 +242,11 @@ def test_two_process_solve_matches_single_process(tmp_path):
         n, G, density=0.1, format="csr", random_state=3,
         data_rvs=lambda k: grng.poisson(5, k).astype(np.float64) + 1.0,
     )
-    half = n // 2
+    rows = n // nproc
     idx_ref, lev_ref = select_informative_genes(
-        counts[: 2 * half], Xref, n_hvg=100, n_markers_per_type=10
+        counts[: nproc * rows], Xref, n_hvg=100, n_markers_per_type=10
     )
-    for pid in range(2):
+    for pid in range(nproc):
         idx_mp = np.load(tmp_path / f"gene_idx_p{pid}.npy")
         lev_mp = np.load(tmp_path / f"leverage_p{pid}.npy")
         np.testing.assert_array_equal(idx_mp, idx_ref)
