@@ -33,10 +33,12 @@ import numpy as np
 # Reference baseline: 1M spots in ~180 s (README.md:67) => ~5,556 spots/s.
 _BASELINE_SPOTS_PER_SEC = 1_000_000 / 180.0
 
-# Headline shape is 1M spots; FLASHDECONV_BENCH_SPOTS overrides for
-# scaling-headroom runs (e.g. 10M — see benchmarks/RESULTS.md).
+# Headline shape is 1M spots x 20 types; FLASHDECONV_BENCH_SPOTS /
+# FLASHDECONV_BENCH_TYPES override for scaling-headroom runs (e.g. 10M
+# spots, or K=160 to exercise the no-Pallas XLA tier — see
+# benchmarks/RESULTS.md).
 N_SPOTS = int(os.environ.get("FLASHDECONV_BENCH_SPOTS", 1_000_000))
-N_TYPES = 20
+N_TYPES = int(os.environ.get("FLASHDECONV_BENCH_TYPES", 20))
 SKETCH_DIM = 512
 K_NEIGHBORS = 6
 MAX_ITER = 100

@@ -266,3 +266,64 @@ class TestAnnDataAPI:
         assert Y.shape == (10, 3)
         assert X.shape == (2, 3)
         assert list(names) == ["a", "b"]
+
+
+def test_spotless_real_runner_layout(tmp_path):
+    """benchmarks/spotless_real.py consumes the documented converted
+    layout end-to-end (synthetic stand-in data) and skips incomplete
+    dataset directories with a labeled record."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from scipy import sparse
+
+    bench_dir = os.path.join(os.path.dirname(__file__), "..", "benchmarks")
+    sys.path.insert(0, bench_dir)
+    try:
+        from spotless_like import (
+            compose_spots,
+            reference_from_cells,  # noqa: F401 (layout mirrors real suite)
+            simulate_cells,
+        )
+    finally:
+        sys.path.remove(bench_dir)
+
+    rng = np.random.RandomState(0)
+    n_types, n_genes = 4, 800
+    counts, labels = simulate_cells(n_types, n_genes, 40, rng)
+    half = counts.shape[0] // 2
+    Y, coords, props = compose_spots(
+        counts[:half], labels[:half], n_types, 120, rng
+    )
+    dd = tmp_path / "liver_rep1"
+    dd.mkdir()
+    sparse.save_npz(dd / "spots.npz", sparse.csr_matrix(Y))
+    (dd / "genes.txt").write_text(
+        "\n".join(f"g{i}" for i in range(n_genes))
+    )
+    names = [f"type{k}" for k in range(n_types)]
+    with open(dd / "truth.csv", "w") as fh:
+        fh.write(",".join(names) + "\n")
+        for row in props:
+            fh.write(",".join(f"{v:.6f}" for v in row) + "\n")
+    sparse.save_npz(dd / "reference.npz", sparse.csr_matrix(counts[half:]))
+    (dd / "reference_labels.txt").write_text(
+        "\n".join(names[l] for l in labels[half:])
+    )
+    np.savetxt(dd / "coords.csv", coords, delimiter=",")
+    (tmp_path / "incomplete_rep1").mkdir()
+
+    out_path = tmp_path / "out.json"
+    r = subprocess.run(
+        [sys.executable, os.path.join(bench_dir, "spotless_real.py"),
+         "--data", str(tmp_path), "--out", str(out_path)],
+        capture_output=True, text=True, timeout=240,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr
+    rec = json.loads(out_path.read_text())
+    assert rec["n_datasets"] == 1 and rec["n_skipped"] == 1
+    assert rec["datasets"][0]["converged"]
+    assert rec["value"] > 0.9  # protocol sanity, not the real-suite claim
