@@ -1,0 +1,166 @@
+"""Real-hardware kernel parity smoke test — the repeatable Mosaic check.
+
+CI runs the Pallas kernels in interpret mode (tests/test_pallas.py,
+tests/test_fused_banded.py); interpret mode cannot catch Mosaic *lowering*
+or *compiled-behavior* regressions (layout bugs, VMEM misestimates,
+relayout miscompiles). This script is the hardware-side counterpart: small
+shapes, < 2 min warm, runs every kernel family ON THE REAL CHIP and checks
+it against an independent path. One JSON line; nonzero exit on any
+mismatch.
+
+Checks (all at N = 262,144 grid spots, K = 20, kNN-6 — big enough for
+multi-block grids and real band structure, small enough to stay quick):
+
+1. fused banded Pallas solve  ==  unfused banded path (bitwise: both call
+   the same _gs_pass_kb, so Mosaic must preserve it through two different
+   memory schedules);
+2. banded paths  ==  XLA gather coordinate_descent fallback (<= 1e-5 —
+   the GS pass hoists f32 additions the XLA path associates differently);
+3. GSPMD mesh executable (shard_map + fused kernel + ppermute halos,
+   1-device mesh)  ==  single-device (bitwise);
+4. Pallas CountSketch projection  ==  host scipy projection (<= 2e-5).
+
+Usage: python benchmarks/hw_parity.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+N_SIDE = 512  # 262,144 spots
+K, D = 20, 256
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from flashdeconv_tpu.core.solver import prepare_bcd
+    from flashdeconv_tpu.parallel.solver import prepare_sharded_bcd
+    from flashdeconv_tpu.utils.graph import build_knn_graph
+
+    backend = jax.default_backend()
+    print(f"# backend={backend} devices={jax.devices()}", file=sys.stderr)
+    if backend == "cpu":
+        print("# CPU backend: this is the HARDWARE smoke test — the same "
+              "checks run in CI via interpret mode", file=sys.stderr)
+
+    rng = np.random.RandomState(0)
+    xs, ys = np.meshgrid(np.arange(N_SIDE), np.arange(N_SIDE))
+    coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(np.float64)
+    n = coords.shape[0]
+    A = build_knn_graph(coords, k=6)
+    X_sketch = rng.randn(K, D).astype(np.float32)
+    Y_sketch = (np.abs(rng.randn(n, K)).astype(np.float32) @ X_sketch
+                + 0.05 * rng.randn(n, D).astype(np.float32))
+    kwargs = dict(lambda_=0.3, rho=0.01, max_iter=40, tol=1e-5)
+    t0 = time.perf_counter()
+    results = {}
+
+    # 1 + 2: fused vs unfused banded vs XLA gather
+    p_fused = prepare_bcd(Y_sketch, X_sketch, A, coords=coords)
+    use_fused = bool(p_fused.use_fused_banded)
+    beta_f, info_f = p_fused.solve(return_device=True, **kwargs)
+
+    # Force the unfused banded path by failing the fused VMEM gate during
+    # prepare (flipping the flag post-ctor is invalid: the fused prepare
+    # releases the row-layout operands the unfused sweep needs).
+    import flashdeconv_tpu.ops.bcd as bcd_mod
+
+    budget = bcd_mod.FUSED_VMEM_BUDGET_BYTES
+    bcd_mod.FUSED_VMEM_BUDGET_BYTES = 0
+    try:
+        p_unfused = prepare_bcd(Y_sketch, X_sketch, A, coords=coords)
+    finally:
+        bcd_mod.FUSED_VMEM_BUDGET_BYTES = budget
+    assert not p_unfused.use_fused_banded and p_unfused.use_banded
+    beta_u, info_u = p_unfused.solve(return_device=True, **kwargs)
+
+    # Scrambled spot order with NO coords: no banded structure in any row
+    # order the solver can see -> the padded-gather XLA coordinate_descent
+    # path (the same graph, so the solution must match after unscrambling).
+    perm = rng.permutation(n)
+    import scipy.sparse as sp
+
+    Pm = sp.csr_matrix(
+        (np.ones(n), (np.arange(n), perm)), shape=(n, n)
+    )
+    A_scram = (Pm @ A @ Pm.T).tocsr()  # scrambled row i == original perm[i]
+    p_gather = prepare_bcd(Y_sketch[perm], X_sketch, A_scram)
+    gather_is_banded = bool(p_gather.use_banded)
+    beta_g_s, info_g = p_gather.solve(return_device=True, **kwargs)
+    inv = np.empty(n, dtype=np.int32)
+    inv[perm] = np.arange(n, dtype=np.int32)
+    beta_g = jnp.take(beta_g_s, jnp.asarray(inv), axis=0)  # back to orig
+
+    d_fu = float(jnp.max(jnp.abs(beta_f - beta_u)))
+    d_fg = float(jnp.max(jnp.abs(beta_f - beta_g)))
+    results["fused_vs_unfused_banded"] = {
+        "fused_engaged": use_fused,
+        "max_abs_diff": d_fu,
+        "same_iterations": info_f["n_iterations"] == info_u["n_iterations"],
+        "ok": use_fused and d_fu == 0.0
+              and info_f["n_iterations"] == info_u["n_iterations"],
+    }
+    results["banded_vs_xla_gather"] = {
+        "gather_path_engaged": not gather_is_banded,
+        "max_abs_diff": d_fg,
+        "iter_delta": abs(info_f["n_iterations"] - info_g["n_iterations"]),
+        "ok": (not gather_is_banded) and d_fg < 1e-5
+              and abs(info_f["n_iterations"] - info_g["n_iterations"]) <= 1,
+    }
+
+    # 3: GSPMD mesh executable on the real device(s)
+    sp_prob = prepare_sharded_bcd(
+        Y_sketch, X_sketch, A, coords=coords, strategy="banded"
+    )
+    beta_m, info_m = sp_prob.solve(return_device=True, **kwargs)
+    d_m = float(jnp.max(jnp.abs(beta_m - beta_f)))
+    results["gspmd_mesh_vs_single_device"] = {
+        "fused_kernel": bool(info_m.get("fused_kernel")),
+        "mesh_devices": info_m["n_shards"],
+        "max_abs_diff": d_m,
+        "ok": d_m == 0.0
+              and info_m["n_iterations"] == info_f["n_iterations"],
+    }
+
+    # 4: Pallas CountSketch projection vs host scipy
+    from flashdeconv_tpu.core.sketching import make_countsketch_op
+    from flashdeconv_tpu.ops.countsketch import countsketch_project_pallas
+
+    G = 4096
+    dense = np.abs(rng.randn(2048, G)).astype(np.float32)
+    op = make_countsketch_op(G, 256, random_state=0)
+    dev = countsketch_project_pallas(
+        jnp.asarray(dense), jnp.asarray(op.buckets), jnp.asarray(op.weights),
+        op.sketch_dim,
+    )
+    host = dense @ op.to_csr()
+    d_cs = float(np.max(np.abs(np.asarray(dev) - host)))
+    scale = float(np.max(np.abs(host)))
+    results["countsketch_pallas_vs_scipy"] = {
+        "max_abs_diff": d_cs,
+        "ok": d_cs <= 2e-5 * max(scale, 1.0),
+    }
+
+    ok = all(r["ok"] for r in results.values())
+    print(json.dumps({
+        "metric": "hw_kernel_parity",
+        "backend": backend,
+        "value": 1 if ok else 0,
+        "unit": "all_checks_pass",
+        "seconds": round(time.perf_counter() - t0, 1),
+        "checks": results,
+    }))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -317,11 +317,29 @@ class FlashDeconv:
         # at the stage-4 position below, preserving error semantics.
         import concurrent.futures as _cf
 
-        graph_pool = _cf.ThreadPoolExecutor(1)
+        graph_pool = _cf.ThreadPoolExecutor(2)
         graph_future = graph_pool.submit(
             coords_to_adjacency, coords, method=self.spatial_method,
             k=self.k_neighbors, radius=self.radius,
         )
+        # Chain the banded-vs-gather analysis onto the graph future
+        # IMMEDIATELY (second pool thread blocks until the graph is ready,
+        # then decomposes) so its ~1 s O(nnz) pass overlaps the sketch
+        # stage instead of landing in the solve stage's wall-clock; the
+        # solver joins it inside prepare. On a graph-build error the plan
+        # future carries the same exception, which stage 4 re-raises from
+        # graph_future first (the plan future's copy stays unobserved by
+        # design).
+        if not self._is_sharded:
+            from flashdeconv_tpu.core.solver import GraphDecomposition
+
+            self._graph_plan_future = graph_pool.submit(
+                lambda: GraphDecomposition(
+                    graph_future.result(), Y.shape[0], coords
+                )
+            )
+        else:
+            self._graph_plan_future = None
         graph_pool.shutdown(wait=False)
 
         from flashdeconv_tpu import native
@@ -456,27 +474,18 @@ class FlashDeconv:
             # dropped and its eventual exception stays unobserved by
             # design — ours is the error the caller should see).
             graph_future.cancel()
+            plan_f = self.__dict__.pop("_graph_plan_future", None)
+            if plan_f is not None:
+                plan_f.cancel()
             raise
 
         # [4] spatial graph (join the early-started build; the recorded
         # stage time is the residual wait, i.e. what the graph actually
-        # adds to the pipeline's wall-clock)
+        # adds to the pipeline's wall-clock). The banded-vs-gather plan
+        # future was chained onto the same pool above.
         self._log("Step 4: building spatial graph...")
         with timer.stage("spatial_graph"):
             A = graph_future.result()
-        # Chain the banded-vs-gather analysis onto a background thread —
-        # it overlaps lambda tuning and the solve's Xty matmul/upload; the
-        # solver joins it inside prepare.
-        if not self._is_sharded:
-            from flashdeconv_tpu.core.solver import GraphDecomposition
-
-            plan_pool = _cf.ThreadPoolExecutor(1)
-            self._graph_plan_future = plan_pool.submit(
-                GraphDecomposition, A, Y.shape[0], coords
-            )
-            plan_pool.shutdown(wait=False)
-        else:
-            self._graph_plan_future = None
         self.adjacency_ = A
         avg_nbrs = float(np.mean(np.asarray(A.sum(axis=1)).ravel()))
         self._log(f"  Average neighbors per spot: {avg_nbrs:.1f}")

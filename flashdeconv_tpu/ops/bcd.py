@@ -29,8 +29,16 @@ from jax import lax
 
 # Unroll the coordinate loop at trace time up to this many cell types: K is
 # static and small, and unrolled static slices compile to much tighter code
-# than a fori_loop with dynamic slices.
-_UNROLL_MAX_K = 160
+# than a fori_loop with dynamic slices. The cap exists for COMPILE time,
+# not numerics: the fori_loop tier is bitwise-identical (pinned by
+# tests/test_reference_parity.py::test_fori_loop_tier_bitwise_equals_
+# unrolled), but unrolling K~130-160 coordinate updates into a 1M-spot
+# banded while-loop body blew past 35 minutes of XLA compile (measured on
+# the remote chip, 2026-08-19) where the rolled form compiles in seconds.
+# 64 covers every realistic cell-type panel on the unrolled fast path; the
+# Pallas kernels (K <= 128) have their own always-unrolled in-VMEM loop
+# and are not governed by this cap.
+_UNROLL_MAX_K = 64
 
 # Full-f32 MXU precision for the (tiny) solver matmuls: residual maintenance
 # subtracts quantities of similar magnitude (Xty - r), so the default bf16
