@@ -197,13 +197,13 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # Warm runs (compile cached, operands resident): report the best of 5 —
+    # Warm runs (compile cached, operands resident): report the best of 8 —
     # the shared remote TPU occasionally stalls for external reasons; min is
     # the honest hardware number. solve() returns only after the convergence
     # + objective scalars are fetched, so each timing covers the complete
     # solve.
     warm = float("inf")
-    for i in range(5):
+    for i in range(8):
         t0 = time.perf_counter()
         beta_d, info = problem.solve(return_device=True, **solve_kwargs)
         dt = time.perf_counter() - t0
@@ -213,6 +213,41 @@ def main() -> None:
             f"converged={info['converged']}",
             file=sys.stderr,
         )
+
+    # Per-sweep kernel time (pipelined, best-of-5 x 20 sweeps): the
+    # solve-level number above carries one ~25 ms tunnel round trip per
+    # call (see docs/performance_guide.md roofline), so the sweep time is
+    # the metric that tracks kernel progress across rounds independent of
+    # the shared tunnel's state.
+    sweep_ms = None
+    if getattr(problem, "use_fused_banded", False):
+        import jax
+        import jax.numpy as jnp
+
+        from flashdeconv_tpu.ops.bcd import fused_banded_sweep, to_fused_carry
+
+        lam = jnp.float32(solve_kwargs["lambda_"])
+        rho = jnp.float32(solve_kwargs["rho"] * problem.mean_diag)
+        carry = to_fused_carry(
+            jnp.zeros((problem.n_solve, N_TYPES), jnp.float32),
+            problem.h_blocks, problem.fused_block,
+        )
+        sweep_fn = jax.jit(lambda c: fused_banded_sweep(
+            c, problem.Xty_t_d, problem.XtX_d, problem.masks_d, lam, rho,
+            problem.offsets, problem.h_blocks, block=problem.fused_block,
+        ))
+        jax.block_until_ready(sweep_fn(carry))
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            c = carry
+            for _ in range(20):
+                c, _d, _a = sweep_fn(c)
+            jax.block_until_ready(c)
+            best = min(best, (time.perf_counter() - t0) / 20)
+        sweep_ms = round(best * 1e3, 3)
+        print(f"# fused sweep {sweep_ms} ms (pipelined best-of-5 x 20)",
+              file=sys.stderr)
 
     if mesh_mode:
         # --mesh: skip the single-device JSON + fetch; benchmark the GSPMD
@@ -240,6 +275,7 @@ def main() -> None:
                 "warm_solve_seconds": round(warm, 3),
                 "prepare_seconds": round(prepare_s, 2),
                 "n_iterations": info["n_iterations"],
+                "sweep_ms": sweep_ms,
             }
         )
     )
