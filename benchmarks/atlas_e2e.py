@@ -56,14 +56,35 @@ def make_sparse_counts(n_spots: int, n_genes: int, nnz_per_spot: int, n_types: i
     indptr = np.arange(0, nnz + 1, nnz_per_spot, dtype=np.int64)
 
     # Half the nnz from the dominant type's top genes, half uniform noise.
+    # Generated in ROW CHUNKS straight into the preallocated index/data
+    # buffers: the one-shot vectorized form materializes several (n_spots,
+    # nnz_per_spot) int64 temporaries, which at 10M spots x 600 nnz is
+    # >100 GB of transient allocations; chunked, the peak stays at the
+    # final buffers plus ~1 GB. Chunking preserves the exact stream for a
+    # given seed only per chunk size, so the chunk size is FIXED, not
+    # memory-adaptive (cache params capture it implicitly via the seed).
     top = np.argsort(-X, axis=1)[:, : n_genes // 4]  # (K, G/4) heavy genes
     half = nnz_per_spot // 2
-    idx_heavy = rng.integers(0, top.shape[1], size=(n_spots, half))
-    cols_heavy = top[dom[:, None], idx_heavy]
-    cols_noise = rng.integers(0, n_genes, size=(n_spots, nnz_per_spot - half))
-    indices = np.concatenate([cols_heavy, cols_noise], axis=1).astype(np.int32).ravel()
+    # int64 indices iff scipy would upcast anyway (nnz > int32 range):
+    # preallocating the final dtype avoids a whole-array astype copy.
+    idx_dt = np.int64 if nnz > np.iinfo(np.int32).max else np.int32
+    indices = np.empty(nnz, dtype=idx_dt)
+    data = np.empty(nnz, dtype=np.float32)
+    step = 1 << 20
+    ind2d = indices.reshape(n_spots, nnz_per_spot)
+    for s in range(0, n_spots, step):
+        e = min(n_spots, s + step)
+        idx_heavy = rng.integers(
+            0, top.shape[1], size=(e - s, half), dtype=np.int32
+        )
+        ind2d[s:e, :half] = top[dom[s:e, None], idx_heavy]
+        ind2d[s:e, half:] = rng.integers(
+            0, n_genes, size=(e - s, nnz_per_spot - half), dtype=np.int32
+        )
+        lo, hi = s * nnz_per_spot, e * nnz_per_spot
+        data[lo:hi] = rng.exponential(3.0, size=hi - lo).astype(np.float32)
+        data[lo:hi] += 1.0
 
-    data = rng.exponential(3.0, size=nnz).astype(np.float32) + 1.0
     Y = sparse.csr_matrix((data, indices, indptr), shape=(n_spots, n_genes))
     return Y, X.astype(np.float64), coords
 
