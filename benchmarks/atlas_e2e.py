@@ -143,6 +143,10 @@ def main() -> None:
         "spots": args.spots, "genes": args.genes,
         "nnz_per_spot": args.nnz_per_spot, "types": args.types,
         "irregular": bool(args.irregular),
+        # Bump whenever make_sparse_counts' RNG *stream* changes (v2:
+        # chunked int32 draws) — same seed, different dataset, and the
+        # flag-equality check alone cannot see that.
+        "gen_version": 2,
     }
     cache_hit = args.cache and all(
         os.path.exists(os.path.join(args.cache, n + ".npy")) for n in names

@@ -241,7 +241,9 @@ class FlashDeconv:
         # f32 proportions directly) when fitting on an accelerator
         # single-device path; False = always fetch + normalize on host
         # (the reference-exact f64 post-processing); True = force the
-        # device path even on CPU.
+        # device path even on CPU and on (single-process) sharded meshes
+        # — multi-process jobs always take the gathered host path, since
+        # no single process can device_get the global array.
         self.device_outputs = device_outputs
 
         self.beta_ = None
@@ -587,6 +589,7 @@ class FlashDeconv:
                 lambda_=lambda_, rho=self.rho_sparsity,
                 max_iter=self.max_iter, tol=self.tol,
                 verbose=self.verbose, beta_init=beta_init,
+                return_device=return_device,
             )
         self._log("Step 6: solving via Block Coordinate Descent on device...")
         return bcd_solve(
@@ -639,15 +642,22 @@ class FlashDeconv:
             # there, fetch only the f32 proportions (the host f64 convert
             # + normalize pass disappears; beta_ fetches lazily on first
             # access). auto (None) = on for non-sharded accelerator fits.
+            # The sharded solvers support return_device on single-process
+            # meshes (a multi-process global array is not device_get-able
+            # from one process, so multihost jobs take the gathered host
+            # path). auto (None) keeps sharded fits on the host path —
+            # shard-count-invariance consumers usually want host f64 —
+            # but an explicit True is honored.
+            import jax
+
+            single_proc = jax.process_count() == 1
             device_out = self.device_outputs
             if device_out is None:
-                import jax
-
                 device_out = (
                     not self._is_sharded and jax.default_backend() != "cpu"
                 )
             else:
-                device_out = bool(device_out) and not self._is_sharded
+                device_out = bool(device_out) and single_proc
 
             # [6] solve — multi-device when a mesh/shard count configured
             with timer.stage("solve"), trace("bcd_solve"):

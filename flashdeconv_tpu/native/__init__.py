@@ -155,7 +155,32 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64(x32s.size),
         )
         shift_ok = bool(np.array_equal(out32s, out32[1:]))
-        _log1pf_matches_numpy = bool(ulp32.max() <= 1) and shift_ok
+        # (c) in-place with degenerate lanes: every production call site
+        # runs the batch in place, and degenerate (negative / inf) values
+        # must be fixed up from the original input, not from an
+        # already-overwritten buffer.
+        xdeg = np.asarray(
+            [0.5, -0.5, 2.0, np.inf, 1e4, 0.0, 3.0, 7.0, 1.5, -0.25],
+            dtype=np.float32,
+        )
+        ref_deg = np.empty_like(xdeg)
+        lib.log1p_buffer_f32(
+            xdeg.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ref_deg.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_int64(xdeg.size),
+        )
+        inplace = xdeg.copy()
+        lib.log1p_buffer_f32(
+            inplace.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            inplace.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_int64(inplace.size),
+        )
+        inplace_ok = bool(np.array_equal(inplace, ref_deg)) and bool(
+            np.allclose(ref_deg[:4], np.log1p(xdeg[:4]))
+        )
+        _log1pf_matches_numpy = (
+            bool(ulp32.max() <= 1) and shift_ok and inplace_ok
+        )
     except Exception:
         _log1pf_matches_numpy = False
 

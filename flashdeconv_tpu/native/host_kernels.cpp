@@ -215,11 +215,19 @@ __attribute__((target("avx2,fma"))) inline void log1p_f32_batch_avx2(
     const __m256 ok = _mm256_and_ps(
         _mm256_cmp_ps(v, _mm256_setzero_ps(), _CMP_GE_OQ),
         _mm256_cmp_ps(v, _mm256_set1_ps(3.4028235e38f), _CMP_LE_OQ));
-    _mm256_storeu_ps(out + i, log1p8f_pos(v));
     const int mask = _mm256_movemask_ps(ok);
-    if (mask != 0xFF) {
+    if (mask == 0xFF) {
+      _mm256_storeu_ps(out + i, log1p8f_pos(v));
+    } else {
+      // Degenerate lanes (negative / overflow / nan): fix up from the
+      // ALREADY-LOADED register, never from p — the batch is documented
+      // in-place safe (every production call site aliases out onto p),
+      // so p[i+l] may already hold this group's poly result.
+      alignas(32) float orig[8];
+      _mm256_store_ps(orig, v);
+      _mm256_storeu_ps(out + i, log1p8f_pos(v));
       for (int l = 0; l < 8; ++l)
-        if (!((mask >> l) & 1)) out[i + l] = log1pf_via_double(p[i + l]);
+        if (!((mask >> l) & 1)) out[i + l] = log1pf_via_double(orig[l]);
     }
   }
   for (; i < n; ++i) out[i] = log1p_f32_value(p[i]);

@@ -368,11 +368,14 @@ def coordinate_descent_pallas(
 
 
 #: Per-core scoped-VMEM budget for the fused banded kernel's working set.
-#: The hardware limit is 16 MB (measured: Mosaic rejects a block=8192,
-#: K=20, h=1 config at "21.21M vs limit 16.00M" where the estimator below
-#: predicts 13.7M — actual usage runs ~1.55x the estimate, so the gate
-#: compares against 16 MB / 1.55 ≈ 10.3 MB, held at 10 MB).
-FUSED_VMEM_BUDGET_BYTES = 10 * 2**20
+#: The hardware limit is 16 MB. Calibrated against MEASURED Mosaic
+#: scoped-size rejections of the STREAMING kernel (2026-08-19), estimate
+#: vs actual: (K=128,h=1,B=2048) 18.1M vs 22.7M (1.26x — the worst),
+#: (K=20,h=1,B=16384) 25.3M vs 31.2M (1.24x), (K=96,h=4,B=2048) 22.6M vs
+#: 21.9M (0.97x), (K=128,h=8,B=1024) 23.0M vs 18.7M (0.81x). Gate at
+#: 16 MB / 1.26 ≈ 12.7 MB, held at 12 MB; every measured failing config
+#: estimates >= 18M and every measured passing one <= 11.1M.
+FUSED_VMEM_BUDGET_BYTES = 12 * 2**20
 
 
 def fused_banded_vmem_bytes(n_types: int, n_bands: int, h: int,
@@ -381,19 +384,22 @@ def fused_banded_vmem_bytes(n_types: int, n_bands: int, h: int,
 
     Streams (double-buffered by the pipeline): ONE beta block in, one out,
     one Xty block, one uint8 masks block. Scratch: the rolling
-    (2h+1)-block beta window, plus the window/ns/r/beta values of the
-    coordinate pass. The eligibility gates (``BCDProblem``,
+    (2h+1)-block beta window. Values: the concatenated window, the
+    neighbor sum, and the hoisted Gauss-Seidel pass's live set (r0/C,
+    den_safe, the accumulator, the collected output rows — ~6 (K, B)
+    blocks). The eligibility gates (``BCDProblem``,
     ``GspmdBandedProblem``) require this to fit
     :data:`FUSED_VMEM_BUDGET_BYTES` — otherwise a legal-looking config
     (large K x large halo) dies at Mosaic compile time instead of falling
-    back to the unfused banded path.
+    back to the unfused banded path. Calibration table: see
+    :data:`FUSED_VMEM_BUDGET_BYTES`.
     """
     kp = -(-n_types // 8) * 8              # sublane-padded K
     kb = kp * block * 4
     streams = 3 * kb * 2                   # beta in + out + Xty, x2
     masks = n_bands * block * 2            # uint8 masks block, x2
     scratch = (2 * h + 1) * kb             # rolling window scratch
-    values = (2 * h + 1) * kb + 3 * kb     # window value + ns/r/beta
+    values = (2 * h + 1) * kb + 6 * kb     # window value + ns + GS live set
     return streams + masks + scratch + values
 
 
