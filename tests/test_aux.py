@@ -312,3 +312,18 @@ class TestDeviceOutputs:
         r = FlashDeconv.load(str(p), **_FIT_KWARGS)
         np.testing.assert_array_equal(r.proportions_, m.proportions_)
         np.testing.assert_array_equal(r.beta_, m.beta_)
+
+    def test_device_outputs_sharded_single_process(self, synthetic_small):
+        """Explicit device_outputs=True is honored on a (single-process)
+        sharded fit: proportions match the host-path sharded fit and
+        beta_ stays device-resident until touched."""
+        Y, X, coords, _ = synthetic_small
+        host = FlashDeconv(**_FIT_KWARGS, n_shards=4,
+                           device_outputs=False).fit(Y, X, coords)
+        dev = FlashDeconv(**_FIT_KWARGS, n_shards=4,
+                          device_outputs=True).fit(Y, X, coords)
+        assert dev._beta_host is None and dev._beta_dev is not None
+        np.testing.assert_allclose(
+            dev.proportions_, host.proportions_, atol=1e-6
+        )
+        np.testing.assert_allclose(dev.beta_, host.beta_, atol=1e-6)

@@ -307,3 +307,24 @@ def test_carry_roundtrip():
     assert carry.shape == (9, 4 * BLOCK + 4 * BLOCK)
     back = from_fused_carry(carry, 2, BLOCK)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(beta))
+
+
+def test_vmem_gate_calibration_bounds():
+    """The eligibility gate must accept every production shape and reject
+    the configs Mosaic is MEASURED to refuse (see the calibration table at
+    FUSED_VMEM_BUDGET_BYTES): a gate drift in either direction silently
+    changes which datasets take the fused kernel."""
+    from flashdeconv_tpu.ops.bcd import (
+        FUSED_VMEM_BUDGET_BYTES,
+        fused_banded_vmem_bytes,
+    )
+
+    # production shapes (headline 20 types, atlas 25, MOSTA 25, 10M h=2)
+    for K, U, h in [(20, 16, 1), (25, 16, 1), (25, 16, 2), (64, 16, 2)]:
+        assert fused_banded_vmem_bytes(K, U, h) <= FUSED_VMEM_BUDGET_BYTES, (
+            K, U, h)
+    # measured Mosaic scoped-size failures (actual > 16 MB on v5e)
+    for K, U, h, block in [(128, 16, 1, 2048), (128, 16, 2, 2048),
+                           (96, 16, 4, 2048), (20, 16, 1, 16384)]:
+        assert fused_banded_vmem_bytes(K, U, h, block) \
+            > FUSED_VMEM_BUDGET_BYTES, (K, U, h, block)
