@@ -271,25 +271,3 @@ class TestLargeKParity:
         )
         np.testing.assert_allclose(ours, theirs, rtol=1e-8, atol=1e-10)
         assert info_ours["n_iterations"] == info_ref["n_iterations"]
-
-    def test_fori_loop_tier_bitwise_equals_unrolled(self, monkeypatch):
-        """The dynamic-slice fori_loop coordinate pass (K > _UNROLL_MAX_K)
-        is the same arithmetic as the unrolled static-slice pass — forcing
-        the fori tier on a small K must reproduce the unrolled solve
-        bitwise."""
-        import flashdeconv_tpu.ops.bcd as bcd
-
-        from flashdeconv_tpu.core.solver import bcd_solve
-        from flashdeconv_tpu.utils.graph import build_knn_graph
-
-        Y, X, coords = _problem(seed=5, n_spots=50, n_types=12, d=48)
-        A = build_knn_graph(coords, k=4)
-        kw = dict(lambda_=0.2, rho=0.01, max_iter=30, tol=1e-5,
-                  dtype=np.float64)
-
-        beta_unrolled, info_u = bcd_solve(Y, X, A, **kw)
-        monkeypatch.setattr(bcd, "_UNROLL_MAX_K", 4)
-        beta_fori, info_f = bcd_solve(Y, X, A, **kw)
-
-        np.testing.assert_array_equal(beta_fori, beta_unrolled)
-        assert info_f["n_iterations"] == info_u["n_iterations"]

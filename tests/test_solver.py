@@ -231,3 +231,33 @@ class TestDeterminism:
         assert h[0] == h[1]
         assert runs[0][1]["n_iterations"] == runs[1][1]["n_iterations"]
         assert runs[0][1]["converged"] == runs[1][1]["converged"]
+
+
+def test_fori_loop_tier_bitwise_equals_unrolled(monkeypatch):
+    """The dynamic-slice fori_loop coordinate pass (K > _UNROLL_MAX_K) is
+    the same arithmetic as the unrolled static-slice pass — forcing the
+    fori tier on a small K must reproduce the unrolled solve bitwise.
+    (Lives here, not in the reference-gated parity module: the contract is
+    internal and must hold on CI runners without the reference mount.)"""
+    import flashdeconv_tpu.ops.bcd as bcd
+
+    from flashdeconv_tpu.core.solver import bcd_solve
+    from flashdeconv_tpu.utils.graph import build_knn_graph
+
+    rng = np.random.RandomState(5)
+    n_spots, n_types, d = 50, 12, 48
+    X = rng.randn(n_types, d)
+    bt = rng.rand(n_spots, n_types)
+    bt /= bt.sum(axis=1, keepdims=True)
+    Y = bt @ X + 0.05 * rng.randn(n_spots, d)
+    coords = rng.rand(n_spots, 2)
+    A = build_knn_graph(coords, k=4)
+    kw = dict(lambda_=0.2, rho=0.01, max_iter=30, tol=1e-5,
+              dtype=np.float64)
+
+    beta_unrolled, info_u = bcd_solve(Y, X, A, **kw)
+    monkeypatch.setattr(bcd, "_UNROLL_MAX_K", 4)
+    beta_fori, info_f = bcd_solve(Y, X, A, **kw)
+
+    np.testing.assert_array_equal(beta_fori, beta_unrolled)
+    assert info_f["n_iterations"] == info_u["n_iterations"]
