@@ -261,3 +261,24 @@ def test_fori_loop_tier_bitwise_equals_unrolled(monkeypatch):
 
     np.testing.assert_array_equal(beta_fori, beta_unrolled)
     assert info_f["n_iterations"] == info_u["n_iterations"]
+
+
+def test_normalize_proportions_device_matches_host_zero_rows():
+    """Device-side normalize must replicate the host rule exactly,
+    including the all-zero-row -> uniform fallback."""
+    from flashdeconv_tpu.core.solver import (
+        normalize_proportions,
+        normalize_proportions_device,
+    )
+
+    beta = np.array(
+        [[1.0, 3.0, 0.0],
+         [0.0, 0.0, 0.0],          # zero row -> uniform 1/3
+         [2e-11, 0.0, 0.0],        # tiny row -> clamped denominator
+         [5.0, 5.0, 10.0]],
+        dtype=np.float32,
+    )
+    host = normalize_proportions(beta)          # f64 reference rule
+    dev = np.asarray(normalize_proportions_device(beta), dtype=np.float64)
+    np.testing.assert_allclose(dev, host, rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(dev[1], np.full(3, 1.0 / 3.0))
