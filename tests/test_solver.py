@@ -281,4 +281,5 @@ def test_normalize_proportions_device_matches_host_zero_rows():
     host = normalize_proportions(beta)          # f64 reference rule
     dev = np.asarray(normalize_proportions_device(beta), dtype=np.float64)
     np.testing.assert_allclose(dev, host, rtol=1e-6, atol=1e-7)
-    np.testing.assert_array_equal(dev[1], np.full(3, 1.0 / 3.0))
+    # uniform fill is computed in the solve dtype (f32 third, not f64)
+    np.testing.assert_allclose(dev[1], np.full(3, 1.0 / 3.0), rtol=1e-6)
