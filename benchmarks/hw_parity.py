@@ -18,7 +18,12 @@ multi-block grids and real band structure, small enough to stay quick):
    the GS pass hoists f32 additions the XLA path associates differently);
 3. GSPMD mesh executable (shard_map + fused kernel + ppermute halos,
    1-device mesh)  ==  single-device (bitwise);
-4. Pallas CountSketch projection  ==  host scipy projection (<= 2e-5).
+4. Pallas CountSketch projection  ==  host scipy projection (<= 2e-5);
+5. large-K tier (K = 96 — MXU-panel GS pass + planned 1024 block): fused
+   == unfused banded Pallas CD (bitwise: both call the same gs_pass
+   dispatch) and == the XLA fori tier (<= 1e-4 — the panel pass
+   reassociates f32 sums across panels and runs cross-panel corrections
+   on the MXU at precision=HIGHEST).
 
 Usage: python benchmarks/hw_parity.py
 """
@@ -148,6 +153,58 @@ def main() -> int:
     results["countsketch_pallas_vs_scipy"] = {
         "max_abs_diff": d_cs,
         "ok": d_cs <= 2e-5 * max(scale, 1.0),
+    }
+
+    # 5: large-K tier (panel GS pass), fused vs unfused Pallas vs XLA
+    from flashdeconv_tpu.ops.bcd import bcd_iterate_banded
+
+    K_big = 96
+    Xb = rng.randn(K_big, D).astype(np.float32)
+    xty_b = np.abs(rng.randn(n, K_big)).astype(np.float32) * 3.0
+    kw_b = dict(lambda_=0.3, rho=0.01, max_iter=12, tol=1e-6)
+
+    pb_fused = prepare_bcd(None, Xb, A, coords=coords, xty=xty_b,
+                           yty=float(n * D))
+    fused_big = bool(pb_fused.use_fused_banded)
+    block_big = getattr(pb_fused, "fused_block", None)
+    beta_bf, info_bf = pb_fused.solve(return_device=True, **kw_b)
+
+    bcd_mod.FUSED_VMEM_BUDGET_BYTES = 0
+    try:
+        pb_unfused = prepare_bcd(None, Xb, A, coords=coords, xty=xty_b,
+                                 yty=float(n * D))
+    finally:
+        bcd_mod.FUSED_VMEM_BUDGET_BYTES = budget
+    assert pb_unfused.use_banded and pb_unfused.use_pallas
+    beta_bu, info_bu = pb_unfused.solve(return_device=True, **kw_b)
+
+    # XLA fori tier on the same operands (the K > 64 fallback path).
+    beta0 = jnp.zeros((pb_unfused.n_solve, K_big), jnp.float32).at[:n].set(
+        1.0 / K_big
+    )
+    beta_bx, it_bx, _ = bcd_iterate_banded(
+        beta0, pb_unfused.Xty_d, pb_unfused.XtX_d, pb_unfused.offsets,
+        pb_unfused.masks_d, pb_unfused.rest_d, pb_unfused.nnb_d,
+        jnp.float32(kw_b["lambda_"]),
+        jnp.float32(kw_b["rho"] * pb_unfused.mean_diag),
+        jnp.float32(kw_b["tol"]), kw_b["max_iter"], pb_unfused.halo,
+        use_pallas=False,
+    )
+    beta_bx = beta_bx[:n]
+
+    d_bu = float(jnp.max(jnp.abs(beta_bf - beta_bu)))
+    d_bx = float(jnp.max(jnp.abs(beta_bf - beta_bx)))
+    results["largek_panel_pass"] = {
+        "K": K_big,
+        "fused_engaged": fused_big,
+        "fused_block": block_big,
+        "fused_vs_unfused_pallas_max_abs_diff": d_bu,
+        "fused_vs_xla_max_abs_diff": d_bx,
+        "same_iterations": info_bf["n_iterations"] == info_bu["n_iterations"]
+                           == int(it_bx),
+        "ok": fused_big and d_bu == 0.0 and d_bx < 1e-4
+              and info_bf["n_iterations"] == info_bu["n_iterations"]
+              == int(it_bx),
     }
 
     ok = all(r["ok"] for r in results.values())

@@ -258,21 +258,32 @@ class BCDProblem:
         self.use_banded = use_banded
         self.perm = perm
 
-        # Fused Pallas coordinate-descent kernel: TPU, f32, K within one VMEM
-        # block. Requires the spot axis padded to the kernel's block size;
-        # the padded rows are all-zero with zero Xty / no neighbors, so they
-        # stay exactly zero through every sweep (and the appended-zero-row
-        # sentinel at index n_spots now lands on such a padded row — still
-        # zero).
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and self.dtype == np.float32
-            and n_types <= 128
+        # Pallas tiers. The unfused coordinate-descent block kernel keeps
+        # its fixed 2048 block and K <= 128 envelope; the fully fused
+        # banded kernel is planned independently (plan_fused_banded picks
+        # the largest block whose VMEM working set fits — smaller blocks
+        # carry it to K ~ 256), so large-K grid problems stay on Pallas
+        # even where the unfused CD kernel cannot. Either tier requires
+        # the spot axis padded to a 2048 multiple (every planned fused
+        # block divides 2048); the padded rows are all-zero with zero
+        # Xty / no neighbors, so they stay exactly zero through every
+        # sweep (and the appended-zero-row sentinel at index n_spots now
+        # lands on such a padded row — still zero).
+        pallas_tier = (
+            jax.default_backend() == "tpu" and self.dtype == np.float32
         )
+        use_pallas = pallas_tier and n_types <= 128
+        fused_plan = None
+        if pallas_tier and use_banded and A_rest.nnz == 0:
+            from flashdeconv_tpu.ops.bcd import plan_fused_banded
+
+            halo_spots = int(np.max(np.abs(offsets_np)))
+            fused_plan = plan_fused_banded(
+                n_types, int(offsets_np.size), halo_spots
+            )
         n_solve = n_spots
-        if use_pallas:
-            block = 2048
-            n_solve = -(-n_spots // block) * block
+        if use_pallas or fused_plan is not None:
+            n_solve = -(-n_spots // 2048) * 2048
         pad = n_solve - n_spots
         self.use_pallas = use_pallas
         self.n_solve = n_solve
@@ -352,34 +363,27 @@ class BCDProblem:
         # a transposed block-padded carry — eliminates the per-offset beta
         # re-reads, the per-sweep (N, K) <-> (K, N) transposes, and the
         # separate stats pass. Eligible when the decomposition is 100%
-        # banded (no gather remainder) and the halo fits a few pad blocks.
-        self.use_fused_banded = False
-        if use_banded and use_pallas and A_rest.nnz == 0:
-            from flashdeconv_tpu.ops.bcd import (
-                FUSED_VMEM_BUDGET_BYTES,
-                fused_banded_vmem_bytes,
+        # banded (no gather remainder) and plan_fused_banded found a block
+        # whose working set fits the VMEM gate (computed above, before the
+        # padding decision).
+        self.use_fused_banded = fused_plan is not None
+        if self.use_fused_banded:
+            self.fused_block, self.h_blocks = (
+                int(fused_plan[0]), int(fused_plan[1])
             )
-
-            h = -(-self.halo // 2048)
-            if 1 <= h <= 8 and fused_banded_vmem_bytes(
-                n_types, len(self.offsets), h
-            ) <= FUSED_VMEM_BUDGET_BYTES:
-                self.use_fused_banded = True
-                self.h_blocks = int(h)
-                self.fused_block = 2048
-                # One-time device transposes into the kernel layout.
-                # Eager ops, NOT jax.jit(lambda ...): a fresh jit wrapper
-                # per ctor call would retrace AND remote-recompile on
-                # every prepare (~0.4 s each over the tunnel); eager
-                # primitives hit the cached dispatch path.
-                self.Xty_t_d = Xty_d.T
-                # The row-layout operands are unreachable on the fused
-                # path (sweep AND objective consume the transposed /
-                # uint8 copies, and derive the degree from the masks);
-                # release them so the dominant (N, K) buffer is not
-                # resident twice (~800 MB at 10M spots).
-                self.Xty_d = None
-                self.nnb_d = None
+            # One-time device transposes into the kernel layout.
+            # Eager ops, NOT jax.jit(lambda ...): a fresh jit wrapper
+            # per ctor call would retrace AND remote-recompile on
+            # every prepare (~0.4 s each over the tunnel); eager
+            # primitives hit the cached dispatch path.
+            self.Xty_t_d = Xty_d.T
+            # The row-layout operands are unreachable on the fused
+            # path (sweep AND objective consume the transposed /
+            # uint8 copies, and derive the degree from the masks);
+            # release them so the dominant (N, K) buffer is not
+            # resident twice (~800 MB at 10M spots).
+            self.Xty_d = None
+            self.nnb_d = None
         if use_banded and not self.use_fused_banded:
             # Unfused banded sweeps multiply by the masks every offset
             # pass: widen the uint8 copy once and keep only the f32.

@@ -220,6 +220,49 @@ def coordinate_descent(
     return beta
 
 
+# The Gauss-Seidel pass switches to the MXU-panel formulation above this
+# many cell types: the classic pass's rank-1 residual refresh is O(K^2 * B)
+# VPU FMAs, which dominates the sweep at large K (the reference's Numba
+# loop pays the same O(K^2)/spot smoothly on CPU, reference
+# ``flashdeconv/core/solver.py:75-99``); the panel pass moves the
+# cross-panel corrections onto the MXU, leaving O(K * P * B) on the VPU.
+# 64 keeps every small-K headline path (and its measured numbers) on the
+# classic pass, byte-for-byte unchanged.
+_GS_PANEL_MIN_K = 64
+
+# Panel width of the MXU-panel pass. VPU work scales with P (within-panel
+# rank-1 on (P, B) rows), MXU utilization improves with P (the per-panel
+# correction matmul's contraction dim is the finished-coordinate count, its
+# output rows are P); 16 balances the two on v5e (8-sublane granularity,
+# two sublane tiles per panel op).
+_GS_PANEL_P = 16
+
+
+def _gs_prologue(beta_old, xty, xtx, ns, nnb, lam, rho):
+    """Shared hoisted prologue of both Gauss-Seidel passes.
+
+    Returns (C, den_safe): the coordinate-order-independent numerator part
+    ``C = xty + lam*ns - r0 + diag(xtx)*beta_old - rho`` (one full-(K, B)
+    computation) and the positivity-guarded denominator (``den <= 1e-10 ->
+    +inf`` so ``num/den`` yields the guarded 0.0 branch-free).
+    """
+    K = beta_old.shape[0]
+    r0 = jax.lax.dot_general(
+        xtx, beta_old, (((1,), (0,)), ((), ())),
+        precision=_PREC, preferred_element_type=jnp.float32,
+    )                                      # (K, B)
+    # diag(xtx) as a (K, 1) column (Mosaic lowers the masked row-sum of the
+    # tiny (K, K) tile; there is no diagonal-extract primitive).
+    rid = lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    cid = lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    diag = jnp.sum(jnp.where(rid == cid, xtx, 0.0), axis=1, keepdims=True)
+
+    C = (xty + lam * ns - r0 + diag * beta_old) - rho      # (K, B)
+    den = diag + lam * nnb                                 # (K, B)
+    den_safe = jnp.where(den > 1e-10, den, jnp.inf)
+    return C, den_safe
+
+
 def _gs_pass_kb(beta_old, xty, xtx, ns, nnb, lam, rho):
     """(K, B)-layout Gauss-Seidel coordinate pass — THE iterate semantics.
 
@@ -258,24 +301,13 @@ def _gs_pass_kb(beta_old, xty, xtx, ns, nnb, lam, rho):
     (reference ``flashdeconv/core/solver.py:75-99``); the hoisting
     reassociates f32 additions, so this pass differs from the XLA
     :func:`coordinate_descent` fallback by ~1 ulp per sweep (observed
-    max 6e-8 at 1M spots). Both Pallas paths share THIS function, so
-    fused and unfused Pallas sweeps remain bit-identical to each other;
-    the f64 CPU path (XLA) and its reference parity are untouched.
+    max 6e-8 at 1M spots). Both Pallas paths share THIS function (via
+    :func:`gs_pass`), so fused and unfused Pallas sweeps remain
+    bit-identical to each other; the f64 CPU path (XLA) and its reference
+    parity are untouched.
     """
     K = beta_old.shape[0]
-    r0 = jax.lax.dot_general(
-        xtx, beta_old, (((1,), (0,)), ((), ())),
-        precision=_PREC, preferred_element_type=jnp.float32,
-    )                                      # (K, B)
-    # diag(xtx) as a (K, 1) column (Mosaic lowers the masked row-sum of the
-    # tiny (K, K) tile; there is no diagonal-extract primitive).
-    rid = lax.broadcasted_iota(jnp.int32, (K, K), 0)
-    cid = lax.broadcasted_iota(jnp.int32, (K, K), 1)
-    diag = jnp.sum(jnp.where(rid == cid, xtx, 0.0), axis=1, keepdims=True)
-
-    C = (xty + lam * ns - r0 + diag * beta_old) - rho      # (K, B)
-    den = diag + lam * nnb                                 # (K, B)
-    den_safe = jnp.where(den > 1e-10, den, jnp.inf)
+    C, den_safe = _gs_prologue(beta_old, xty, xtx, ns, nnb, lam, rho)
 
     acc = jnp.zeros_like(beta_old)         # accumulated rank-1 corrections
     rows = []
@@ -290,6 +322,76 @@ def _gs_pass_kb(beta_old, xty, xtx, ns, nnb, lam, rho):
     return jnp.concatenate(rows, axis=0)
 
 
+def _gs_pass_kb_panel(beta_old, xty, xtx, ns, nnb, lam, rho,
+                      panel: int = _GS_PANEL_P):
+    """MXU-panel Gauss-Seidel pass for large K — same iterate semantics.
+
+    The classic :func:`_gs_pass_kb` refreshes the maintained residual with
+    a full-(K, B) rank-1 VPU FMA after EVERY coordinate — O(K^2 * B) VPU
+    work that dominates the sweep beyond K ~ 64. Here coordinates are
+    processed in static panels of ``panel``: within a panel the rank-1
+    recurrence runs on the panel's own (P, B) rows only (the only rows
+    whose corrections are needed before the panel ends), and each panel's
+    residual corrections from ALL finished coordinates arrive as ONE
+    ``(P, a) x (a, B)`` matmul of the accumulated delta rows — MXU work,
+    at f32-equivalent precision (``precision=HIGHEST``). Total VPU cost
+    drops from K^2*B to K*P*B; the K^2*B/2 MAC bulk rides the MXU.
+
+    Algebraically identical to the classic pass coordinate-for-coordinate
+    (the per-coordinate numerator subtracts exactly the deltas of the
+    coordinates before it); f32 sums are reassociated across panels, which
+    the Pallas numerics contract allows. Dispatch between the two passes
+    lives in :func:`gs_pass`, shared by both Pallas kernels, so fused and
+    unfused Pallas sweeps stay mutually bit-identical at every K.
+    """
+    K, B = beta_old.shape
+    C, den_safe = _gs_prologue(beta_old, xty, xtx, ns, nnb, lam, rho)
+
+    rows = []
+    delta_panels = []            # finished panels' delta rows, (P_i, B)
+    a = 0
+    while a < K:
+        b = min(a + panel, K)
+        p = b - a
+        if delta_panels:
+            prefix = (delta_panels[0] if len(delta_panels) == 1
+                      else jnp.concatenate(delta_panels, axis=0))  # (a, B)
+            acc_p = jax.lax.dot_general(
+                xtx[a:b, :a], prefix, (((1,), (0,)), ((), ())),
+                precision=_PREC, preferred_element_type=jnp.float32,
+            )                                                      # (P, B)
+        else:
+            acc_p = jnp.zeros((p, B), dtype=beta_old.dtype)
+        pdeltas = []
+        for i in range(p):
+            k = a + i
+            num = jnp.maximum(C[k : k + 1, :] - acc_p[i : i + 1, :], 0.0)
+            new = num / den_safe[k : k + 1, :]
+            delta = new - beta_old[k : k + 1, :]
+            # Panel-local rank-1 refresh: only the P panel rows (exact f32
+            # FMA, same in-panel association as the classic pass).
+            acc_p = acc_p + xtx[a:b, k : k + 1] * delta
+            rows.append(new)
+            pdeltas.append(delta)
+        delta_panels.append(jnp.concatenate(pdeltas, axis=0))
+        a = b
+    return jnp.concatenate(rows, axis=0)
+
+
+def gs_pass(beta_old, xty, xtx, ns, nnb, lam, rho):
+    """The Gauss-Seidel coordinate pass both Pallas kernels run.
+
+    Dispatches on the static K: the classic exact-FMA pass up to
+    ``_GS_PANEL_MIN_K`` (keeps every small-K path byte-identical to
+    round 3), the MXU-panel pass above it. Because BOTH kernels call this
+    one function, fused and unfused Pallas sweeps remain mutually
+    bit-identical at every K (hw_parity check 1).
+    """
+    if beta_old.shape[0] > _GS_PANEL_MIN_K:
+        return _gs_pass_kb_panel(beta_old, xty, xtx, ns, nnb, lam, rho)
+    return _gs_pass_kb(beta_old, xty, xtx, ns, nnb, lam, rho)
+
+
 def _cd_block_kernel(lam_ref, rho_ref, beta_ref, xty_ref, ns_ref, nnb_ref,
                      xtx_ref, out_ref):
     """Pallas TPU kernel: full Gauss-Seidel coordinate pass for one spot block.
@@ -302,7 +404,7 @@ def _cd_block_kernel(lam_ref, rho_ref, beta_ref, xty_ref, ns_ref, nnb_ref,
     VMEM for all K coordinate updates, so HBM sees exactly one read and one
     write of each (N, K) operand per sweep.
     """
-    out_ref[:] = _gs_pass_kb(
+    out_ref[:] = gs_pass(
         beta_ref[:], xty_ref[:], xtx_ref[:], ns_ref[:], nnb_ref[:],
         lam_ref[0, 0], rho_ref[0, 0],
     )
@@ -399,8 +501,55 @@ def fused_banded_vmem_bytes(n_types: int, n_bands: int, h: int,
     streams = 3 * kb * 2                   # beta in + out + Xty, x2
     masks = n_bands * block * 2            # uint8 masks block, x2
     scratch = (2 * h + 1) * kb             # rolling window scratch
-    values = (2 * h + 1) * kb + 6 * kb     # window value + ns + GS live set
+    # GS pass live set: ~6 (K, B) blocks for the classic pass; the
+    # MXU-panel pass (K > _GS_PANEL_MIN_K) additionally keeps the
+    # accumulated delta rows resident (+1 block).
+    gs_live = 6 + (1 if n_types > _GS_PANEL_MIN_K else 0)
+    values = (2 * h + 1) * kb + gs_live * kb
     return streams + masks + scratch + values
+
+
+#: Fused-kernel block sizes the planner may choose, largest first. All are
+#: multiples of the 128-lane width and divide 2048 (the solver's spot-axis
+#: padding granularity), so any planned block tiles any padded carry. The
+#: largest block that fits VMEM wins: fewer grid steps, wider VPU rows.
+FUSED_BLOCK_CANDIDATES = (2048, 1024, 512, 256)
+
+
+def plan_fused_banded(
+    n_types: int,
+    n_bands: int,
+    halo: int,
+    max_h: int = 8,
+    max_local: Optional[int] = None,
+    candidates: Tuple[int, ...] = FUSED_BLOCK_CANDIDATES,
+) -> Optional[Tuple[int, int]]:
+    """Pick the fused banded kernel's (block, h) for a problem, or None.
+
+    Walks ``candidates`` largest-first and returns the first block whose
+    working set fits :data:`FUSED_VMEM_BUDGET_BYTES` with an admissible
+    block-halo ``h = ceil(halo / block)`` (``1 <= h <= max_h``; and
+    ``h * block <= max_local`` when given — the sharded mesh path's
+    ppermute reaches adjacent shards only, so the halo blocks must fit
+    inside one neighbor shard). Shrinking the block is what carries the
+    fused kernel past the K ~ 80 envelope of a fixed 2048 block: the
+    (K, B) working set scales linearly in B, so K = 96-128 fits at
+    B = 1024, K ~ 160-200 at B = 512, and K ~ 256 at B = 256 — closing
+    the large-K cliff to the XLA fori tier (the reference's Numba loop
+    handles any K at smooth O(K^2)/spot cost, reference
+    ``flashdeconv/core/solver.py:75-99``).
+    """
+    for block in candidates:
+        h = -(-halo // block) if halo > 0 else 1
+        if not (1 <= h <= max_h):
+            continue
+        if max_local is not None and h * block > max_local:
+            continue
+        if fused_banded_vmem_bytes(
+            n_types, n_bands, h, block
+        ) <= FUSED_VMEM_BUDGET_BYTES:
+            return block, h
+    return None
 
 
 def _make_fused_banded_kernel(offsets: Tuple[int, ...], h: int, block: int,
@@ -415,7 +564,7 @@ def _make_fused_banded_kernel(offsets: Tuple[int, ...], h: int, block: int,
     per grid step, (2h+1)x the traffic). The kernel fuses, entirely in
     VMEM: the banded neighbor sum (static shifted slices of the window),
     the full Gauss-Seidel coordinate pass (identical iterate path to
-    :func:`_cd_block_kernel` — both call :func:`_gs_pass_kb`), the per-spot
+    :func:`_cd_block_kernel` — both call :func:`gs_pass`), the per-spot
     degree (the band masks' column sum — exact, since fused eligibility
     requires 100% banded edge coverage), and the per-block convergence
     statistics (max |delta|, max |old|). Edge slabs (the h pad blocks on
@@ -468,7 +617,7 @@ def _make_fused_banded_kernel(offsets: Tuple[int, ...], h: int, block: int,
             beta_old = lax.slice_in_dim(
                 win, h * block, (h + 1) * block, axis=1
             )                                   # (K, B) center slab
-            beta = _gs_pass_kb(
+            beta = gs_pass(
                 beta_old, xty_ref[:], xtx_ref[:], ns, nnb, lam, rho
             )
             out_beta_ref[:] = beta

@@ -199,7 +199,7 @@ class GspmdBandedProblem:
         _split=None,
         xty: Optional[np.ndarray] = None,
         yty: Optional[float] = None,
-        fused_block: int = 2048,
+        fused_block: Optional[int] = None,
         fused_interpret: bool = False,
     ):
         from flashdeconv_tpu.utils.graph import banded_split
@@ -237,11 +237,11 @@ class GspmdBandedProblem:
         # Gate on the MESH devices' platform, not the process default
         # backend: under the axon plugin the default backend is "tpu" even
         # when the caller builds a CPU mesh (virtual-device dry runs).
-        self.use_pallas = (
+        pallas_tier = (
             mesh.devices.flat[0].platform == "tpu"
             and self.dtype == np.float32
-            and n_types <= 128
         )
+        self.use_pallas = pallas_tier and n_types <= 128
         self.halo = int(np.max(np.abs(offsets_np))) if offsets_np.size else 0
 
         # Fully fused banded mesh path: each shard runs ONE Pallas kernel
@@ -249,34 +249,44 @@ class GspmdBandedProblem:
         # carry whose side pads are refreshed by ppermute halo transfers.
         # Eligible when the Pallas tier is on (or forced for interpret
         # parity tests via fused_interpret=True, where fused_block shrinks
-        # the block so tiny test problems stay fast), the halo fits <=8
-        # pad blocks that fit inside ONE neighbor shard (ppermute reaches
-        # adjacent shards only), and the kernel's VMEM working set fits
-        # the per-core budget. The eligibility decision fixes the padding
-        # block: a non-default fused_block only ever applies when the
-        # fused kernel actually engages, so an unfused Pallas fallback
-        # always sees its required 2048-aligned shards.
+        # the block so tiny test problems stay fast); the block is chosen
+        # by the same planner as the single-device path
+        # (ops/bcd.plan_fused_banded) with one extra constraint: the
+        # h*block halo must fit inside ONE neighbor shard (ppermute
+        # reaches adjacent shards only). Planned independently of the
+        # unfused CD kernel's K <= 128 envelope, so large-K grid problems
+        # stay fused here too. The eligibility decision fixes the padding
+        # block: a planned block only ever applies when the fused kernel
+        # actually engages, so an unfused Pallas fallback always sees its
+        # required 2048-aligned shards.
         from flashdeconv_tpu.ops.bcd import (
+            FUSED_BLOCK_CANDIDATES,
             FUSED_VMEM_BUDGET_BYTES,
             fused_banded_vmem_bytes,
         )
 
         use_fused = False
         block = 2048 if self.use_pallas else 8
-        if self.use_pallas or fused_interpret:
-            cand = int(fused_block)
-            h = -(-self.halo // cand) if self.halo else 0
-            chunk_c = self.n_shards * cand
-            n_local_c = (-(-n_spots // chunk_c) * chunk_c) // self.n_shards
-            if (
-                1 <= h <= 8
-                and h * cand <= n_local_c
-                and fused_banded_vmem_bytes(
-                    n_types, int(offsets_np.size), h, cand
-                ) <= FUSED_VMEM_BUDGET_BYTES
-            ):
-                use_fused = True
-                block = cand
+        if pallas_tier or fused_interpret:
+            cands = (
+                (int(fused_block),) if fused_block is not None
+                else FUSED_BLOCK_CANDIDATES
+            )
+            for cand in cands:
+                h = -(-self.halo // cand) if self.halo else 0
+                chunk_c = self.n_shards * cand
+                n_local_c = (-(-n_spots // chunk_c) * chunk_c) \
+                    // self.n_shards
+                if (
+                    1 <= h <= 8
+                    and h * cand <= n_local_c
+                    and fused_banded_vmem_bytes(
+                        n_types, int(offsets_np.size), h, cand
+                    ) <= FUSED_VMEM_BUDGET_BYTES
+                ):
+                    use_fused = True
+                    block = cand
+                    break
         self.use_fused = use_fused
         self._fused_h = -(-self.halo // block) if self.halo else 0
         self._fused_block = int(block)

@@ -328,3 +328,128 @@ def test_vmem_gate_calibration_bounds():
                            (96, 16, 4, 2048), (20, 16, 1, 16384)]:
         assert fused_banded_vmem_bytes(K, U, h, block) \
             > FUSED_VMEM_BUDGET_BYTES, (K, U, h, block)
+
+
+# ---- round 4: large-K tier (MXU-panel pass + adaptive block planning) ----
+
+
+def test_panel_pass_matches_classic_pass():
+    """The MXU-panel Gauss-Seidel pass must produce the classic pass's
+    iterate (same per-coordinate algebra; f32 sums reassociated across
+    panels only)."""
+    from flashdeconv_tpu.ops.bcd import _gs_pass_kb, _gs_pass_kb_panel
+
+    rng = np.random.RandomState(0)
+    for K in (8, 20, 70, 96, 160):
+        B = 256
+        Xs = rng.randn(K, 2 * K)
+        xtx = jnp.asarray(Xs @ Xs.T, jnp.float32)
+        beta_old = jnp.asarray(np.abs(rng.randn(K, B)), jnp.float32)
+        xty = jnp.asarray(np.abs(rng.randn(K, B)) * 5, jnp.float32)
+        ns = jnp.asarray(np.abs(rng.randn(K, B)), jnp.float32)
+        nnb = jnp.asarray(
+            rng.randint(0, 7, size=(1, B)).astype(np.float32)
+        )
+        lam, rho = jnp.float32(0.7), jnp.float32(0.15)
+        ref = _gs_pass_kb(beta_old, xty, xtx, ns, nnb, lam, rho)
+        out = _gs_pass_kb_panel(beta_old, xty, xtx, ns, nnb, lam, rho)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4,
+        )
+
+
+def test_gs_pass_dispatch_threshold():
+    """gs_pass must be the classic pass at K <= 64 (bitwise) and the panel
+    pass above (bitwise) — both Pallas kernels share this dispatch."""
+    from flashdeconv_tpu.ops.bcd import (
+        _GS_PANEL_MIN_K,
+        _gs_pass_kb,
+        _gs_pass_kb_panel,
+        gs_pass,
+    )
+
+    assert _GS_PANEL_MIN_K == 64
+    rng = np.random.RandomState(1)
+    for K, expect_panel in ((64, False), (65, True)):
+        B = 128
+        Xs = rng.randn(K, K + 8)
+        args = (
+            jnp.asarray(np.abs(rng.randn(K, B)), jnp.float32),
+            jnp.asarray(np.abs(rng.randn(K, B)), jnp.float32),
+            jnp.asarray(Xs @ Xs.T, jnp.float32),
+            jnp.asarray(np.abs(rng.randn(K, B)), jnp.float32),
+            jnp.asarray(np.ones((1, B), np.float32) * 4),
+            jnp.float32(0.3),
+            jnp.float32(0.05),
+        )
+        expected = (_gs_pass_kb_panel if expect_panel else _gs_pass_kb)(*args)
+        np.testing.assert_array_equal(
+            np.asarray(gs_pass(*args)), np.asarray(expected)
+        )
+
+
+def test_large_k_fused_matches_unfused_iterate():
+    """K = 96 (panel-pass territory): the fused kernel's multi-sweep
+    iterate must track the unfused banded XLA path (fori tier) within f32
+    reassociation tolerance, with identical sweep counts."""
+    p = _fused_problem(side=32, n_types=96, seed=9)
+    beta_ref, it_ref, _ = _run_unfused(p, 0.4, 0.05, 1e-30, 3)
+    beta_out, it_out, _ = _run_fused(p, 0.4, 0.05, 1e-30, 3)
+    assert int(it_out) == int(it_ref) == 3
+    np.testing.assert_allclose(
+        np.asarray(beta_out), np.asarray(beta_ref), atol=5e-5
+    )
+
+
+def test_plan_fused_banded_blocks():
+    """Pin the planner's block choices across the K range (1M-spot grid
+    kNN shape: 16 bands, halo ~ 1001): shrinking blocks carry the fused
+    kernel to K ~ 256; K = 512 correctly falls off to the XLA tier."""
+    from flashdeconv_tpu.ops.bcd import plan_fused_banded
+
+    halo, bands = 1001, 16
+    assert plan_fused_banded(20, bands, halo) == (2048, 1)
+    assert plan_fused_banded(64, bands, halo) == (2048, 1)
+    assert plan_fused_banded(96, bands, halo) == (1024, 1)
+    assert plan_fused_banded(128, bands, halo) == (1024, 1)
+    assert plan_fused_banded(160, bands, halo) == (1024, 1)
+    assert plan_fused_banded(200, bands, halo) == (512, 2)
+    assert plan_fused_banded(256, bands, halo) == (512, 2)
+    assert plan_fused_banded(320, bands, halo) == (256, 4)
+    assert plan_fused_banded(512, bands, halo) is None
+    # mesh-path constraint: halo blocks must fit one neighbor shard
+    assert plan_fused_banded(20, bands, halo, max_local=256) is None
+    # giant halo: no admissible h
+    assert plan_fused_banded(20, bands, 2048 * 9) is None
+
+
+def test_bcd_problem_plans_large_k_fused(monkeypatch):
+    """BCDProblem must engage the fused banded kernel at K = 160 on a grid
+    (via the planned 512 block), independent of the unfused CD kernel's
+    K <= 128 envelope. Gating only — the ctor never runs the kernel, so a
+    faked 'tpu' backend is safe on CPU."""
+    import jax
+
+    from flashdeconv_tpu.core import solver as core_solver
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    side = 96  # 9216 spots >= the banded-analysis gate (8192)
+    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+    coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+    A = build_knn_graph(coords, k=6)
+    n = A.shape[0]
+    rng = np.random.RandomState(0)
+    K, d = 160, 32
+    X_sketch = rng.randn(K, d)
+    Y_sketch = rng.randn(n, d)
+
+    prob = core_solver.BCDProblem(
+        Y_sketch, X_sketch, A, dtype=np.float32, coords=coords
+    )
+    assert prob.use_banded
+    assert prob.use_fused_banded
+    assert not prob.use_pallas  # the unfused CD tier stays K <= 128
+    assert prob.fused_block == 1024
+    assert prob.h_blocks == -(-prob.halo // 1024)
+    assert prob.n_solve % 2048 == 0
