@@ -187,6 +187,8 @@ class FlashDeconv:
         n_shards: Optional[int] = None,
         warm_start: bool = False,
         device_outputs: Optional[bool] = None,
+        fetch_dtype=None,
+        outputs: Tuple[str, ...] = ("proportions",),
     ):
         if sketch_dim <= 0:
             raise ValueError(f"sketch_dim must be positive, got {sketch_dim}")
@@ -219,6 +221,22 @@ class FlashDeconv:
             )
         if n_shards is not None and n_shards < 1:
             raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+        if fetch_dtype is not None:
+            fetch_dtype = str(
+                fetch_dtype if isinstance(fetch_dtype, str)
+                else np.dtype(fetch_dtype).name
+            )
+            if fetch_dtype not in ("float16", "bfloat16", "float32"):
+                raise ValueError(
+                    "fetch_dtype must be one of None, 'float16', "
+                    f"'bfloat16', 'float32'; got {fetch_dtype!r}"
+                )
+        outputs = tuple(outputs)
+        if not outputs or not set(outputs) <= {"proportions", "dominant"}:
+            raise ValueError(
+                "outputs must be a non-empty subset of "
+                f"('proportions', 'dominant'); got {outputs!r}"
+            )
 
         self.sketch_dim = sketch_dim
         self.lambda_spatial = lambda_spatial
@@ -245,9 +263,21 @@ class FlashDeconv:
         # — multi-process jobs always take the gathered host path, since
         # no single process can device_get the global array.
         self.device_outputs = device_outputs
+        # Wire-payload controls for remote-attached accelerators (the
+        # result fetch dominates atlas-scale e2e time — ~80 MB of f32
+        # proportions at 1M x 20 over a 15-30 MB/s tunnel):
+        # fetch_dtype="float16"/"bfloat16" halves the proportions payload
+        # (values quantized to ~5e-4 relative — proportions are in [0, 1],
+        # well inside f16 range); outputs=("dominant",) fetches only the
+        # device-computed argmax as uint8 (~1 MB at 1M spots, 80x less),
+        # leaving proportions device-resident for lazy access. Both only
+        # apply on the device-outputs path.
+        self.fetch_dtype = fetch_dtype
+        self.outputs = outputs
 
         self.beta_ = None
         self.proportions_ = None
+        self.dominant_ = None
         self.gene_idx_ = None
         self.info_ = None
         self.timings_ = None
@@ -665,17 +695,38 @@ class FlashDeconv:
                     Y_sketch, X_sketch, A, coords, lambda_, beta_init,
                     return_device=device_out,
                 )
+                props = props_dev = dominant = None
                 if device_out:
                     import jax
+                    import jax.numpy as jnp
 
                     from flashdeconv_tpu.core.solver import (
                         normalize_proportions_device,
                     )
 
-                    props = np.asarray(
-                        jax.device_get(normalize_proportions_device(beta)),
-                        dtype=np.float64,
-                    )
+                    props_dev = normalize_proportions_device(beta)
+                    # Assemble the wire payload on device, then fetch it
+                    # in ONE bundled device_get: the f32 proportions by
+                    # default, narrowed by fetch_dtype on request, or just
+                    # the uint8 argmax when only the dominant type is
+                    # wanted (80x less payload at 1M x 20 — the fetch is
+                    # the pipeline's interconnect floor on a
+                    # remote-attached chip).
+                    fetches = {}
+                    if "proportions" in self.outputs:
+                        fetches["props"] = self._fetch_cast(props_dev)
+                    if "dominant" in self.outputs:
+                        dom_dt = (
+                            jnp.uint8 if beta.shape[1] <= 256 else jnp.int32
+                        )
+                        fetches["dominant"] = jnp.argmax(
+                            props_dev, axis=1
+                        ).astype(dom_dt)
+                    got = jax.device_get(fetches)
+                    if "props" in got:
+                        props = np.asarray(got["props"], dtype=np.float64)
+                        props_dev = None
+                    dominant = got.get("dominant")
         except BaseException:
             # Don't let a failed fit pin the consume-once operands — on
             # the streamed path _fused_xty is an (N, K) DEVICE buffer
@@ -686,10 +737,16 @@ class FlashDeconv:
         if device_out:
             self._beta_host = None if not isinstance(beta, np.ndarray) else beta
             self._beta_dev = None if isinstance(beta, np.ndarray) else beta
-            self.proportions_ = props
+            self._props_host = props
+            self._props_dev = props_dev
+            self.dominant_ = (
+                None if dominant is None
+                else np.asarray(dominant, dtype=np.int64)
+            )
         else:
             self.beta_ = beta
             self.proportions_ = normalize_proportions(beta)
+            self.dominant_ = None
         self.info_ = info
         self.timings_ = timer.timings
         self._fitted = True
@@ -833,8 +890,15 @@ class FlashDeconv:
         return self.beta_
 
     def get_dominant_cell_type(self) -> np.ndarray:
-        """Index of the highest-proportion cell type per spot."""
+        """Index of the highest-proportion cell type per spot.
+
+        Uses the device-computed dominant vector when the fit fetched one
+        (``outputs`` includes ``"dominant"``); otherwise the argmax of the
+        (possibly lazily fetched) proportions.
+        """
         self._check_fitted()
+        if self.dominant_ is not None:
+            return self.dominant_
         return np.argmax(self.proportions_, axis=1)
 
     def summary(self) -> Dict[str, Any]:
@@ -951,6 +1015,40 @@ class FlashDeconv:
     def beta_(self, value):
         self._beta_host = value
         self._beta_dev = None
+
+    @property
+    def proportions_(self):
+        """(n_spots, n_cell_types) float64 row-normalized proportions.
+
+        With ``outputs=("dominant",)`` the fit fetches only the uint8
+        dominant-type vector; proportions stay device-resident and the
+        first access of this attribute fetches + converts them (honoring
+        ``fetch_dtype``), then caches the host copy.
+        """
+        if self._props_host is None and self._props_dev is not None:
+            import jax
+
+            self._props_host = np.asarray(
+                jax.device_get(self._fetch_cast(self._props_dev)),
+                dtype=np.float64,
+            )
+            self._props_dev = None
+        return self._props_host
+
+    @proportions_.setter
+    def proportions_(self, value):
+        self._props_host = value
+        self._props_dev = None
+
+    def _fetch_cast(self, arr):
+        """Device-side cast to the configured wire dtype (no-op when
+        ``fetch_dtype`` is unset): the cast runs on the accelerator, so
+        only the narrowed bytes cross the interconnect."""
+        if self.fetch_dtype is None:
+            return arr
+        import jax.numpy as jnp
+
+        return arr.astype(jnp.dtype(self.fetch_dtype))
 
     @property
     def _is_sharded(self) -> bool:

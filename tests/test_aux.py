@@ -327,3 +327,86 @@ class TestDeviceOutputs:
             dev.proportions_, host.proportions_, atol=1e-6
         )
         np.testing.assert_allclose(dev.beta_, host.beta_, atol=1e-6)
+
+
+class TestWirePayloadControls:
+    """fetch_dtype / outputs: the remote-fetch payload controls (round 4).
+
+    Both only act on the device-outputs path; device_outputs=True forces
+    that path on CPU so the contract is testable without hardware.
+    """
+
+    def test_fetch_dtype_validation(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="fetch_dtype"):
+            FlashDeconv(fetch_dtype="float8")
+        with pytest.raises(ValueError, match="outputs"):
+            FlashDeconv(outputs=())
+        with pytest.raises(ValueError, match="outputs"):
+            FlashDeconv(outputs=("beta",))
+        assert FlashDeconv(fetch_dtype=np.float16).fetch_dtype == "float16"
+
+    def test_fetch_dtype_float16_quantizes_only(self, synthetic_small):
+        Y, X, coords, _ = synthetic_small
+        exact = FlashDeconv(**_FIT_KWARGS, device_outputs=True).fit(
+            Y, X, coords
+        )
+        f16 = FlashDeconv(
+            **_FIT_KWARGS, device_outputs=True, fetch_dtype="float16"
+        ).fit(Y, X, coords)
+        assert f16.proportions_.dtype == np.float64
+        # f16 quantization of values in [0, 1]: <= 2^-11 absolute
+        np.testing.assert_allclose(
+            f16.proportions_, exact.proportions_, atol=5e-4
+        )
+        np.testing.assert_allclose(
+            f16.proportions_.sum(axis=1), 1.0, atol=5e-3
+        )
+        # identical dominant type despite quantization (generic data)
+        np.testing.assert_array_equal(
+            f16.get_dominant_cell_type(), exact.get_dominant_cell_type()
+        )
+
+    def test_outputs_dominant_only(self, synthetic_small):
+        Y, X, coords, _ = synthetic_small
+        full = FlashDeconv(**_FIT_KWARGS, device_outputs=True).fit(
+            Y, X, coords
+        )
+        dom = FlashDeconv(
+            **_FIT_KWARGS, device_outputs=True, outputs=("dominant",)
+        ).fit(Y, X, coords)
+        # only the uint8 argmax crossed the wire; proportions stay device
+        assert dom.dominant_ is not None
+        assert dom._props_host is None and dom._props_dev is not None
+        np.testing.assert_array_equal(
+            dom.get_dominant_cell_type(), full.get_dominant_cell_type()
+        )
+        # lazy access still yields full proportions
+        np.testing.assert_allclose(
+            dom.proportions_, full.proportions_, atol=1e-6
+        )
+        assert dom._props_dev is None  # fetched + cached
+
+    def test_outputs_both(self, synthetic_small):
+        Y, X, coords, _ = synthetic_small
+        m = FlashDeconv(
+            **_FIT_KWARGS, device_outputs=True,
+            outputs=("proportions", "dominant"),
+        ).fit(Y, X, coords)
+        assert m.dominant_ is not None and m._props_host is not None
+        np.testing.assert_array_equal(
+            m.dominant_, np.argmax(m.proportions_, axis=1)
+        )
+
+    def test_host_path_ignores_payload_controls(self, synthetic_small):
+        """On the host (reference-exact) path the controls are inert:
+        proportions are the full host f64 normalize."""
+        Y, X, coords, _ = synthetic_small
+        m = FlashDeconv(
+            **_FIT_KWARGS, device_outputs=False, fetch_dtype="float16",
+            outputs=("dominant",),
+        ).fit(Y, X, coords)
+        assert m.dominant_ is None
+        assert m._props_host is not None
+        assert m.proportions_.dtype == np.float64
