@@ -770,6 +770,269 @@ class FlashDeconv:
         self.fit(Y, X, coords, **kwargs)
         return self.proportions_
 
+    def fit_distributed(
+        self,
+        Y_local: ArrayLike,
+        X: np.ndarray,
+        coords_local: np.ndarray,
+        cell_type_names: Optional[np.ndarray] = None,
+    ) -> "FlashDeconv":
+        """One-call multi-host fit: every process passes only its spot slice.
+
+        Run the SAME script on every process of a ``jax.distributed`` job
+        (after :func:`flashdeconv_tpu.parallel.multihost.initialize`), with
+        ``Y_local`` / ``coords_local`` holding process p's contiguous block
+        of global spot rows (process 0's rows first, then process 1's, ...).
+        The full spatial count matrix — the only atlas-scale operand — never
+        exists on any single host; per stage:
+
+        1. gene selection — per-host O(local nnz) HVG moment passes, one
+           cross-host reduction (``distributed_select_informative_genes``);
+        2. normalization + sketch + Xty feed — per-host fused native pass
+           over the local CSR slice (log-CPM is row-local; pearson's global
+           gene means are one ``allreduce``); only the (N, K) Xty rows are
+           exchanged;
+        3. spatial graph — coordinates (16 B/spot) are all-gathered once,
+           each host runs the kNN *queries* for its own rows, and the
+           directed edge lists are exchanged + symmetrized
+           (:func:`flashdeconv_tpu.parallel.multihost.distributed_knn_graph`);
+        4. lambda auto-tune — replicated closed form (global XtX diagonal +
+           all-gathered graph degrees);
+        5. solve — the spot-sharded mesh solve over all devices in the job
+           (each process materializes only its devices' shards; per-sweep
+           halos ride ICI/the process interconnect), gathered back so every
+           process ends with the identical fitted state.
+
+        The result is bit-identical to single-process :meth:`fit` on the
+        concatenated inputs with the same global device mesh when the
+        canonical native fused path applies (CSR counts + ``log_cpm``, the
+        default); pearson/raw and non-native fallbacks agree to float64
+        rounding (cross-host sums reassociate). ``device_outputs`` /
+        ``fetch_dtype`` / ``outputs`` are ignored here: no single process
+        can fetch the global device array, so the host f64 path runs.
+
+        Replicated per-host state is O(N) metadata only — coordinates,
+        adjacency, and the (N, K) Xty — a few hundred MB at 10M spots
+        versus the tens-of-GB count matrix that stays sliced.
+
+        Single-process calls degrade to the sharded :meth:`fit` semantics
+        over all local devices (useful for testing the code path).
+        """
+        from flashdeconv_tpu.core.sketching import make_countsketch_op
+        from flashdeconv_tpu.core.solver import normalize_proportions
+        from flashdeconv_tpu.core.spatial import auto_tune_lambda
+        from flashdeconv_tpu.parallel import multihost, prepare_sharded_bcd
+        from flashdeconv_tpu.utils.timing import StageTimer, trace
+        from flashdeconv_tpu import native
+
+        timer = StageTimer()
+
+        if sparse.issparse(Y_local) and not sparse.isspmatrix_csr(Y_local):
+            Y_local = Y_local.tocsr()
+        coords_local = np.asarray(coords_local, dtype=np.float64)
+        if Y_local.shape[1] != X.shape[1]:
+            raise ValueError(
+                f"Gene dimension mismatch: Y has {Y_local.shape[1]} genes "
+                f"but X has {X.shape[1]} genes. They must share the same "
+                f"gene space (align before calling fit)."
+            )
+        if coords_local.shape[0] != Y_local.shape[0]:
+            raise ValueError(
+                f"Spot count mismatch: Y has {Y_local.shape[0]} spots but "
+                f"coords has {coords_local.shape[0]} rows. Each spot needs "
+                f"exactly one coordinate."
+            )
+        if X.shape[0] == 0:
+            raise ValueError(
+                "Reference matrix X must contain at least one cell type "
+                "(X.shape[0] > 0). Check your reference filtering and "
+                "cell_type_key mapping."
+            )
+        if cell_type_names is not None and len(cell_type_names) != X.shape[0]:
+            raise ValueError(
+                f"cell_type_names length ({len(cell_type_names)}) does not "
+                f"match number of cell types in X ({X.shape[0]})."
+            )
+
+        mesh = self.mesh if self.mesh is not None else (
+            multihost.global_spot_mesh()
+        )
+        row_start, row_stop, n_global = multihost.process_row_offsets(
+            Y_local.shape[0]
+        )
+        if n_global == 0:
+            raise ValueError("fit_distributed requires at least one spot.")
+
+        self._log("FlashDeconv-TPU: distributed deconvolution...")
+        self._log(
+            f"  This process: rows [{row_start}, {row_stop}) of "
+            f"{n_global} global spots x {Y_local.shape[1]} genes"
+        )
+        self.n_spots_ = n_global
+        self.n_genes_ = Y_local.shape[1]
+        self.n_cell_types_ = X.shape[0]
+        self.cell_type_names_ = cell_type_names
+        self.host_rows_ = (row_start, row_stop)
+        self._clear_consume_once()
+
+        # NOTE: stages run strictly sequentially — every process must issue
+        # the same collectives in the same order, so the single-host
+        # pipeline's background-thread graph overlap does not apply here.
+
+        # [1] distributed gene selection (one cross-host moment reduction).
+        self._log("Step 1: selecting informative genes (distributed)...")
+        with timer.stage("gene_selection"):
+            gene_idx, leverage_scores = (
+                multihost.distributed_select_informative_genes(
+                    Y_local, X, n_hvg=self.n_hvg,
+                    n_markers_per_type=self.n_markers_per_type,
+                )
+            )
+        self.gene_idx_ = gene_idx
+        self._log(f"  Selected {len(gene_idx)} genes (HVG + markers)")
+
+        # [2] normalization of the replicated signature matrix; the Y side
+        # is folded into the fused per-host sketch pass below.
+        X_subset = X[:, gene_idx]
+        colscale = None
+        with timer.stage("preprocess"):
+            if self.preprocess == "log_cpm":
+                X_tilde = _log_cpm_dense(X_subset)
+            elif self.preprocess == "pearson":
+                mu = multihost.distributed_subset_col_mean(
+                    Y_local, gene_idx
+                ) + 1e-6
+                colscale = 1.0 / _pearson_sigma(mu)
+                X_tilde = _pearson_dense(X_subset)
+            else:  # raw
+                X_tilde = X_subset.astype(np.float64, copy=False)
+
+        # [3] sketch + per-host Xty feed. The CountSketch operator is
+        # seed-built identically on every host; each host contracts only
+        # its own rows (fused native pass when available), and the (N, K)
+        # rows are exchanged in one all-gather.
+        self._log(f"Step 3: sketching to {self.sketch_dim} dimensions...")
+        with timer.stage("sketch"), trace("sketch"):
+            op = make_countsketch_op(
+                len(gene_idx), self.sketch_dim,
+                leverage_scores=leverage_scores,
+                random_state=self.random_state,
+            )
+            X_sketch = np.asarray(X_tilde @ op.to_csr())
+            res = None
+            if Y_local.shape[0] > 0:
+                if self.preprocess == "log_cpm" and native.fused_available(
+                    Y_local
+                ):
+                    res = native.fused_log1pcpm_xty(
+                        Y_local, gene_idx, op.buckets, op.weights,
+                        op.sketch_dim, X_sketch,
+                    )
+                elif self.preprocess != "log_cpm" and (
+                    native.colscale_available(Y_local)
+                ):
+                    res = native.fused_colscale_xty(
+                        Y_local, gene_idx, colscale, op.buckets, op.weights,
+                        op.sketch_dim, X_sketch,
+                    )
+            if res is not None:
+                xty_local, yty_local = res
+            else:
+                # Staged fallback (non-CSR / non-float inputs, or no native
+                # library): subset + normalize rows locally, project, then
+                # contract. Row-local like the fused pass; the GEMM's
+                # blocking may reassociate, so parity vs the single-host
+                # staged path is float64-rounding-level, not bitwise.
+                Y_sub = Y_local[:, gene_idx]
+                if sparse.issparse(Y_sub) and not sparse.isspmatrix_csr(
+                    Y_sub
+                ):
+                    Y_sub = Y_sub.tocsr()
+                if self.preprocess == "pearson":
+                    if sparse.issparse(Y_sub):
+                        Y_tilde = Y_sub.multiply(colscale).tocsr()
+                    else:
+                        Y_tilde = np.asarray(
+                            Y_sub, dtype=np.float64
+                        ) * colscale
+                else:
+                    Y_tilde, _ = preprocess_data(
+                        Y_sub, X_subset, self.preprocess
+                    )
+                Omega = op.to_csr()
+                Y_sk = Y_tilde @ Omega
+                if sparse.issparse(Y_sk):
+                    Y_sk = np.asarray(Y_sk.todense())
+                Y_sk = np.asarray(Y_sk, dtype=np.float64)
+                xty_local = Y_sk @ X_sketch.T
+                yty_local = native.yty_f64(Y_sk)
+            xty = multihost.allgather_rows(
+                np.ascontiguousarray(xty_local, dtype=np.float64)
+            )
+            yty_parts = multihost.allgather_rows(
+                np.asarray([yty_local], dtype=np.float64)
+            )
+            yty = float(np.sum(yty_parts))
+
+        # [4] spatial graph: distributed kNN queries + edge exchange.
+        self._log("Step 4: building spatial graph (distributed)...")
+        with timer.stage("spatial_graph"):
+            A, coords_global = multihost.distributed_adjacency(
+                coords_local, method=self.spatial_method,
+                k=self.k_neighbors, radius=self.radius,
+            )
+        self.adjacency_ = A
+        avg_nbrs = float(np.mean(np.asarray(A.sum(axis=1)).ravel()))
+        self._log(f"  Average neighbors per spot: {avg_nbrs:.1f}")
+
+        # [5] lambda: closed form over replicated operands.
+        with timer.stage("lambda_tuning"):
+            if self.lambda_spatial == "auto":
+                lambda_ = auto_tune_lambda(None, X_sketch, A)
+                self._log(f"Step 5: auto-tuned lambda = {lambda_:.4f}")
+            else:
+                lambda_ = float(self.lambda_spatial)
+                self._log(f"Step 5: using lambda = {lambda_:.4f}")
+        self.lambda_used_ = lambda_
+
+        beta_init = None
+        if (
+            self.warm_start
+            and self.beta_ is not None
+            and self.beta_.shape == (n_global, X.shape[0])
+        ):
+            beta_init = self.beta_  # global from the previous fit
+            self._log("  Warm-starting from previous beta_")
+
+        # [6] spot-sharded solve over the job's global mesh; beta gathers
+        # back to every process (see parallel/_runner.py).
+        self._log(
+            "Step 6: solving via sharded Block Coordinate Descent "
+            "(global mesh)..."
+        )
+        with timer.stage("solve"), trace("bcd_solve"):
+            problem = prepare_sharded_bcd(
+                None, X_sketch, A, coords=coords_global, mesh=mesh,
+                dtype=self.solver_dtype, verbose=self.verbose,
+                xty=xty, yty=yty,
+            )
+            beta, info = problem.solve(
+                lambda_=lambda_, rho=self.rho_sparsity,
+                max_iter=self.max_iter, tol=self.tol,
+                verbose=self.verbose, beta_init=beta_init,
+            )
+
+        self.beta_ = beta
+        self.proportions_ = normalize_proportions(beta)
+        self.dominant_ = None
+        self.info_ = info
+        self.timings_ = timer.timings
+        self._fitted = True
+        self._log(f"  Converged: {info['converged']}")
+        self._log(f"  Iterations: {info['n_iterations']}")
+        self._log("FlashDeconv-TPU: done!")
+        return self
+
     def fit_lambda_path(
         self,
         Y: ArrayLike,

@@ -129,6 +129,190 @@ def allreduce_sums(*arrays: np.ndarray) -> Tuple[np.ndarray, ...]:
     return tuple(out)
 
 
+def allgather_rows(arr: np.ndarray) -> np.ndarray:
+    """Concatenate per-process row blocks into the global array (row axis 0).
+
+    Every process passes its own (possibly empty) block of rows in global
+    order — process 0's rows first, then process 1's, etc. — and every
+    process returns the identical concatenated array. Row counts may differ
+    across processes (``jax.experimental.multihost_utils.process_allgather``
+    alone requires equal shapes; this pads to the max count and slices).
+    Trailing dimensions and dtype must match across processes.
+
+    Single-process: returns ``arr`` unchanged (no copy).
+    """
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    arr = np.ascontiguousarray(arr)
+    counts = np.asarray(
+        multihost_utils.process_allgather(
+            np.asarray([arr.shape[0]], dtype=np.int64)
+        )
+    ).ravel()
+    max_rows = int(counts.max())
+    if max_rows == 0:
+        return arr
+    padded = np.zeros((max_rows,) + arr.shape[1:], dtype=arr.dtype)
+    padded[: arr.shape[0]] = arr
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    return np.concatenate(
+        [gathered[p, : counts[p]] for p in range(gathered.shape[0])], axis=0
+    )
+
+
+def process_row_offsets(n_local: int) -> Tuple[int, int, int]:
+    """(row_start, row_stop, n_global) of this process's contiguous slice.
+
+    The one-call distributed fit's data contract: process p holds global
+    rows ``[start_p, stop_p)`` where the starts are the exclusive prefix
+    sums of the per-process row counts, in process order.
+    """
+    if jax.process_count() == 1:
+        return 0, n_local, n_local
+    from jax.experimental import multihost_utils
+
+    counts = np.asarray(
+        multihost_utils.process_allgather(
+            np.asarray([n_local], dtype=np.int64)
+        )
+    ).ravel()
+    p = jax.process_index()
+    start = int(counts[:p].sum())
+    return start, start + n_local, int(counts.sum())
+
+
+def distributed_knn_graph(
+    coords_local: np.ndarray,
+    k: int = 6,
+    include_self: bool = False,
+    coords_global: Optional[np.ndarray] = None,
+):
+    """Global symmetrized kNN adjacency from per-process coordinate slices.
+
+    Exact multi-host counterpart of
+    :func:`flashdeconv_tpu.utils.graph.build_knn_graph` on the concatenated
+    coordinates: the (tiny, 16 B/spot) coordinates are all-gathered once and
+    every process builds the same KD-tree, but each process runs the
+    **queries** — the O(N log N) bulk of the build — only for its own rows,
+    then the directed edge lists are exchanged (one all-gather) and
+    symmetrized identically everywhere. Per-query results are independent
+    of which process issues them, so the result is bit-identical to the
+    single-host build on the gathered coordinates.
+
+    Returns ``(A, coords_global)`` with ``A`` the global scipy CSR
+    adjacency, identical on every process.
+    """
+    from scipy import sparse
+    from scipy.spatial import cKDTree
+
+    if coords_global is None:
+        coords_global = allgather_rows(np.asarray(coords_local, np.float64))
+    n = coords_global.shape[0]
+    row_start, _, _ = process_row_offsets(np.asarray(coords_local).shape[0])
+
+    k_eff = min(k, n - 1)
+    if k_eff <= 0:
+        if include_self and n > 0:
+            return (
+                sparse.eye(n, dtype=np.float64, format="csr"), coords_global
+            )
+        return sparse.csr_matrix((n, n), dtype=np.float64), coords_global
+
+    tree = cKDTree(coords_global)
+    coords_local = np.asarray(coords_local, dtype=coords_global.dtype)
+    if coords_local.shape[0] > 0:
+        _, nbrs = tree.query(coords_local, k=k_eff + 1, workers=-1)
+        rows = np.repeat(
+            np.arange(row_start, row_start + coords_local.shape[0]),
+            k_eff + 1,
+        )
+        cols = np.asarray(nbrs).ravel()
+        if not include_self:
+            keep = rows != cols
+            rows, cols = rows[keep], cols[keep]
+        edges_local = np.column_stack([rows, cols]).astype(np.int64)
+    else:
+        edges_local = np.zeros((0, 2), dtype=np.int64)
+
+    edges = allgather_rows(edges_local)
+    A = sparse.csr_matrix(
+        (np.ones(edges.shape[0], dtype=np.float64),
+         (edges[:, 0], edges[:, 1])),
+        shape=(n, n),
+    )
+    A = A + A.T
+    A.data[:] = 1.0
+    return A, coords_global
+
+
+def distributed_adjacency(
+    coords_local: np.ndarray,
+    method: str = "knn",
+    k: int = 6,
+    radius: Optional[float] = None,
+    coords_global: Optional[np.ndarray] = None,
+):
+    """Global spatial adjacency from per-process coordinate slices.
+
+    ``"knn"`` distributes the query workload (:func:`distributed_knn_graph`);
+    ``"radius"`` / ``"grid"`` build from the gathered coordinates identically
+    on every process (``cKDTree.query_pairs`` is inherently all-pairs; the
+    coordinates are 16 B/spot, so the gathered build is cheap and exactly
+    matches the single-host graph). Returns ``(A, coords_global)``.
+    """
+    from flashdeconv_tpu.utils.graph import (
+        build_grid_graph,
+        build_radius_graph,
+    )
+
+    if method == "knn":
+        return distributed_knn_graph(
+            coords_local, k=k, coords_global=coords_global
+        )
+    if coords_global is None:
+        coords_global = allgather_rows(np.asarray(coords_local, np.float64))
+    if method == "radius":
+        if radius is None:
+            raise ValueError("radius must be specified for radius method")
+        return build_radius_graph(coords_global, radius=radius), coords_global
+    if method == "grid":
+        return build_grid_graph(coords_global), coords_global
+    raise ValueError(f"Unknown method: {method}")
+
+
+def distributed_subset_col_mean(
+    Y_local, gene_idx: np.ndarray
+) -> np.ndarray:
+    """Global column means of ``Y[:, gene_idx]`` over spot-sharded rows.
+
+    One ``allreduce_sums`` over the per-process column sums + row counts
+    (the pearson preprocess needs the global gene means; float64 summation
+    order differs from the single-host pass by at most last-ulp rounding).
+    """
+    from scipy import sparse
+
+    from flashdeconv_tpu import native
+
+    n_local = int(Y_local.shape[0])
+    mu_local = (
+        native.subset_col_mean(Y_local, gene_idx) if n_local > 0 else None
+    )
+    if mu_local is not None:
+        col_sum = mu_local * float(n_local)
+    else:
+        sub = Y_local[:, gene_idx]
+        if sparse.issparse(sub):
+            col_sum = np.asarray(sub.sum(axis=0), dtype=np.float64).ravel()
+        else:
+            col_sum = np.asarray(sub, dtype=np.float64).sum(axis=0)
+    col_sum, n_total = allreduce_sums(
+        col_sum, np.asarray([float(n_local)])
+    )
+    return col_sum / max(float(n_total[0]), 1.0)
+
+
 def distributed_gene_moments(Y_local) -> Tuple[np.ndarray, np.ndarray]:
     """HVG moments over a spot-sharded sparse count matrix.
 
@@ -139,9 +323,22 @@ def distributed_gene_moments(Y_local) -> Tuple[np.ndarray, np.ndarray]:
     host-local pass is exact. Returns the same (means, variances) the
     single-host path produces for the concatenated matrix.
     """
+    from scipy import sparse
+
     from flashdeconv_tpu.utils.genes import log1p_cpm_sums, moments_from_sums
 
-    col_sum, col_sumsq = log1p_cpm_sums(Y_local)
+    if sparse.issparse(Y_local):
+        col_sum, col_sumsq = log1p_cpm_sums(Y_local)
+    else:
+        # Dense slice: same log1p-CPM transform as the single-host dense
+        # moments path (utils/genes._log1p_cpm_moments); the all-reduced
+        # sum-of-squares variance agrees with its two-pass np.var to f64
+        # rounding (not bitwise).
+        Yd = np.asarray(Y_local, dtype=np.float64)
+        lib = np.maximum(Yd.sum(axis=1, keepdims=True), 1.0)
+        Ylog = np.log1p(Yd / lib * 1e4)
+        col_sum = Ylog.sum(axis=0)
+        col_sumsq = np.einsum("ij,ij->j", Ylog, Ylog)
     n_local = np.asarray([float(Y_local.shape[0])])
     col_sum, col_sumsq, n_total = allreduce_sums(col_sum, col_sumsq, n_local)
     return moments_from_sums(col_sum, col_sumsq, int(n_total[0]))

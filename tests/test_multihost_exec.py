@@ -137,6 +137,165 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+# One-call multi-host pipeline: each process holds ONLY its contiguous
+# slice of (Y, coords) through the FULL fit — distributed gene selection,
+# per-host fused Xty feed, distributed kNN graph build (local queries +
+# edge exchange), global lambda auto-tune, sharded solve. Rows are split
+# UNEVENLY to exercise the variable-count allgather. Two spatial configs
+# cover both sharded strategies (row-major grid -> GSPMD banded;
+# irregular kNN -> halo plan).
+PIPELINE_WORKER = """
+import os, sys, json
+sys.path.insert(0, {repo!r})
+import numpy as np
+pid, nproc, port, outdir = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+from flashdeconv_tpu.parallel import multihost
+multihost.initialize(
+    coordinator_address="localhost:" + port,
+    num_processes=nproc,
+    process_id=pid,
+)
+assert jax.process_count() == nproc
+
+from scipy import sparse
+from flashdeconv_tpu import FlashDeconv
+
+rng = np.random.RandomState(0)
+side = 16
+xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+n = coords.shape[0]
+G, K = 400, 6
+X = rng.gamma(2.0, 1.0, size=(K, G)) * (rng.rand(K, G) < 0.3)
+bt = rng.dirichlet(np.ones(K), size=n)
+Y = sparse.csr_matrix(rng.poisson(bt @ X * 25.0).astype(np.float64))
+coords_irr = np.random.RandomState(5).rand(n, 2) * side
+
+cuts = np.round(np.linspace(0, n, nproc + 1)).astype(int)
+cuts[1:-1] -= 17  # uneven slices: variable-row allgather paths
+lo, hi = int(cuts[pid]), int(cuts[pid + 1])
+
+mesh = multihost.global_spot_mesh()
+assert mesh.devices.size == 8
+
+record = {{"processes": nproc, "rows": [lo, hi]}}
+for name, cc in (("grid", coords), ("irr", coords_irr)):
+    model = FlashDeconv(
+        sketch_dim=64, n_hvg=120, n_markers_per_type=10, max_iter=40,
+        tol=1e-5, solver_dtype=np.float64, random_state=0, mesh=mesh,
+    )
+    model.fit_distributed(Y[lo:hi], X, cc[lo:hi])
+    assert model.host_rows_ == (lo, hi)
+    np.save(os.path.join(outdir, f"pipe_beta_{{name}}_p{{pid}}.npy"),
+            model.beta_)
+    np.save(os.path.join(outdir, f"pipe_props_{{name}}_p{{pid}}.npy"),
+            model.proportions_)
+    np.save(os.path.join(outdir, f"pipe_genes_{{name}}_p{{pid}}.npy"),
+            model.gene_idx_)
+    record[name] = {{
+        "lambda": model.lambda_used_,
+        "n_iterations": model.info_["n_iterations"],
+        "final_objective": model.info_["final_objective"],
+        "n_shards": model.info_["n_shards"],
+        "converged": bool(model.info_["converged"]),
+        "avg_degree": float(model.adjacency_.nnz) / n,
+    }}
+
+with open(os.path.join(outdir, f"pipe_record_p{{pid}}.json"), "w") as f:
+    json.dump(record, f)
+"""
+
+
+def test_fit_distributed_two_process_matches_single_fit(tmp_path):
+    """FULL one-call pipeline across a REAL process boundary, bit-identical
+    to single-process ``fit`` on the concatenated inputs (VERDICT r3 #4)."""
+    nproc = 2
+    worker = tmp_path / "pipe_worker.py"
+    worker.write_text(PIPELINE_WORKER.format(repo=str(REPO)))
+    port = str(_free_port())
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={8 // nproc}"
+    )
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("JAX_ENABLE_X64", None)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), str(nproc), port,
+             str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(nproc)
+    ]
+    try:
+        outs = [p.communicate(timeout=240) for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+
+    records = [
+        json.loads((tmp_path / f"pipe_record_p{pid}.json").read_text())
+        for pid in range(nproc)
+    ]
+    # Contiguous uneven cover of all rows, in process order.
+    assert records[0]["rows"][0] == 0 and records[-1]["rows"][1] == 256
+    assert records[0]["rows"][1] == records[1]["rows"][0] != 128
+
+    # Single-process reference: plain fit() on the concatenated inputs
+    # over the same 8-device (virtual) mesh.
+    from scipy import sparse
+
+    from flashdeconv_tpu import FlashDeconv
+
+    rng = np.random.RandomState(0)
+    side = 16
+    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+    coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+    n = coords.shape[0]
+    G, K = 400, 6
+    X = rng.gamma(2.0, 1.0, size=(K, G)) * (rng.rand(K, G) < 0.3)
+    bt = rng.dirichlet(np.ones(K), size=n)
+    Y = sparse.csr_matrix(rng.poisson(bt @ X * 25.0).astype(np.float64))
+    coords_irr = np.random.RandomState(5).rand(n, 2) * side
+
+    for name, cc in (("grid", coords), ("irr", coords_irr)):
+        ref = FlashDeconv(
+            sketch_dim=64, n_hvg=120, n_markers_per_type=10, max_iter=40,
+            tol=1e-5, solver_dtype=np.float64, random_state=0, n_shards=8,
+        ).fit(Y, X, cc)
+        for pid in range(nproc):
+            beta = np.load(tmp_path / f"pipe_beta_{name}_p{pid}.npy")
+            props = np.load(tmp_path / f"pipe_props_{name}_p{pid}.npy")
+            genes = np.load(tmp_path / f"pipe_genes_{name}_p{pid}.npy")
+            np.testing.assert_array_equal(genes, ref.gene_idx_)
+            np.testing.assert_array_equal(beta, ref.beta_)
+            np.testing.assert_array_equal(props, ref.proportions_)
+            rec = records[pid][name]
+            assert rec["lambda"] == ref.lambda_used_  # replicated closed form
+            assert rec["n_iterations"] == ref.info_["n_iterations"]
+            assert rec["n_shards"] == 8
+            assert rec["converged"] == ref.info_["converged"]
+            # YtY is a cross-host sum (reassociated): objective to 1e-12.
+            assert rec["final_objective"] == pytest.approx(
+                ref.info_["final_objective"], rel=1e-12
+            )
+            assert rec["avg_degree"] == pytest.approx(
+                float(ref.adjacency_.nnz) / n
+            )
+
+
 @pytest.mark.parametrize(
     "nproc", [2, 4], ids=["2proc-boundary", "4proc-interior"]
 )

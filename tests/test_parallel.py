@@ -559,3 +559,144 @@ def test_sharded_return_device_matches_host(strategy):
     np.testing.assert_array_equal(
         np.asarray(beta_dev, dtype=np.float64), beta_host
     )
+
+
+class TestFitDistributed:
+    """One-call multi-host pipeline helpers + the single-process identity
+    of ``FlashDeconv.fit_distributed`` (the REAL 2-process run lives in
+    ``test_multihost_exec.py::test_fit_distributed_two_process...``)."""
+
+    def _data(self, grid=True, seed=0, n_side=18, G=300, K=6):
+        from scipy import sparse as sp
+
+        rng = np.random.RandomState(seed)
+        if grid:
+            xs, ys = np.meshgrid(np.arange(n_side), np.arange(n_side))
+            coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+        else:
+            coords = rng.rand(n_side * n_side, 2) * n_side
+        n = coords.shape[0]
+        X = rng.gamma(2.0, 1.0, size=(K, G)) * (rng.rand(K, G) < 0.4)
+        bt = rng.dirichlet(np.ones(K), size=n)
+        Y = sp.csr_matrix(rng.poisson(bt @ X * 20.0).astype(np.float64))
+        return Y, X, coords
+
+    def test_allgather_rows_single_process_identity(self):
+        from flashdeconv_tpu.parallel.multihost import allgather_rows
+
+        a = np.arange(12.0).reshape(4, 3)
+        np.testing.assert_array_equal(allgather_rows(a), a)
+        e = np.zeros((0, 2))
+        assert allgather_rows(e).shape == (0, 2)
+
+    def test_process_row_offsets_single_process(self):
+        from flashdeconv_tpu.parallel.multihost import process_row_offsets
+
+        assert process_row_offsets(17) == (0, 17, 17)
+
+    def test_distributed_knn_graph_matches_build(self):
+        from flashdeconv_tpu.parallel.multihost import distributed_knn_graph
+
+        _, _, coords = self._data(grid=False, seed=3)
+        A_d, cg = distributed_knn_graph(coords, k=5)
+        A_s = build_knn_graph(coords, k=5)
+        assert (A_d != A_s).nnz == 0
+        np.testing.assert_array_equal(cg, coords)
+
+    def test_distributed_adjacency_radius_and_grid(self):
+        from flashdeconv_tpu.parallel.multihost import distributed_adjacency
+        from flashdeconv_tpu.utils.graph import (
+            build_grid_graph, build_radius_graph,
+        )
+
+        _, _, coords = self._data(grid=True, seed=4)
+        A_r, _ = distributed_adjacency(coords, method="radius", radius=1.2)
+        assert (A_r != build_radius_graph(coords, radius=1.2)).nnz == 0
+        A_g, _ = distributed_adjacency(coords, method="grid")
+        assert (A_g != build_grid_graph(coords)).nnz == 0
+        with pytest.raises(ValueError, match="radius must be specified"):
+            distributed_adjacency(coords, method="radius")
+        with pytest.raises(ValueError, match="Unknown method"):
+            distributed_adjacency(coords, method="voronoi")
+
+    def test_distributed_subset_col_mean_matches_slicewise(self):
+        from flashdeconv_tpu.parallel.multihost import (
+            distributed_subset_col_mean,
+        )
+
+        Y, _, _ = self._data(seed=5)
+        gene_idx = np.arange(0, 300, 7)
+        mu = distributed_subset_col_mean(Y, gene_idx)
+        expect = np.asarray(Y[:, gene_idx].mean(axis=0)).ravel()
+        np.testing.assert_allclose(mu, expect, rtol=1e-12)
+
+    @pytest.mark.parametrize("grid", [True, False], ids=["banded", "halo"])
+    def test_single_process_matches_fit(self, grid):
+        """fit_distributed on one process == sharded fit, bitwise, for
+        both strategy dispatches (canonical CSR + log_cpm path)."""
+        from flashdeconv_tpu import FlashDeconv
+
+        Y, X, coords = self._data(grid=grid)
+        kw = dict(
+            sketch_dim=64, n_hvg=100, n_markers_per_type=10, max_iter=30,
+            solver_dtype=np.float64, random_state=0,
+            n_shards=len(jax.devices()),
+        )
+        ref = FlashDeconv(**kw).fit(Y, X, coords)
+        m = FlashDeconv(**kw)
+        out = m.fit_distributed(Y, X, coords)
+        assert out is m and m._fitted
+        np.testing.assert_array_equal(m.gene_idx_, ref.gene_idx_)
+        assert m.lambda_used_ == ref.lambda_used_
+        np.testing.assert_array_equal(m.beta_, ref.beta_)
+        np.testing.assert_array_equal(m.proportions_, ref.proportions_)
+        assert m.info_["n_iterations"] == ref.info_["n_iterations"]
+        assert m.info_["final_objective"] == pytest.approx(
+            ref.info_["final_objective"], rel=1e-12
+        )
+        assert m.host_rows_ == (0, Y.shape[0])
+        assert set(m.timings_) >= {
+            "gene_selection", "sketch", "spatial_graph", "solve",
+        }
+
+    def test_pearson_and_dense_fallback_close(self):
+        """Non-canonical paths (pearson colscale; dense staged fallback)
+        agree with fit to float64 rounding."""
+        from flashdeconv_tpu import FlashDeconv
+
+        Y, X, coords = self._data()
+        kw = dict(
+            sketch_dim=64, n_hvg=100, n_markers_per_type=10, max_iter=25,
+            solver_dtype=np.float64, random_state=0,
+            n_shards=len(jax.devices()),
+        )
+        for case in ("pearson", "dense"):
+            if case == "pearson":
+                a = FlashDeconv(preprocess="pearson", **kw)
+                b = FlashDeconv(preprocess="pearson", **kw)
+                Yd = Y
+            else:
+                a, b = FlashDeconv(**kw), FlashDeconv(**kw)
+                Yd = np.asarray(Y.todense())
+            b.fit(Yd, X, coords)
+            a.fit_distributed(Yd, X, coords)
+            np.testing.assert_array_equal(a.gene_idx_, b.gene_idx_)
+            np.testing.assert_allclose(
+                a.beta_, b.beta_, rtol=1e-9, atol=1e-12
+            )
+
+    def test_fit_distributed_validation(self):
+        from flashdeconv_tpu import FlashDeconv
+
+        Y, X, coords = self._data()
+        m = FlashDeconv(n_shards=len(jax.devices()))
+        with pytest.raises(ValueError, match="Gene dimension mismatch"):
+            m.fit_distributed(Y[:, :100], X, coords)
+        with pytest.raises(ValueError, match="Spot count mismatch"):
+            m.fit_distributed(Y, X, coords[:-1])
+        with pytest.raises(ValueError, match="at least one cell type"):
+            m.fit_distributed(Y, X[:0], coords)
+        with pytest.raises(ValueError, match="cell_type_names length"):
+            m.fit_distributed(
+                Y, X, coords, cell_type_names=np.array(["a", "b"])
+            )
