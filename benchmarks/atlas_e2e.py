@@ -109,6 +109,17 @@ def main() -> None:
                    choices=["log_cpm", "pearson", "raw"],
                    help="normalization mode; pearson/raw exercise the fused "
                         "subset->colscale->sketch sparse kernels")
+    p.add_argument("--fetch-dtype", type=str, default=None,
+                   choices=["float16", "bfloat16", "float32"],
+                   help="device-side cast of the fetched proportions "
+                        "(float16 halves the dominant e2e cost on a "
+                        "remote-attached chip: the device->host payload)")
+    p.add_argument("--outputs", type=str, default="proportions",
+                   help="comma list of fit outputs to fetch eagerly "
+                        "('proportions', 'dominant', or "
+                        "'proportions,dominant'); 'dominant' alone fetches "
+                        "only the uint8 argmax (~80x less wire payload), "
+                        "leaving proportions device-resident")
     p.add_argument("--fits", type=int, default=1,
                    help="number of fits; the reported value is the best "
                         "(the first fit of a new shape pays a one-time XLA "
@@ -234,6 +245,8 @@ def main() -> None:
             spatial_method=args.spatial_method, radius=args.radius,
             preprocess=args.preprocess,
             n_shards=args.n_shards, verbose=False,
+            fetch_dtype=args.fetch_dtype,
+            outputs=tuple(s.strip() for s in args.outputs.split(",")),
         )
         t0 = time.perf_counter()
         model.fit(Y, X, coords)
@@ -253,7 +266,11 @@ def main() -> None:
         "metric": f"spots_per_sec_e2e_{args.spots}spots"
                   + ("_irregular" if args.irregular else "")
                   + ("" if args.preprocess == "log_cpm"
-                     else f"_{args.preprocess}"),
+                     else f"_{args.preprocess}")
+                  + ("" if args.fetch_dtype is None
+                     else f"_fetch-{args.fetch_dtype}")
+                  + ("" if args.outputs == "proportions"
+                     else f"_out-{args.outputs.replace(',', '+')}"),
         "value": round(args.spots / total, 1),
         "unit": "spots/s",
         "vs_baseline": round((args.spots / total) / (1_000_000 / 180.0), 2),
