@@ -119,9 +119,16 @@ def main() -> None:
         )
         for pid in range(n_processes)
     ]
-    for p in procs:
-        p.wait(timeout=300)
-        assert p.returncode == 0, "worker failed"
+    try:
+        for p in procs:
+            p.wait(timeout=300)
+    finally:
+        # If one worker died inside the Gloo barrier, its peer would hang;
+        # kill stragglers so the demo always terminates.
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert all(p.returncode == 0 for p in procs), "worker failed"
 
     # Cross-check against a plain single-process fit on the full data.
     import jax
