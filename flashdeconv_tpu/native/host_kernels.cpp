@@ -512,15 +512,210 @@ inline double dot_f64(const double* a, const double* b, int64_t n) {
   return dot_f64_scalar(a, b, n);
 }
 
+// Vectorized subset scan: gather new_col for each raw index, keep entries
+// with a non-negative remapped column, and left-pack (column, value) pairs
+// IN ORDER via AVX-512 compress stores. Order preservation matters: the
+// callers re-derive the library-size accumulator by summing the packed
+// values sequentially, which is bit-identical to the scalar kernel's
+// in-loop accumulation. The compress store may touch up to one full
+// vector past the packed count, which stays in-bounds because the output
+// buffers are sized to the raw row length (m + lanes <= i + lanes <= n).
+#if defined(__x86_64__)
+inline bool avx512_compress_available() {
+  static const bool ok = __builtin_cpu_supports("avx512f") &&
+                         __builtin_cpu_supports("avx512vl") &&
+                         __builtin_cpu_supports("avx512dq") &&
+                         __builtin_cpu_supports("avx512bw");
+  return ok;
+}
+
+__attribute__((target("avx512f,avx512vl,avx512dq,avx512bw")))
+inline int64_t subset_compress(const int32_t* idx, const float* val,
+                               int64_t n, const int32_t* new_col,
+                               int32_t* out_cols, float* out_vals) {
+  int64_t m = 0, i = 0;
+  for (; i + 16 <= n; i += 16) {
+    const __m512i ix =
+        _mm512_loadu_si512(reinterpret_cast<const void*>(idx + i));
+    const __m512i c = _mm512_i32gather_epi32(ix, new_col, 4);
+    const __mmask16 k = _mm512_cmpge_epi32_mask(c, _mm512_setzero_si512());
+    _mm512_mask_compressstoreu_epi32(out_cols + m, k, c);
+    _mm512_mask_compressstoreu_ps(out_vals + m, k, _mm512_loadu_ps(val + i));
+    m += _mm_popcnt_u32(k);
+  }
+  for (; i < n; ++i) {
+    const int32_t c = new_col[idx[i]];
+    if (c >= 0) {
+      out_cols[m] = c;
+      out_vals[m] = val[i];
+      ++m;
+    }
+  }
+  return m;
+}
+
+__attribute__((target("avx512f,avx512vl,avx512dq,avx512bw")))
+inline int64_t subset_compress(const int32_t* idx, const double* val,
+                               int64_t n, const int32_t* new_col,
+                               int32_t* out_cols, double* out_vals) {
+  int64_t m = 0, i = 0;
+  for (; i + 8 <= n; i += 8) {
+    const __m256i ix =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(idx + i));
+    const __m256i c = _mm256_i32gather_epi32(new_col, ix, 4);
+    const __mmask8 k = _mm256_cmpge_epi32_mask(c, _mm256_setzero_si256());
+    _mm256_mask_compressstoreu_epi32(out_cols + m, k, c);
+    _mm512_mask_compressstoreu_pd(out_vals + m, k, _mm512_loadu_pd(val + i));
+    m += _mm_popcnt_u32(k);
+  }
+  for (; i < n; ++i) {
+    const int32_t c = new_col[idx[i]];
+    if (c >= 0) {
+      out_cols[m] = c;
+      out_vals[m] = val[i];
+      ++m;
+    }
+  }
+  return m;
+}
+
+__attribute__((target("avx512f,avx512vl,avx512dq,avx512bw")))
+inline int64_t subset_compress(const int64_t* idx, const float* val,
+                               int64_t n, const int32_t* new_col,
+                               int32_t* out_cols, float* out_vals) {
+  int64_t m = 0, i = 0;
+  for (; i + 8 <= n; i += 8) {
+    const __m512i ix =
+        _mm512_loadu_si512(reinterpret_cast<const void*>(idx + i));
+    const __m256i c = _mm512_i64gather_epi32(ix, new_col, 4);
+    const __mmask8 k = _mm256_cmpge_epi32_mask(c, _mm256_setzero_si256());
+    _mm256_mask_compressstoreu_epi32(out_cols + m, k, c);
+    _mm256_mask_compressstoreu_ps(out_vals + m, k, _mm256_loadu_ps(val + i));
+    m += _mm_popcnt_u32(k);
+  }
+  for (; i < n; ++i) {
+    const int32_t c = new_col[idx[i]];
+    if (c >= 0) {
+      out_cols[m] = c;
+      out_vals[m] = val[i];
+      ++m;
+    }
+  }
+  return m;
+}
+
+__attribute__((target("avx512f,avx512vl,avx512dq,avx512bw")))
+inline int64_t subset_compress(const int64_t* idx, const double* val,
+                               int64_t n, const int32_t* new_col,
+                               int32_t* out_cols, double* out_vals) {
+  int64_t m = 0, i = 0;
+  for (; i + 8 <= n; i += 8) {
+    const __m512i ix =
+        _mm512_loadu_si512(reinterpret_cast<const void*>(idx + i));
+    const __m256i c = _mm512_i64gather_epi32(ix, new_col, 4);
+    const __mmask8 k = _mm256_cmpge_epi32_mask(c, _mm256_setzero_si256());
+    _mm256_mask_compressstoreu_epi32(out_cols + m, k, c);
+    _mm512_mask_compressstoreu_pd(out_vals + m, k, _mm512_loadu_pd(val + i));
+    m += _mm_popcnt_u32(k);
+  }
+  for (; i < n; ++i) {
+    const int32_t c = new_col[idx[i]];
+    if (c >= 0) {
+      out_cols[m] = c;
+      out_vals[m] = val[i];
+      ++m;
+    }
+  }
+  return m;
+}
+#else
+inline bool avx512_compress_available() { return false; }
+template <typename IdxT, typename DataT>
+inline int64_t subset_compress(const IdxT*, const DataT*, int64_t,
+                               const int32_t*, int32_t*, DataT*) {
+  return -1;  // unreachable: gated by avx512_compress_available()
+}
+#endif
+
+// Per-row sketch contraction shared by the fused (Xty, YtY) kernels.
+//
+// A row's sketch touches at most m (= kept-entry count) of the d buckets,
+// so when m < d the dense form — K length-d dots plus a d-length memset
+// per row — wastes O(K*d) work on zeros. The sparse path instead
+// accumulates Xty entry-wise against the TRANSPOSED signature sketch
+// (xty_row[:] += wv * XskT[bucket, :], O(m*K) contiguous FMAs) and takes
+// YtY from the touched buckets only, with lazy epoch-tagged zeroing in
+// place of the per-row memset. Rows with m >= d keep the dense dots.
+// Both paths compute the same sums with different f64 association
+// (ULP-level; Xty is consumed as f32 on device, YtY only by the objective
+// constant; the staged-vs-fused tests pin them at rtol 1e-10). The
+// per-row path choice is deterministic in the row's own nnz, so chunked
+// and full runs stay bit-identical.
+struct SketchContract {
+  std::vector<double> rowbuf;    // (d) bucket sums; valid where epoch==cur
+  std::vector<int32_t> touched;  // unique buckets hit by the current row
+  std::vector<uint32_t> epoch;   // (d) last row that touched each bucket
+  std::vector<double> XskT;      // (d, K) transposed signature sketch
+  uint32_t cur = 0;
+  int64_t d = 0, K = 0;
+
+  void init(const double* Xsk, int64_t sketch_dim, int64_t n_types) {
+    d = sketch_dim;
+    K = n_types;
+    rowbuf.assign(static_cast<size_t>(d), 0.0);
+    epoch.assign(static_cast<size_t>(d), 0);
+    touched.clear();
+    touched.reserve(static_cast<size_t>(d));
+    XskT.resize(static_cast<size_t>(d) * K);
+    for (int64_t k = 0; k < K; ++k)
+      for (int64_t b = 0; b < d; ++b)
+        XskT[static_cast<size_t>(b) * K + k] =
+            Xsk[static_cast<size_t>(k) * d + b];
+  }
+  inline void begin_row() {
+    ++cur;
+    touched.clear();
+  }
+  inline void add(int32_t bucket, double wv, double* xty_row) {
+    const size_t b = static_cast<size_t>(bucket);
+    if (epoch[b] != cur) {
+      epoch[b] = cur;
+      rowbuf[b] = 0.0;
+      touched.push_back(bucket);
+    }
+    rowbuf[b] += wv;
+    const double* xt = XskT.data() + b * K;
+    for (int64_t k = 0; k < K; ++k) xty_row[k] += wv * xt[k];
+  }
+  inline double finish_row() const {
+    double s = 0.0;
+    for (const int32_t b : touched) {
+      const double v = rowbuf[static_cast<size_t>(b)];
+      s += v * v;
+    }
+    return s;
+  }
+  // Dense fallback (m >= d): classic memset + scatter + K dense dots.
+  // Leaves epochs stale on purpose — the sparse path re-zeroes lazily.
+  inline void dense_begin() {
+    std::memset(rowbuf.data(), 0, sizeof(double) * static_cast<size_t>(d));
+  }
+  inline double dense_finish(const double* Xsk, double* xty_row) const {
+    for (int64_t k = 0; k < K; ++k)
+      xty_row[k] =
+          dot_f64(rowbuf.data(), Xsk + static_cast<size_t>(k) * d, d);
+    return dot_f64(rowbuf.data(), rowbuf.data(), d);
+  }
+};
+
 // Fused subset -> log_cpm -> sketch -> (Xty, YtY): like
 // fused_log1pcpm_project_impl, but the (n_rows, d) sketch is never written
 // to memory — each row's sketch lives in an L1-resident buffer and is
 // immediately contracted against X_sketch (K, d) into Xty[r, :] and into
-// the YtY sum-of-squares. This removes the multi-GB sketch materialization
-// plus the BLAS re-read at atlas scale. Per-row log1p/scatter semantics are
-// bit-identical to fused_log1pcpm_project_impl; the contractions use the
-// fixed dot structure above (ULP-level vs a BLAS gemm — consumed as f32
-// Xty on device / by the objective constant).
+// the YtY sum-of-squares (see SketchContract for the sparse/dense per-row
+// contraction). This removes the multi-GB sketch materialization plus the
+// BLAS re-read at atlas scale. Per-row log1p/scatter semantics are
+// bit-identical to fused_log1pcpm_project_impl.
 template <typename DataT, typename IdxT>
 void fused_log1pcpm_xty_impl(const int64_t* indptr, const IdxT* indices,
                              const DataT* data, const int32_t* new_col,
@@ -532,7 +727,8 @@ void fused_log1pcpm_xty_impl(const int64_t* indptr, const IdxT* indices,
   const int64_t blocks = n_blocks(n_rows);
   std::vector<double> yty_partial(static_cast<size_t>(blocks), 0.0);
   parallel_blocks(blocks, n_threads, [&](int64_t b) {
-    std::vector<double> rowbuf(static_cast<size_t>(sketch_dim));
+    SketchContract ctr;
+    ctr.init(Xsk, sketch_dim, n_types);
     // Per-row gather buffers: the subset entries are collected during the
     // library-size scan, so the 20x-larger raw row is read ONCE (the old
     // two-pass form re-scanned every nnz and re-gathered new_col per pass
@@ -541,6 +737,7 @@ void fused_log1pcpm_xty_impl(const int64_t* indptr, const IdxT* indices,
     std::vector<DataT> vals;
     std::vector<int32_t> cols;
     std::vector<float> logs;
+    std::vector<double> wv;
     const int64_t r0 = b * block_rows(n_rows);
     const int64_t r1 = std::min(r0 + block_rows(n_rows), n_rows);
     double yty = 0.0;
@@ -549,21 +746,29 @@ void fused_log1pcpm_xty_impl(const int64_t* indptr, const IdxT* indices,
       if (static_cast<int64_t>(vals.size()) < hi - lo) {
         vals.resize(static_cast<size_t>(hi - lo));
         cols.resize(static_cast<size_t>(hi - lo));
+        wv.resize(static_cast<size_t>(hi - lo));
       }
-      DataT acc = 0;
-      int64_t m = 0;
-      for (int64_t i = lo; i < hi; ++i) {
-        const int32_t c = new_col[indices[i]];
-        if (c >= 0) {
-          acc += data[i];
-          vals[static_cast<size_t>(m)] = data[i];
-          cols[static_cast<size_t>(m)] = c;
-          ++m;
+      int64_t m;
+      if (avx512_compress_available()) {
+        m = subset_compress(indices + lo, data + lo, hi - lo, new_col,
+                            cols.data(), vals.data());
+      } else {
+        m = 0;
+        for (int64_t i = lo; i < hi; ++i) {
+          const int32_t c = new_col[indices[i]];
+          if (c >= 0) {
+            vals[static_cast<size_t>(m)] = data[i];
+            cols[static_cast<size_t>(m)] = c;
+            ++m;
+          }
         }
       }
+      // Library size from the packed values, sequentially — bit-identical
+      // to an in-scan accumulation (the compress preserves entry order).
+      DataT acc = 0;
+      for (int64_t j = 0; j < m; ++j) acc += vals[static_cast<size_t>(j)];
       const DataT lib = (acc == DataT(0)) ? DataT(1) : acc;
       const DataT s = DataT(1e4) / lib;
-      std::memset(rowbuf.data(), 0, sizeof(double) * sketch_dim);
       if constexpr (std::is_same_v<DataT, float>) {
         if (static_cast<int64_t>(logs.size()) < m)
           logs.resize(static_cast<size_t>(m));
@@ -572,23 +777,31 @@ void fused_log1pcpm_xty_impl(const int64_t* indptr, const IdxT* indices,
         log1p_f32_batch(logs.data(), logs.data(), m);
         for (int64_t j = 0; j < m; ++j) {
           const int32_t c = cols[static_cast<size_t>(j)];
-          rowbuf[buckets[c]] +=
+          wv[static_cast<size_t>(j)] =
               weights[c] * static_cast<double>(logs[static_cast<size_t>(j)]);
         }
       } else {
         for (int64_t j = 0; j < m; ++j) {
           const int32_t c = cols[static_cast<size_t>(j)];
           const DataT v = std::log1p(vals[static_cast<size_t>(j)] * s);
-          rowbuf[buckets[c]] += weights[c] * static_cast<double>(v);
+          wv[static_cast<size_t>(j)] = weights[c] * static_cast<double>(v);
         }
       }
       double* xty_row = out_xty + static_cast<size_t>(r) * n_types;
-      for (int64_t k = 0; k < n_types; ++k) {
-        xty_row[k] = dot_f64(rowbuf.data(),
-                             Xsk + static_cast<size_t>(k) * sketch_dim,
-                             sketch_dim);
+      if (m < sketch_dim) {
+        ctr.begin_row();
+        std::memset(xty_row, 0, sizeof(double) * n_types);
+        for (int64_t j = 0; j < m; ++j)
+          ctr.add(buckets[cols[static_cast<size_t>(j)]],
+                  wv[static_cast<size_t>(j)], xty_row);
+        yty += ctr.finish_row();
+      } else {
+        ctr.dense_begin();
+        for (int64_t j = 0; j < m; ++j)
+          ctr.rowbuf[buckets[cols[static_cast<size_t>(j)]]] +=
+              wv[static_cast<size_t>(j)];
+        yty += ctr.dense_finish(Xsk, xty_row);
       }
-      yty += dot_f64(rowbuf.data(), rowbuf.data(), sketch_dim);
     }
     yty_partial[static_cast<size_t>(b)] = yty;
   });
@@ -661,9 +874,9 @@ void fused_colscale_project_impl(const int64_t* indptr, const IdxT* indices,
 
 // Fused subset -> column scale -> sketch -> (Xty, YtY): the pearson / raw
 // analog of fused_log1pcpm_xty_impl. Per-row sketch values are bit-identical
-// to fused_colscale_project_impl; the contractions use the shared fixed dot
-// structure (ULP-level vs a BLAS gemm — consumed as f32 Xty on device / by
-// the objective constant).
+// to fused_colscale_project_impl; the contraction shares SketchContract's
+// sparse/dense per-row dispatch (ULP-level vs a BLAS gemm — consumed as f32
+// Xty on device / by the objective constant).
 template <typename DataT, typename IdxT>
 void fused_colscale_xty_impl(const int64_t* indptr, const IdxT* indices,
                              const DataT* data, const int32_t* new_col,
@@ -675,27 +888,58 @@ void fused_colscale_xty_impl(const int64_t* indptr, const IdxT* indices,
   const int64_t blocks = n_blocks(n_rows);
   std::vector<double> yty_partial(static_cast<size_t>(blocks), 0.0);
   parallel_blocks(blocks, n_threads, [&](int64_t b) {
-    std::vector<double> rowbuf(static_cast<size_t>(sketch_dim));
+    SketchContract ctr;
+    ctr.init(Xsk, sketch_dim, n_types);
+    std::vector<int32_t> cols;
+    std::vector<DataT> vals;
+    std::vector<double> wv;
     const int64_t r0 = b * block_rows(n_rows);
     const int64_t r1 = std::min(r0 + block_rows(n_rows), n_rows);
     double yty = 0.0;
     for (int64_t r = r0; r < r1; ++r) {
-      std::memset(rowbuf.data(), 0, sizeof(double) * sketch_dim);
-      for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
-        const int32_t c = new_col[indices[i]];
-        if (c >= 0) {
-          const DataT v =
-              colscale ? static_cast<DataT>(data[i] * colscale[c]) : data[i];
-          rowbuf[buckets[c]] += weights[c] * static_cast<double>(v);
+      const int64_t lo = indptr[r], hi = indptr[r + 1];
+      if (static_cast<int64_t>(cols.size()) < hi - lo) {
+        cols.resize(static_cast<size_t>(hi - lo));
+        vals.resize(static_cast<size_t>(hi - lo));
+        wv.resize(static_cast<size_t>(hi - lo));
+      }
+      int64_t m;
+      if (avx512_compress_available()) {
+        m = subset_compress(indices + lo, data + lo, hi - lo, new_col,
+                            cols.data(), vals.data());
+      } else {
+        m = 0;
+        for (int64_t i = lo; i < hi; ++i) {
+          const int32_t c = new_col[indices[i]];
+          if (c >= 0) {
+            cols[static_cast<size_t>(m)] = c;
+            vals[static_cast<size_t>(m)] = data[i];
+            ++m;
+          }
         }
       }
-      double* xty_row = out_xty + static_cast<size_t>(r) * n_types;
-      for (int64_t k = 0; k < n_types; ++k) {
-        xty_row[k] = dot_f64(rowbuf.data(),
-                             Xsk + static_cast<size_t>(k) * sketch_dim,
-                             sketch_dim);
+      for (int64_t j = 0; j < m; ++j) {
+        const int32_t c = cols[static_cast<size_t>(j)];
+        const DataT v = colscale
+            ? static_cast<DataT>(vals[static_cast<size_t>(j)] * colscale[c])
+            : vals[static_cast<size_t>(j)];
+        wv[static_cast<size_t>(j)] = weights[c] * static_cast<double>(v);
       }
-      yty += dot_f64(rowbuf.data(), rowbuf.data(), sketch_dim);
+      double* xty_row = out_xty + static_cast<size_t>(r) * n_types;
+      if (m < sketch_dim) {
+        ctr.begin_row();
+        std::memset(xty_row, 0, sizeof(double) * n_types);
+        for (int64_t j = 0; j < m; ++j)
+          ctr.add(buckets[cols[static_cast<size_t>(j)]],
+                  wv[static_cast<size_t>(j)], xty_row);
+        yty += ctr.finish_row();
+      } else {
+        ctr.dense_begin();
+        for (int64_t j = 0; j < m; ++j)
+          ctr.rowbuf[buckets[cols[static_cast<size_t>(j)]]] +=
+              wv[static_cast<size_t>(j)];
+        yty += ctr.dense_finish(Xsk, xty_row);
+      }
     }
     yty_partial[static_cast<size_t>(b)] = yty;
   });
@@ -759,17 +1003,23 @@ void fused_log1pcpm_project_impl(const int64_t* indptr, const IdxT* indices,
         vals.resize(static_cast<size_t>(hi - lo));
         cols.resize(static_cast<size_t>(hi - lo));
       }
-      DataT acc = 0;
-      int64_t m = 0;
-      for (int64_t i = lo; i < hi; ++i) {
-        const int32_t c = new_col[indices[i]];
-        if (c >= 0) {
-          acc += data[i];
-          vals[static_cast<size_t>(m)] = data[i];
-          cols[static_cast<size_t>(m)] = c;
-          ++m;
+      int64_t m;
+      if (avx512_compress_available()) {
+        m = subset_compress(indices + lo, data + lo, hi - lo, new_col,
+                            cols.data(), vals.data());
+      } else {
+        m = 0;
+        for (int64_t i = lo; i < hi; ++i) {
+          const int32_t c = new_col[indices[i]];
+          if (c >= 0) {
+            vals[static_cast<size_t>(m)] = data[i];
+            cols[static_cast<size_t>(m)] = c;
+            ++m;
+          }
         }
       }
+      DataT acc = 0;  // sequential over packed values == in-scan order
+      for (int64_t j = 0; j < m; ++j) acc += vals[static_cast<size_t>(j)];
       const DataT lib = (acc == DataT(0)) ? DataT(1) : acc;
       const DataT s = DataT(1e4) / lib;
       double* row = out + static_cast<size_t>(r) * sketch_dim;

@@ -369,6 +369,66 @@ class TestFusedKernels:
         np.testing.assert_array_equal(np.concatenate(parts), xty_full)
         np.testing.assert_allclose(yty, yty_full, rtol=1e-12)
 
+    @pytest.mark.parametrize("dtype", [np.float32, np.float64])
+    @pytest.mark.parametrize("idx_dtype", [np.int32, np.int64])
+    def test_fused_xty_all_index_dtypes_and_contraction_paths(
+        self, dtype, idx_dtype
+    ):
+        """Every (data, index) dtype combination of the vectorized subset
+        scan (subset_compress has four AVX-512 overloads) AND both per-row
+        contraction paths: sketch_dim=8 makes dense rows (kept-entry count
+        m >= d -> classic memset + dense dots) while empty/sparse rows take
+        the entry-wise SketchContract path. The fused project kernel is the
+        staged-bitwise oracle; Xty/YtY compare at f64 reassociation
+        tolerance."""
+        from flashdeconv_tpu.core.sketching import make_countsketch_op
+
+        Y = _random_csr(n_rows=300, n_cols=200, density=0.2, dtype=dtype,
+                        seed=23)
+        Y.indices = Y.indices.astype(idx_dtype)
+        # A few empty + near-empty rows exercise m == 0 and tail lanes.
+        Y = Y.tolil()
+        Y[0] = 0
+        Y[7] = 0
+        Y = Y.tocsr()
+        Y.indices = Y.indices.astype(idx_dtype)
+        gene_idx = np.sort(
+            np.random.RandomState(8).choice(200, size=120, replace=False)
+        )
+        op = make_countsketch_op(len(gene_idx), 8, random_state=3)
+        Xsk = np.random.RandomState(9).standard_normal((5, 8))
+
+        res = native.fused_log1pcpm_xty(
+            Y, gene_idx, op.buckets, op.weights, op.sketch_dim, Xsk
+        )
+        if res is None:
+            pytest.skip("fused kernel gated off (log1p self-test)")
+        xty, yty = res
+        sketch = native.fused_log1pcpm_project(
+            Y, gene_idx, op.buckets, op.weights, op.sketch_dim
+        )
+        # both dense (m >= 8) and sparse rows must exist for path coverage
+        kept = np.isin(np.asarray(Y.indices), gene_idx)
+        m_per_row = np.add.reduceat(kept, np.asarray(Y.indptr[:-1]))
+        m_per_row[np.diff(Y.indptr) == 0] = 0
+        assert (m_per_row >= 8).any() and (m_per_row < 8).any()
+        np.testing.assert_allclose(xty, sketch @ Xsk.T, rtol=1e-10,
+                                   atol=1e-11)
+        np.testing.assert_allclose(
+            yty, float(np.einsum("ij,ij->", sketch, sketch)), rtol=1e-12
+        )
+
+        # colscale family on the same operands (raw mode: colscale=None)
+        res2 = native.fused_colscale_xty(
+            Y, gene_idx, None, op.buckets, op.weights, op.sketch_dim, Xsk
+        )
+        if res2 is not None:
+            sk2 = native.fused_colscale_project(
+                Y, gene_idx, None, op.buckets, op.weights, op.sketch_dim
+            )
+            np.testing.assert_allclose(res2[0], sk2 @ Xsk.T, rtol=1e-10,
+                                       atol=1e-11)
+
     # End-to-end coverage: TestNativeColumnSubset.
     # test_pipeline_equals_scipy_subset_pipeline compares a full fit through
     # this fused path against a FLASHDECONV_NO_NATIVE subprocess (pure
