@@ -36,6 +36,7 @@ def deconvolve(
     verbose: bool = False,
     mesh: Any = None,
     n_shards: Optional[int] = None,
+    fetch_dtype: Optional[str] = None,
 ) -> Optional[Any]:
     """Estimate per-spot cell-type proportions and store them in ``adata_st``.
 
@@ -45,7 +46,10 @@ def deconvolve(
 
     TPU-scaling extras beyond the reference keyword surface: ``mesh`` /
     ``n_shards`` route the solve through the spot-sharded multi-device path
-    (:func:`flashdeconv_tpu.parallel.sharded_bcd_solve`).
+    (:func:`flashdeconv_tpu.parallel.sharded_bcd_solve`);
+    ``fetch_dtype="float16"`` halves the proportions payload fetched from a
+    remote-attached accelerator (device-side cast; values in [0, 1]
+    quantize at ~5e-4 — see ``FlashDeconv``).
 
     Adds to the AnnData:
 
@@ -83,6 +87,7 @@ def deconvolve(
         verbose=verbose,
         mesh=mesh,
         n_shards=n_shards,
+        fetch_dtype=fetch_dtype,
     )
     proportions = model.fit_transform(Y, X, coords, cell_type_names=cell_type_names)
 

@@ -236,6 +236,22 @@ class TestTlDeconvolve:
         assert "mydeconv_params" in st.uns
         assert "mydeconv_dominant" in st.obs
 
+    def test_fetch_dtype_forwarding(self):
+        # tl.deconvolve forwards fetch_dtype to the FlashDeconv ctor
+        # (a typo'd kwarg would TypeError; an invalid value ValueError).
+        st, ref, _ = self._pair()
+        fd.tl.deconvolve(
+            st, ref, fetch_dtype="float16",
+            sketch_dim=128, n_hvg=200, n_markers_per_type=10,
+        )
+        P = np.asarray(st.obsm["flashdeconv"])
+        np.testing.assert_allclose(P.sum(axis=1), 1.0, atol=2e-3)
+        with pytest.raises(ValueError, match="fetch_dtype"):
+            fd.tl.deconvolve(
+                st, ref, fetch_dtype="float8",
+                sketch_dim=128, n_hvg=200, n_markers_per_type=10,
+            )
+
     def test_accuracy_floor(self):
         st, ref, props = self._pair()
         fd.tl.deconvolve(
