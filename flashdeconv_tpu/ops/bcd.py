@@ -220,22 +220,40 @@ def coordinate_descent(
     return beta
 
 
-# The Gauss-Seidel pass switches to the MXU-panel formulation above this
-# many cell types: the classic pass's rank-1 residual refresh is O(K^2 * B)
-# VPU FMAs, which dominates the sweep at large K (the reference's Numba
-# loop pays the same O(K^2)/spot smoothly on CPU, reference
-# ``flashdeconv/core/solver.py:75-99``); the panel pass moves the
-# cross-panel corrections onto the MXU, leaving O(K * P * B) on the VPU.
-# 64 keeps every small-K headline path (and its measured numbers) on the
-# classic pass, byte-for-byte unchanged.
-_GS_PANEL_MIN_K = 64
+# The Gauss-Seidel pass runs the MXU-panel formulation whenever K spans
+# more than one 8-sublane tile: the classic pass's rank-1 residual refresh
+# is a full-(K, B) VPU FMA after EVERY coordinate — O(K^2 * B) work (the
+# reference's Numba loop pays the same O(K^2)/spot smoothly on CPU,
+# reference ``flashdeconv/core/solver.py:75-99``) — while the panel pass
+# confines the per-coordinate refresh to the panel's own rows and moves
+# the cross-panel corrections onto the (otherwise idle) MXU. At K <= 8
+# the two passes are the same computation (a single panel), so the
+# classic pass runs as written.
+_GS_PANEL_ENGAGE_K = 8
 
-# Panel width of the MXU-panel pass. VPU work scales with P (within-panel
+# Panel widths of the MXU-panel pass. VPU work scales with P (within-panel
 # rank-1 on (P, B) rows), MXU utilization improves with P (the per-panel
 # correction matmul's contraction dim is the finished-coordinate count, its
-# output rows are P); 16 balances the two on v5e (8-sublane granularity,
-# two sublane tiles per panel op).
+# output rows are P). At small K the rank-1 refresh dominates, so the
+# narrowest tile (8 = one sublane tile) wins — measured 8% per sweep at
+# the 1M x 20 headline shape (2.45 -> 2.26 ms, interleaved A/B); at large
+# K the per-panel matmuls carry the bulk of the MACs and 16 (two sublane
+# tiles per panel op) balances VPU vs MXU on v5e.
+_GS_PANEL_P_SMALL = 8
 _GS_PANEL_P = 16
+_GS_PANEL_WIDE_K = 64
+
+
+def _gs_panel_width(n_types: int) -> Optional[int]:
+    """Panel width :func:`gs_pass` uses at this K — None = classic pass.
+
+    Shared by the VMEM gate (:func:`fused_banded_vmem_bytes`), which must
+    account for the panel pass's extra resident delta rows exactly when
+    the dispatch engages it.
+    """
+    if n_types <= _GS_PANEL_ENGAGE_K:
+        return None
+    return _GS_PANEL_P_SMALL if n_types <= _GS_PANEL_WIDE_K else _GS_PANEL_P
 
 
 def _gs_prologue(beta_old, xty, xtx, ns, nnb, lam, rho):
@@ -324,11 +342,13 @@ def _gs_pass_kb(beta_old, xty, xtx, ns, nnb, lam, rho):
 
 def _gs_pass_kb_panel(beta_old, xty, xtx, ns, nnb, lam, rho,
                       panel: int = _GS_PANEL_P):
-    """MXU-panel Gauss-Seidel pass for large K — same iterate semantics.
+    """MXU-panel Gauss-Seidel pass — same iterate semantics, less VPU work.
 
     The classic :func:`_gs_pass_kb` refreshes the maintained residual with
     a full-(K, B) rank-1 VPU FMA after EVERY coordinate — O(K^2 * B) VPU
-    work that dominates the sweep beyond K ~ 64. Here coordinates are
+    work that the sweep kernel's instruction budget is dominated by at
+    every K above one sublane tile (the sweep is VPU-issue-bound, see
+    docs/performance_guide.md). Here coordinates are
     processed in static panels of ``panel``: within a panel the rank-1
     recurrence runs on the panel's own (P, B) rows only (the only rows
     whose corrections are needed before the panel ends), and each panel's
@@ -381,14 +401,18 @@ def _gs_pass_kb_panel(beta_old, xty, xtx, ns, nnb, lam, rho,
 def gs_pass(beta_old, xty, xtx, ns, nnb, lam, rho):
     """The Gauss-Seidel coordinate pass both Pallas kernels run.
 
-    Dispatches on the static K: the classic exact-FMA pass up to
-    ``_GS_PANEL_MIN_K`` (keeps every small-K path byte-identical to
-    round 3), the MXU-panel pass above it. Because BOTH kernels call this
-    one function, fused and unfused Pallas sweeps remain mutually
-    bit-identical at every K (hw_parity check 1).
+    Dispatches on the static K (:func:`_gs_panel_width`): the classic
+    exact-FMA pass at K <= 8 (where the panel pass would be the identical
+    computation), the MXU-panel pass above — panel 8 through K = 64
+    (measured 8% faster per sweep at 1M x 20 than the classic pass's
+    full-(K, B) rank-1 refresh), panel 16 beyond. Because BOTH kernels
+    call this one function, fused and unfused Pallas sweeps remain
+    mutually bit-identical at every K (hw_parity check 1).
     """
-    if beta_old.shape[0] > _GS_PANEL_MIN_K:
-        return _gs_pass_kb_panel(beta_old, xty, xtx, ns, nnb, lam, rho)
+    p = _gs_panel_width(beta_old.shape[0])
+    if p is not None:
+        return _gs_pass_kb_panel(beta_old, xty, xtx, ns, nnb, lam, rho,
+                                 panel=p)
     return _gs_pass_kb(beta_old, xty, xtx, ns, nnb, lam, rho)
 
 
@@ -502,9 +526,10 @@ def fused_banded_vmem_bytes(n_types: int, n_bands: int, h: int,
     masks = n_bands * block * 2            # uint8 masks block, x2
     scratch = (2 * h + 1) * kb             # rolling window scratch
     # GS pass live set: ~6 (K, B) blocks for the classic pass; the
-    # MXU-panel pass (K > _GS_PANEL_MIN_K) additionally keeps the
-    # accumulated delta rows resident (+1 block).
-    gs_live = 6 + (1 if n_types > _GS_PANEL_MIN_K else 0)
+    # MXU-panel pass (whenever the dispatch engages it — see
+    # _gs_panel_width) additionally keeps the accumulated delta rows
+    # resident (+1 block).
+    gs_live = 6 + (1 if _gs_panel_width(n_types) is not None else 0)
     values = (2 * h + 1) * kb + gs_live * kb
     return streams + masks + scratch + values
 

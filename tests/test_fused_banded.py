@@ -336,7 +336,7 @@ def test_vmem_gate_calibration_bounds():
 def test_panel_pass_matches_classic_pass():
     """The MXU-panel Gauss-Seidel pass must produce the classic pass's
     iterate (same per-coordinate algebra; f32 sums reassociated across
-    panels only)."""
+    panels only) — at both dispatch widths (8 small-K, 16 large-K)."""
     from flashdeconv_tpu.ops.bcd import _gs_pass_kb, _gs_pass_kb_panel
 
     rng = np.random.RandomState(0)
@@ -352,25 +352,33 @@ def test_panel_pass_matches_classic_pass():
         )
         lam, rho = jnp.float32(0.7), jnp.float32(0.15)
         ref = _gs_pass_kb(beta_old, xty, xtx, ns, nnb, lam, rho)
-        out = _gs_pass_kb_panel(beta_old, xty, xtx, ns, nnb, lam, rho)
-        np.testing.assert_allclose(
-            np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4,
-        )
+        for panel in (8, 16):
+            out = _gs_pass_kb_panel(
+                beta_old, xty, xtx, ns, nnb, lam, rho, panel=panel
+            )
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4,
+            )
 
 
 def test_gs_pass_dispatch_threshold():
-    """gs_pass must be the classic pass at K <= 64 (bitwise) and the panel
-    pass above (bitwise) — both Pallas kernels share this dispatch."""
+    """gs_pass must be the classic pass at K <= 8 (where the panel pass is
+    the identical computation anyway), the panel-8 pass through K = 64,
+    and the panel-16 pass above — both Pallas kernels share this
+    dispatch, so each arm is pinned bitwise."""
     from flashdeconv_tpu.ops.bcd import (
-        _GS_PANEL_MIN_K,
+        _gs_panel_width,
         _gs_pass_kb,
         _gs_pass_kb_panel,
         gs_pass,
     )
 
-    assert _GS_PANEL_MIN_K == 64
+    assert _gs_panel_width(8) is None
+    assert _gs_panel_width(9) == 8
+    assert _gs_panel_width(64) == 8
+    assert _gs_panel_width(65) == 16
     rng = np.random.RandomState(1)
-    for K, expect_panel in ((64, False), (65, True)):
+    for K, panel in ((8, None), (20, 8), (64, 8), (65, 16)):
         B = 128
         Xs = rng.randn(K, K + 8)
         args = (
@@ -382,7 +390,10 @@ def test_gs_pass_dispatch_threshold():
             jnp.float32(0.3),
             jnp.float32(0.05),
         )
-        expected = (_gs_pass_kb_panel if expect_panel else _gs_pass_kb)(*args)
+        if panel is None:
+            expected = _gs_pass_kb(*args)
+        else:
+            expected = _gs_pass_kb_panel(*args, panel=panel)
         np.testing.assert_array_equal(
             np.asarray(gs_pass(*args)), np.asarray(expected)
         )
