@@ -214,16 +214,15 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # Per-sweep kernel time (pipelined): the solve-level number above
-    # carries one ~25 ms tunnel round trip per call (see
-    # docs/performance_guide.md roofline), so the sweep time is the metric
-    # that tracks kernel progress across rounds independent of the shared
-    # tunnel's state. Round-3 lesson: one 5-window sample can land in a
-    # slow device-scheduling patch and misreport the kernel by ~15%
-    # (BENCH_r03 3.025 ms vs 2.63 ms measured the same day) — so sample
-    # 12 windows of 25 chained sweeps and report BOTH the best window
-    # (kernel truth) and the median (environment honesty); the checked-in
-    # JSON alone then proves cross-round kernel progress.
+    # Per-sweep kernel time: the solve-level number above carries one
+    # ~25 ms tunnel round trip per call (see docs/performance_guide.md
+    # roofline), so the sweep time is the metric that tracks kernel
+    # progress across rounds independent of the shared tunnel's state.
+    # Round-3 lesson: one short sample can land in a slow
+    # device-scheduling patch and misreport the kernel by ~15% — sample
+    # 12 windows and report BOTH the best (kernel truth) and the median
+    # (environment honesty). Round-4 lesson: measure the sweeps inside an
+    # on-device loop, not as a dispatch chain (protocol note below).
     sweep_ms = sweep_ms_median = None
     if getattr(problem, "use_fused_banded", False):
         import jax
@@ -241,26 +240,51 @@ def main() -> None:
         # array becomes a compile-request constant, and the remote compile
         # endpoint rejects large bodies (HTTP 413 at K >= 96's ~400 MB Xty).
         offs, hb, blk = problem.offsets, problem.h_blocks, problem.fused_block
-        sweep_fn = jax.jit(
-            lambda c, xty_t, xtx, masks, la, rh: fused_banded_sweep(
-                c, xty_t, xtx, masks, la, rh, offs, hb, block=blk,
-            )
-        )
         ops = (problem.Xty_t_d, problem.XtX_d, problem.masks_d, lam, rho)
-        jax.block_until_ready(sweep_fn(carry, *ops))
+
+        # Timing discipline (round-4 lesson, see docs/performance_guide.md
+        # "Measuring the sweep"): per-sweep DISPATCH chains measure the
+        # tunnel's dispatch throughput as much as the kernel (r1-r4
+        # numbers, ~1 ms/sweep inflation), and the runtime sometimes
+        # enters an async-ack mode where block_until_ready returns before
+        # the work completes (sweeps then read *below* the HBM streaming
+        # floor). The honest protocol: run the sweeps inside ONE on-device
+        # fori_loop (exactly how the production solve runs them), force
+        # completion with a scalar fetch, and time a short and a long loop
+        # — the difference cancels the RTT + fetch + launch overhead in
+        # every runtime mode.
+        from functools import partial
+
+        @partial(jax.jit, static_argnums=(6,))
+        def nsweeps(c, xty_t, xtx, masks, la, rh, n):
+            def body(_i, cc):
+                c2, _d, _a = fused_banded_sweep(
+                    cc, xty_t, xtx, masks, la, rh, offs, hb, block=blk,
+                )
+                return c2
+            return jax.lax.fori_loop(0, n, body, c)
+
+        n_short, n_long = 5, 30
+
+        def timed_loop(n: int) -> float:
+            t0 = time.perf_counter()
+            float(jax.device_get(nsweeps(carry, *ops, n)[0, 0]))
+            return time.perf_counter() - t0
+
+        timed_loop(n_short)  # compile + warm both loop lengths
+        timed_loop(n_long)
         windows = []
         for _ in range(12):
-            t0 = time.perf_counter()
-            c = carry
-            for _ in range(25):
-                c, _d, _a = sweep_fn(c, *ops)
-            jax.block_until_ready(c)
-            windows.append((time.perf_counter() - t0) / 25)
+            t_short = timed_loop(n_short)
+            t_long = timed_loop(n_long)
+            windows.append(max(t_long - t_short, 0.0) / (n_long - n_short))
         sweep_ms = round(min(windows) * 1e3, 3)
         sweep_ms_median = round(float(np.median(windows)) * 1e3, 3)
         print(
             f"# fused sweep {sweep_ms} ms best / {sweep_ms_median} ms "
-            f"median (12 windows x 25 pipelined sweeps)",
+            f"median (12 windows, on-device fori difference "
+            f"{n_long}-{n_short} sweeps; r1-r4 dispatch-chained numbers "
+            f"carried ~1 ms/sweep of tunnel dispatch overhead)",
             file=sys.stderr,
         )
 
@@ -292,6 +316,10 @@ def main() -> None:
                 "n_iterations": info["n_iterations"],
                 "sweep_ms": sweep_ms,
                 "sweep_ms_median": sweep_ms_median,
+                # r1-r4 artifacts timed per-sweep dispatch chains, which
+                # add ~1 ms/sweep of tunnel dispatch overhead on this
+                # container; this field marks the on-device protocol.
+                "sweep_protocol": "ondevice_fori_difference",
             }
         )
     )

@@ -512,11 +512,21 @@ class BCDProblem:
         lam_d = jnp.asarray(lambda_, dtype=self.dtype)
         rho_d = jnp.asarray(rho * self.mean_diag, dtype=self.dtype)
         tol_d = jnp.asarray(tol, dtype=self.dtype)
-        beta0 = self._beta0(beta_init)
-        if self.use_fused_banded:
-            from flashdeconv_tpu.ops.bcd import to_fused_carry
+        # The fused non-verbose solve runs as ONE compiled program
+        # (ops/bcd.fused_solve_program): on a remote-attached chip each
+        # separate dispatch costs ~1-1.5 ms of tunnel command latency, and
+        # the init/loop/objective/unpack sequence was ~14 ms of it at 1M
+        # spots. The program also slices + un-permutes beta on device, so
+        # its output is final for both return modes.
+        use_program = self.use_fused_banded and not verbose
+        if use_program:
+            beta0 = None if beta_init is None else self._beta0(beta_init)
+        else:
+            beta0 = self._beta0(beta_init)
+            if self.use_fused_banded:
+                from flashdeconv_tpu.ops.bcd import to_fused_carry
 
-            beta0 = to_fused_carry(beta0, self.h_blocks, self.fused_block)
+                beta0 = to_fused_carry(beta0, self.h_blocks, self.fused_block)
 
         objectives: list = []
         beta_h = None
@@ -545,6 +555,31 @@ class BCDProblem:
                 beta_d = from_fused_carry(
                     beta_d, self.h_blocks, self.fused_block
                 )
+        elif use_program:
+            from flashdeconv_tpu.ops.bcd import fused_solve_program
+
+            beta_d, n_iter_d, rel_d, obj_d = fused_solve_program(
+                beta0, self.Xty_t_d, self.XtX_d, self.masks_d, self.YtY_d,
+                self._inv_perm_d if self.perm is not None else None,
+                lam_d, rho_d, tol_d,
+                jnp.asarray(max_iter, dtype=jnp.int32),
+                offsets=self.offsets, max_iter=max_iter,
+                h=self.h_blocks, block=self.fused_block,
+                n_spots=self.n_spots,
+            )
+            # beta_d is final: (n_spots, K), un-permuted, on device.
+            if return_device:
+                n_iter_h, rel_h, obj_h = jax.device_get(
+                    (n_iter_d, rel_d, obj_d)
+                )
+            else:
+                n_iter_h, rel_h, obj_h, beta_h = jax.device_get(
+                    (n_iter_d, rel_d, obj_d, beta_d)
+                )
+            n_iter = int(n_iter_h)
+            rel_change = float(rel_h)
+            final_obj = float(obj_h)
+            converged = rel_change < tol
         else:
             # cap == bound here; passing it as a traced arg keeps this the
             # SAME compiled executable as the verbose chunked path.
@@ -558,14 +593,6 @@ class BCDProblem:
             # beta itself — in a single host<->device round trip (it matters
             # when the accelerator is remote-attached).
             obj_d = self._eval_objective(beta_d, lam_d, rho_d)
-            if self.use_fused_banded:
-                # Back to (n_solve, K) on device BEFORE the bundled fetch
-                # (the objective above consumed the carry layout).
-                from flashdeconv_tpu.ops.bcd import from_fused_carry
-
-                beta_d = from_fused_carry(
-                    beta_d, self.h_blocks, self.fused_block
-                )
             if return_device:
                 n_iter_h, rel_h, obj_h = jax.device_get(
                     (n_iter_d, rel_d, obj_d)
@@ -588,6 +615,8 @@ class BCDProblem:
         }
 
         if return_device:
+            if use_program:  # already (n_spots, K), un-permuted on device
+                return beta_d, info
             beta_out = beta_d[: self.n_spots]
             if self.perm is not None:
                 beta_out = jnp.take(beta_out, self._inv_perm_d, axis=0)
@@ -596,7 +625,7 @@ class BCDProblem:
         if beta_h is None:  # verbose path fetched scalars separately
             beta_h = np.asarray(beta_d)
         beta = np.asarray(beta_h, dtype=np.float64)[: self.n_spots]
-        if self.perm is not None:
+        if self.perm is not None and not use_program:
             unperm = np.empty_like(beta)
             unperm[self.perm] = beta
             beta = unperm

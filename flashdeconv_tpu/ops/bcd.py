@@ -846,6 +846,59 @@ def objective_terms_banded_fused(
     return fidelity + spatial + sparsity
 
 
+@partial(
+    jax.jit,
+    static_argnames=("offsets", "max_iter", "h", "block", "n_spots",
+                     "interpret"),
+)
+def fused_solve_program(
+    beta0, Xty_t, XtX, masks, YtY, inv_perm,
+    lambda_, rho, tol, iter_cap,
+    offsets: Tuple[int, ...], max_iter: int, h: int, block: int,
+    n_spots: int, interpret: bool = False,
+):
+    """The WHOLE fused-banded solve as ONE compiled program.
+
+    init -> carry transpose -> converge loop -> final objective -> carry
+    un-transpose -> un-pad -> un-permute, returning ``(beta (n_spots, K),
+    n_iter, rel_change, objective)``. On a remote-attached chip every
+    separately dispatched step costs ~1-1.5 ms of tunnel command latency
+    even when the compute is microseconds — a warm 1M-spot solve spent
+    ~14 ms on the 6-7 dispatches around the loop (measured; see
+    docs/performance_guide.md). One program + one bundled scalar fetch is
+    the dispatch minimum: warm solve = 1 RTT + device time.
+
+    ``beta0`` may be None (uniform 1/K init built on device — no upload)
+    or an (n_solve, K) array; ``inv_perm`` may be None (identity). Both
+    arms are separate jit cache entries. ``n_spots`` is static, so the
+    executable is specialized to the exact spot count (not just the
+    2048-bucket); the persistent compile cache absorbs the one-time cost.
+    The math is exactly the composition of :func:`to_fused_carry`,
+    :func:`bcd_iterate_banded_fused`, :func:`objective_terms_banded_fused`
+    and :func:`from_fused_carry` — each stage's values are identical to
+    the separately-dispatched form.
+    """
+    K, n_solve = Xty_t.shape
+    if beta0 is None:
+        beta0 = jnp.zeros((n_solve, K), dtype=Xty_t.dtype)
+        beta0 = beta0.at[:n_spots].set(1.0 / K)
+    carry = jnp.zeros((K, n_solve + 2 * h * block), dtype=beta0.dtype)
+    carry = lax.dynamic_update_slice(carry, beta0.T, (0, h * block))
+    carry, n_iter, rel = bcd_iterate_banded_fused(
+        carry, Xty_t, XtX, masks, lambda_, rho, tol, max_iter,
+        offsets, h, block=block, iter_cap=iter_cap, interpret=interpret,
+    )
+    obj = objective_terms_banded_fused(
+        carry, Xty_t, XtX, YtY, offsets, masks, lambda_, rho, h, block,
+    )
+    beta = lax.slice_in_dim(
+        carry, h * block, h * block + n_solve, axis=1
+    ).T[:n_spots]
+    if inv_perm is not None:
+        beta = jnp.take(beta, inv_perm, axis=0)
+    return beta, n_iter, rel, obj
+
+
 def sweep_stats(
     beta_out: jnp.ndarray,
     beta_in: jnp.ndarray,

@@ -330,6 +330,53 @@ def test_vmem_gate_calibration_bounds():
             > FUSED_VMEM_BUDGET_BYTES, (K, U, h, block)
 
 
+def test_fused_solve_program_matches_decomposed():
+    """ops/bcd.fused_solve_program (the one-dispatch solve) must reproduce
+    the decomposed to_carry -> converge loop -> objective -> from_carry
+    sequence bitwise, build the default uniform init on device, un-pad to
+    n_spots, and apply the inverse permutation — for both init arms."""
+    from flashdeconv_tpu.ops.bcd import fused_solve_program
+
+    p = _fused_problem(seed=5)
+    n, K = p["beta0"].shape
+    n_spots = n - 7          # emulate spot-axis padding
+    lam, rho = jnp.float32(0.5), jnp.float32(0.1)
+    tol, yty = jnp.float32(1e-30), jnp.float32(37.5)
+    cap = jnp.asarray(3, jnp.int32)
+    rng = np.random.RandomState(11)
+    perm = rng.permutation(n_spots)
+    inv = np.empty(n_spots, dtype=np.int32)
+    inv[perm] = np.arange(n_spots, dtype=np.int32)
+    inv_d = jnp.asarray(inv)
+
+    # decomposed reference, default uniform init over the first n_spots
+    beta0 = jnp.zeros((n, K), jnp.float32).at[:n_spots].set(1.0 / K)
+    carry0 = to_fused_carry(beta0, p["h"], BLOCK)
+    carry, it_ref, rel_ref = bcd_iterate_banded_fused(
+        carry0, p["Xty"].T, p["XtX"], p["masks"], lam, rho, tol, 3,
+        p["offsets"], p["h"], block=BLOCK, iter_cap=cap, interpret=True,
+    )
+    obj_ref = objective_terms_banded_fused(
+        carry, p["Xty"].T, p["XtX"], yty, p["offsets"], p["masks"],
+        lam, rho, p["h"], BLOCK,
+    )
+    beta_ref = np.asarray(from_fused_carry(carry, p["h"], BLOCK))[:n_spots]
+    beta_ref = beta_ref[inv]
+
+    for init in (None, beta0):
+        beta, it, rel, obj = fused_solve_program(
+            init, jnp.asarray(np.ascontiguousarray(np.asarray(p["Xty"]).T)),
+            p["XtX"], p["masks"], yty, inv_d, lam, rho, tol, cap,
+            offsets=p["offsets"], max_iter=3, h=p["h"], block=BLOCK,
+            n_spots=n_spots, interpret=True,
+        )
+        assert beta.shape == (n_spots, K)
+        assert int(it) == int(it_ref)
+        np.testing.assert_array_equal(np.asarray(beta), beta_ref)
+        np.testing.assert_array_equal(float(rel), float(rel_ref))
+        np.testing.assert_array_equal(float(obj), float(obj_ref))
+
+
 # ---- round 4: large-K tier (MXU-panel pass + adaptive block planning) ----
 
 
