@@ -112,22 +112,37 @@ def main() -> None:
             offs, hb, blk = (
                 problem.offsets, problem.h_blocks, problem.fused_block
             )
-            sweep_fn = jax.jit(
-                lambda c, xty_t, xtx, masks, la, rh: fused_banded_sweep(
-                    c, xty_t, xtx, masks, la, rh, offs, hb, block=blk,
-                )
-            )
             ops = (problem.Xty_t_d, problem.XtX_d, problem.masks_d,
                    lam, rho)
-            jax.block_until_ready(sweep_fn(carry, *ops))
-            best = float("inf")
-            for _ in range(5):
+
+            # On-device fori difference (see docs/performance_guide.md
+            # "Measuring the sweep"): short/long loop, scalar-fetch
+            # synced — immune to both the per-dispatch tunnel latency
+            # (~1 ms/sweep in chained timings) and the async-ack
+            # block_until_ready mode.
+            from functools import partial
+
+            @partial(jax.jit, static_argnums=(6,))
+            def nsweeps(c, xty_t, xtx, masks, la, rh, nn):
+                def body(_i, cc):
+                    c2, _d, _a = fused_banded_sweep(
+                        cc, xty_t, xtx, masks, la, rh, offs, hb, block=blk,
+                    )
+                    return c2
+                return jax.lax.fori_loop(0, nn, body, c)
+
+            def timed_loop(nn: int) -> float:
                 t0 = time.perf_counter()
-                c = carry
-                for _ in range(20):
-                    c, _d, _a = sweep_fn(c, *ops)
-                jax.block_until_ready(c)
-                best = min(best, (time.perf_counter() - t0) / 20)
+                float(jax.device_get(nsweeps(carry, *ops, nn)[0, 0]))
+                return time.perf_counter() - t0
+
+            timed_loop(3)
+            timed_loop(13)
+            best = float("inf")
+            for _ in range(6):
+                t_short = timed_loop(3)
+                t_long = timed_loop(13)
+                best = min(best, max(t_long - t_short, 0.0) / 10)
             sweep_ms = round(best * 1e3, 3)
 
         row = {
