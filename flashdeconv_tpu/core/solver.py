@@ -512,13 +512,21 @@ class BCDProblem:
         lam_d = jnp.asarray(lambda_, dtype=self.dtype)
         rho_d = jnp.asarray(rho * self.mean_diag, dtype=self.dtype)
         tol_d = jnp.asarray(tol, dtype=self.dtype)
-        # The fused non-verbose solve runs as ONE compiled program
-        # (ops/bcd.fused_solve_program): on a remote-attached chip each
-        # separate dispatch costs ~1-1.5 ms of tunnel command latency, and
-        # the init/loop/objective/unpack sequence was ~14 ms of it at 1M
-        # spots. The program also slices + un-permutes beta on device, so
-        # its output is final for both return modes.
-        use_program = self.use_fused_banded and not verbose
+        # The non-verbose solve runs as ONE compiled program
+        # (ops/bcd.fused_solve_program for the fused tier,
+        # ops/bcd.solve_program for the gather/unfused-banded tiers): on a
+        # remote-attached chip each separate dispatch costs ~1-1.5 ms of
+        # tunnel command latency, and the init/loop/objective/unpack
+        # sequence was ~14 ms of it at 1M spots. The program also slices +
+        # un-permutes beta on device, so its output is final for both
+        # return modes. The float64 path keeps the decomposed dispatches:
+        # its CPU trajectories are pinned bit-level to the reference
+        # implementation (and bit-deterministic run-to-run), and a jit
+        # re-composition is not worth any fusion-order risk there — while
+        # its dispatch overhead on a local CPU is microseconds anyway.
+        use_program = not verbose and (
+            self.use_fused_banded or self.dtype == np.float32
+        )
         if use_program:
             beta0 = None if beta_init is None else self._beta0(beta_init)
         else:
@@ -556,17 +564,40 @@ class BCDProblem:
                     beta_d, self.h_blocks, self.fused_block
                 )
         elif use_program:
-            from flashdeconv_tpu.ops.bcd import fused_solve_program
+            inv_perm = self._inv_perm_d if self.perm is not None else None
+            cap = jnp.asarray(max_iter, dtype=jnp.int32)
+            if self.use_fused_banded:
+                from flashdeconv_tpu.ops.bcd import fused_solve_program
 
-            beta_d, n_iter_d, rel_d, obj_d = fused_solve_program(
-                beta0, self.Xty_t_d, self.XtX_d, self.masks_d, self.YtY_d,
-                self._inv_perm_d if self.perm is not None else None,
-                lam_d, rho_d, tol_d,
-                jnp.asarray(max_iter, dtype=jnp.int32),
-                offsets=self.offsets, max_iter=max_iter,
-                h=self.h_blocks, block=self.fused_block,
-                n_spots=self.n_spots,
-            )
+                beta_d, n_iter_d, rel_d, obj_d = fused_solve_program(
+                    beta0, self.Xty_t_d, self.XtX_d, self.masks_d,
+                    self.YtY_d, inv_perm, lam_d, rho_d, tol_d, cap,
+                    offsets=self.offsets, max_iter=max_iter,
+                    h=self.h_blocks, block=self.fused_block,
+                    n_spots=self.n_spots,
+                )
+            else:
+                from flashdeconv_tpu.ops.bcd import solve_program
+
+                operands = {
+                    "Xty": self.Xty_d, "XtX": self.XtX_d,
+                    "YtY": self.YtY_d, "nnb": self.nnb_d,
+                }
+                if self.use_banded:
+                    operands["masks"] = self.masks_d
+                    operands["rest"] = self.rest_d
+                    tier, offs, halo = "banded", self.offsets, self.halo
+                else:
+                    operands["nbr"] = self.nbr_d
+                    if self.ov_src_d is not None:
+                        operands["ov_src"] = self.ov_src_d
+                        operands["ov_dst"] = self.ov_dst_d
+                    tier, offs, halo = "gather", None, 0
+                beta_d, n_iter_d, rel_d, obj_d = solve_program(
+                    beta0, operands, inv_perm, lam_d, rho_d, tol_d, cap,
+                    tier=tier, offsets=offs, halo=halo, max_iter=max_iter,
+                    use_pallas=self.use_pallas, n_spots=self.n_spots,
+                )
             # beta_d is final: (n_spots, K), un-permuted, on device.
             if return_device:
                 n_iter_h, rel_h, obj_h = jax.device_get(

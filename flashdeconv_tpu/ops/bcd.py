@@ -899,6 +899,63 @@ def fused_solve_program(
     return beta, n_iter, rel, obj
 
 
+@partial(
+    jax.jit,
+    static_argnames=("tier", "offsets", "halo", "max_iter", "use_pallas",
+                     "n_spots"),
+)
+def solve_program(
+    beta0, operands, inv_perm, lambda_, rho, tol, iter_cap,
+    tier: str, offsets: Optional[Tuple[int, ...]], halo: int,
+    max_iter: int, use_pallas: bool, n_spots: int,
+):
+    """The gather / unfused-banded solve as ONE compiled program.
+
+    The non-fused analog of :func:`fused_solve_program` (same dispatch-
+    latency rationale): converge loop + final objective + un-pad +
+    un-permute in a single dispatch. ``operands`` is a dict pytree of the
+    prepared device arrays — ``Xty``/``XtX``/``YtY``/``nnb`` plus, for
+    ``tier="banded"``, ``masks``/``rest``; for ``tier="gather"``,
+    ``nbr`` and optional ``ov_src``/``ov_dst``. ``beta0`` may be None
+    (uniform 1/K over the first ``n_spots`` rows, built on device).
+    The math is exactly the composition of the separately-dispatched
+    :func:`bcd_iterate`/:func:`bcd_iterate_banded` and
+    :func:`objective_terms`/:func:`objective_terms_banded`.
+    """
+    Xty = operands["Xty"]
+    if beta0 is None:
+        n_solve, K = Xty.shape
+        beta0 = jnp.zeros((n_solve, K), dtype=Xty.dtype)
+        beta0 = beta0.at[:n_spots].set(1.0 / K)
+    if tier == "banded":
+        beta, n_iter, rel = bcd_iterate_banded(
+            beta0, Xty, operands["XtX"], offsets, operands["masks"],
+            operands["rest"], operands["nnb"], lambda_, rho, tol,
+            max_iter, halo, use_pallas, iter_cap=iter_cap,
+        )
+        obj = objective_terms_banded(
+            beta, Xty, operands["XtX"], operands["YtY"], offsets,
+            operands["masks"], operands["rest"], operands["nnb"],
+            lambda_, rho, halo,
+        )
+    else:  # "gather"
+        beta, n_iter, rel = bcd_iterate(
+            beta0, Xty, operands["XtX"], operands["nbr"], operands["nnb"],
+            lambda_, rho, tol, max_iter, use_pallas=use_pallas,
+            iter_cap=iter_cap, ov_src=operands.get("ov_src"),
+            ov_dst=operands.get("ov_dst"),
+        )
+        obj = objective_terms(
+            beta, Xty, operands["XtX"], operands["YtY"], operands["nbr"],
+            operands["nnb"], lambda_, rho, ov_src=operands.get("ov_src"),
+            ov_dst=operands.get("ov_dst"),
+        )
+    beta = beta[:n_spots]
+    if inv_perm is not None:
+        beta = jnp.take(beta, inv_perm, axis=0)
+    return beta, n_iter, rel, obj
+
+
 def sweep_stats(
     beta_out: jnp.ndarray,
     beta_in: jnp.ndarray,
