@@ -126,6 +126,70 @@ class TestPreparedSolve:
             prob.solve(beta_init=np.zeros((3, 3)))
 
 
+class TestSolveProgram:
+    """The one-dispatch f32 solve (ops/bcd.solve_program) must reproduce
+    the decomposed _run_chunk + _eval_objective dispatches bitwise on the
+    gather and unfused-banded tiers (the fused tier has its own test in
+    test_fused_banded.py)."""
+
+    def _decomposed(self, prob, lambda_, rho, max_iter):
+        import jax
+        import jax.numpy as jnp
+
+        lam_d = jnp.asarray(lambda_, dtype=prob.dtype)
+        rho_d = jnp.asarray(rho * prob.mean_diag, dtype=prob.dtype)
+        tol_d = jnp.asarray(1e-30, dtype=prob.dtype)
+        beta0 = prob._beta0(None)
+        beta_d, n_iter, rel = prob._run_chunk(
+            beta0, lam_d, rho_d, tol_d, max_iter,
+            jnp.asarray(max_iter, jnp.int32),
+        )
+        obj = prob._eval_objective(beta_d, lam_d, rho_d)
+        beta = np.asarray(beta_d)[: prob.n_spots]
+        if prob.perm is not None:
+            unperm = np.empty_like(beta)
+            unperm[prob.perm] = beta
+            beta = unperm
+        return beta, int(n_iter), float(obj)
+
+    def _check(self, prob, tier_attr):
+        assert not prob.use_fused_banded
+        assert getattr(prob, tier_attr)
+        beta, info = prob.solve(
+            lambda_=0.3, rho=0.02, max_iter=5, tol=1e-30,
+        )
+        beta_ref, it_ref, obj_ref = self._decomposed(prob, 0.3, 0.02, 5)
+        assert info["n_iterations"] == it_ref
+        np.testing.assert_array_equal(
+            beta.astype(np.float32), beta_ref.astype(np.float32)
+        )
+        np.testing.assert_array_equal(
+            np.float32(info["final_objective"]), np.float32(obj_ref)
+        )
+
+    def test_gather_tier(self, problem):
+        Y, X, A = problem  # irregular kNN graph -> gather tier
+        prob = prepare_bcd(Y, X, A, dtype=np.float32)
+        assert not prob.use_banded
+        self._check(prob, "n_spots")
+
+    def test_banded_tier(self):
+        # grid graph above the banded-analysis gate (8192 spots); the
+        # fused kernel stays off on the CPU test backend, so this is the
+        # unfused banded tier
+        side = 96
+        xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+        coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+        A = build_knn_graph(coords, k=4)
+        n = A.shape[0]
+        rng = np.random.RandomState(3)
+        X = rng.randn(5, 32)
+        Y = rng.rand(n, 5) @ X + 0.1 * rng.randn(n, 32)
+        prob = prepare_bcd(Y, X, A, dtype=np.float32, coords=coords)
+        assert prob.use_banded
+        self._check(prob, "use_banded")
+
+
 class TestVerboseCadence:
     def test_objective_logged_at_iteration_zero(self, problem, capsys):
         """Reference cadence: objective after sweeps 0, 10, 20, ...
