@@ -55,6 +55,6 @@ def _setup_compilation_cache() -> None:
 _setup_compilation_cache()
 
 from flashdeconv_tpu.core.deconv import FlashDeconv
-from flashdeconv_tpu import tl
+from flashdeconv_tpu import pl, tl
 
-__all__ = ["FlashDeconv", "tl", "__version__"]
+__all__ = ["FlashDeconv", "tl", "pl", "__version__"]
