@@ -54,8 +54,28 @@ def _get_props(adata: Any, key: str):
     return values, names
 
 
+def _resolve_inputs(adata, key, spatial_key, coords, proportions,
+                    cell_type_names):
+    """(coords, values, names) from either an AnnData or explicit arrays."""
+    if adata is not None:
+        values, names = _get_props(adata, key)
+        return _get_coords(adata, spatial_key), values, names
+    if coords is None or proportions is None:
+        raise ValueError(
+            "pass an AnnData (the tl.deconvolve workflow) or both "
+            "coords= and proportions= (the array-level workflow)"
+        )
+    values = np.asarray(proportions)
+    names = (
+        [str(c) for c in cell_type_names]
+        if cell_type_names is not None
+        else [f"type_{i}" for i in range(values.shape[1])]
+    )
+    return np.asarray(coords, dtype=float), values, names
+
+
 def spatial(
-    adata: Any,
+    adata: Any = None,
     color: str = "dominant",
     key: str = "flashdeconv",
     spatial_key: str = "spatial",
@@ -65,16 +85,23 @@ def spatial(
     title: Optional[str] = None,
     colorbar: bool = True,
     legend: bool = True,
+    coords: Optional[np.ndarray] = None,
+    proportions: Optional[np.ndarray] = None,
+    cell_type_names: Optional[Sequence[str]] = None,
 ):
     """Spatial scatter of the deconvolution result.
 
     Parameters
     ----------
-    adata : AnnData with ``obsm[key]`` (written by ``tl.deconvolve``).
-    color : ``"dominant"`` (categorical dominant-type map, the
-        ``obs[f"{key}_dominant"]`` column) or one cell-type name (that
-        type's proportion as a continuous map).
-    key, spatial_key : result / coordinate keys.
+    adata : AnnData with ``obsm[key]`` (written by ``tl.deconvolve``);
+        or None to plot array-level results — pass ``coords`` and
+        ``proportions`` (e.g. ``FlashDeconv.fit_transform``'s output)
+        plus optional ``cell_type_names``.
+    color : ``"dominant"`` (categorical dominant-type map — the
+        ``obs[f"{key}_dominant"]`` column, or the proportions argmax on
+        the array path) or one cell-type name (that type's proportion as
+        a continuous map).
+    key, spatial_key : result / coordinate keys (AnnData path).
     ax : existing matplotlib Axes to draw on (a fresh figure otherwise).
     spot_size : marker area in points²; auto-scaled from spot count when
         None.
@@ -86,20 +113,29 @@ def spatial(
     _require_mpl()
     import matplotlib.pyplot as plt
 
-    coords = _get_coords(adata, spatial_key)
-    n = coords.shape[0]
+    xy, values, names = _resolve_inputs(
+        adata, key, spatial_key, coords, proportions, cell_type_names
+    )
+    n = xy.shape[0]
     if spot_size is None:
         spot_size = float(np.clip(2e5 / max(n, 1), 0.5, 40.0))
     if ax is None:
         _, ax = plt.subplots(figsize=(6, 6))
+    coords = xy
 
     if color == "dominant":
-        col = f"{key}_dominant"
-        if col not in adata.obs:
-            raise KeyError(
-                f"adata.obs[{col!r}] not found — run tl.deconvolve first"
+        if adata is not None:
+            col = f"{key}_dominant"
+            if col not in adata.obs:
+                raise KeyError(
+                    f"adata.obs[{col!r}] not found — run tl.deconvolve "
+                    f"first"
+                )
+            labels = np.asarray(adata.obs[col].astype(str))
+        else:
+            labels = np.asarray(
+                [names[i] for i in values.argmax(axis=1)]
             )
-        labels = np.asarray(adata.obs[col].astype(str))
         cats = sorted(set(labels))
         cmap_cat = plt.get_cmap("tab20")
         for i, cat in enumerate(cats):
@@ -115,10 +151,9 @@ def spatial(
             )
         ax.set_title(title or f"{key}: dominant cell type")
     else:
-        values, names = _get_props(adata, key)
         if color not in names:
             raise KeyError(
-                f"{color!r} is not a cell type of adata.obsm[{key!r}]; "
+                f"{color!r} is not a cell type of the result; "
                 f"available: {names}"
             )
         v = values[:, names.index(color)]
@@ -137,20 +172,34 @@ def spatial(
 
 
 def composition(
-    adata: Any,
+    adata: Any = None,
     key: str = "flashdeconv",
     ax: Any = None,
     sort: bool = True,
     color: Optional[Sequence] = None,
+    proportions: Optional[np.ndarray] = None,
+    cell_type_names: Optional[Sequence[str]] = None,
 ):
     """Mean cell-type composition bar chart (mean proportion per type).
 
+    Accepts the ``tl.deconvolve`` AnnData or, on the array-level
+    workflow, ``proportions=`` (+ optional ``cell_type_names=``).
     Returns the matplotlib Axes.
     """
     _require_mpl()
     import matplotlib.pyplot as plt
 
-    values, names = _get_props(adata, key)
+    if adata is not None:
+        values, names = _get_props(adata, key)
+    elif proportions is not None:
+        values = np.asarray(proportions)
+        names = (
+            [str(c) for c in cell_type_names]
+            if cell_type_names is not None
+            else [f"type_{i}" for i in range(values.shape[1])]
+        )
+    else:
+        raise ValueError("pass an AnnData or proportions=")
     means = values.mean(axis=0)
     order = np.argsort(means)[::-1] if sort else np.arange(means.size)
     if ax is None:

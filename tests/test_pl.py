@@ -70,10 +70,33 @@ def test_spatial_on_existing_ax_and_errors(fitted_adata):
     assert ax is ax0
     with pytest.raises(KeyError, match="not a cell type"):
         fd.pl.spatial(fitted_adata, color="no_such_type")
-    with pytest.raises(KeyError, match="dominant"):
+    with pytest.raises(KeyError, match="missing_key"):
         fd.pl.spatial(fitted_adata, color="dominant", key="missing_key")
     with pytest.raises(KeyError, match="obsm"):
         fd.pl.composition(fitted_adata, key="missing_key")
+    with pytest.raises(ValueError, match="coords"):
+        fd.pl.spatial()
+    plt.close("all")
+
+
+def test_array_level_workflow(fitted_adata):
+    """pl works without AnnData: coords + proportions arrays."""
+    P = np.asarray(fitted_adata.obsm["flashdeconv"])
+    names = list(fitted_adata.obsm["flashdeconv"].columns)
+    coords = np.asarray(fitted_adata.obsm["spatial"], dtype=float)
+    ax = fd.pl.spatial(
+        coords=coords, proportions=P, cell_type_names=names,
+    )
+    assert sum(len(c.get_offsets()) for c in ax.collections) == P.shape[0]
+    ax2 = fd.pl.spatial(
+        coords=coords, proportions=P, cell_type_names=names,
+        color=names[2],
+    )
+    np.testing.assert_allclose(
+        np.asarray(ax2.collections[0].get_array()), P[:, 2], atol=1e-6
+    )
+    ax3 = fd.pl.composition(proportions=P)  # default type_i names
+    assert len(ax3.patches) == P.shape[1]
     plt.close("all")
 
 
