@@ -21,7 +21,7 @@ Two entry points:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple, Union
+from typing import Optional, Tuple
 
 import numpy as np
 from scipy import sparse
