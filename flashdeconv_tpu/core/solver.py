@@ -275,15 +275,25 @@ class BCDProblem:
         use_pallas = pallas_tier and n_types <= 128
         fused_plan = None
         if pallas_tier and use_banded and A_rest.nnz == 0:
-            from flashdeconv_tpu.ops.bcd import plan_fused_banded
+            from flashdeconv_tpu.ops.bcd import (
+                FUSED_BLOCK_CANDIDATES_1D,
+                plan_fused_banded,
+            )
 
             halo_spots = int(np.max(np.abs(offsets_np)))
             fused_plan = plan_fused_banded(
-                n_types, int(offsets_np.size), halo_spots
+                n_types, int(offsets_np.size), halo_spots,
+                candidates=FUSED_BLOCK_CANDIDATES_1D,
             )
         n_solve = n_spots
         if use_pallas or fused_plan is not None:
-            n_solve = -(-n_spots // 2048) * 2048
+            # Pad the spot axis to the larger of 2048 (the unfused Pallas
+            # CD kernel's fixed block) and the planned fused block (4096
+            # at small K — see FUSED_BLOCK_CANDIDATES_1D).
+            gran = 2048
+            if fused_plan is not None:
+                gran = max(gran, int(fused_plan[0]))
+            n_solve = -(-n_spots // gran) * gran
         pad = n_solve - n_spots
         self.use_pallas = use_pallas
         self.n_solve = n_solve

@@ -540,6 +540,17 @@ def fused_banded_vmem_bytes(n_types: int, n_bands: int, h: int,
 #: largest block that fits VMEM wins: fewer grid steps, wider VPU rows.
 FUSED_BLOCK_CANDIDATES = (2048, 1024, 512, 256)
 
+#: Single-device candidate list: leads with 4096 — fewer grid steps
+#: amortize the per-block window-roll/stats overhead (~5% per sweep at
+#: 1M x 20, fori-protocol A/B vs 2048; the VMEM gate limits it to
+#: K <~ 32). A 4096 block does NOT divide the 2048 padding granularity,
+#: so BCDProblem bumps its spot-axis padding to the planned block; the
+#: sharded planners keep the 2048-led list (per-shard lengths are padded
+#: to 2048, and the block size never changes the iterate — the sweep
+#: math is elementwise in the block dimension — so mixed-block
+#: single-vs-mesh solves stay bitwise identical).
+FUSED_BLOCK_CANDIDATES_1D = (4096,) + FUSED_BLOCK_CANDIDATES
+
 
 def plan_fused_banded(
     n_types: int,
