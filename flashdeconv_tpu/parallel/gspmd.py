@@ -260,7 +260,7 @@ class GspmdBandedProblem:
         # actually engages, so an unfused Pallas fallback always sees its
         # required 2048-aligned shards.
         from flashdeconv_tpu.ops.bcd import (
-            FUSED_BLOCK_CANDIDATES,
+            FUSED_BLOCK_CANDIDATES_1D,
             FUSED_VMEM_BUDGET_BYTES,
             fused_banded_vmem_bytes,
         )
@@ -268,9 +268,13 @@ class GspmdBandedProblem:
         use_fused = False
         block = 2048 if self.use_pallas else 8
         if pallas_tier or fused_interpret:
+            # Same candidate list as the single-device planner (4096-led;
+            # the block never changes the iterate, and the shard padding
+            # below already follows the chosen block, so 4096 shards stay
+            # 2048-aligned for the unfused fallback too).
             cands = (
                 (int(fused_block),) if fused_block is not None
-                else FUSED_BLOCK_CANDIDATES
+                else FUSED_BLOCK_CANDIDATES_1D
             )
             for cand in cands:
                 h = -(-self.halo // cand) if self.halo else 0
