@@ -459,6 +459,30 @@ def test_large_k_fused_matches_unfused_iterate():
     )
 
 
+def test_plan_fused_banded_blocks_single_device():
+    """The single-device candidate list leads with 4096 (measured ~5%
+    faster per sweep than 2048); the VMEM gate hands K > 40 back to the
+    shared 2048-led tail. The 4096 x 16-band boundary combos (K = 28-40)
+    are Mosaic-compile-verified on hardware (2026-08-20)."""
+    from flashdeconv_tpu.ops.bcd import (
+        FUSED_BLOCK_CANDIDATES_1D,
+        plan_fused_banded,
+    )
+
+    def f(K):
+        return plan_fused_banded(
+            K, 16, 2001, candidates=FUSED_BLOCK_CANDIDATES_1D
+        )
+
+    assert f(8) == (4096, 1)
+    assert f(20) == (4096, 1)
+    assert f(40) == (4096, 1)
+    assert f(44) == (2048, 1)
+    assert f(64) == (2048, 1)
+    assert f(96) == (1024, 2)
+    assert f(160) == (512, 4)
+
+
 def test_plan_fused_banded_blocks():
     """Pin the planner's block choices across the K range (1M-spot grid
     kNN shape: 16 bands, halo ~ 1001): shrinking blocks carry the fused
