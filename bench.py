@@ -160,12 +160,14 @@ def main() -> None:
     backend = jax.default_backend()
     print(f"# backend={backend} devices={jax.devices()}", file=sys.stderr)
 
-    from flashdeconv_tpu.utils.hostmem import reserve_host_arena
+    from flashdeconv_tpu.utils.hostmem import reserve_host_arena_async
 
-    t0 = time.perf_counter()
-    if reserve_host_arena(10):
-        print(f"# host arena reserved in {time.perf_counter() - t0:.1f}s",
-              file=sys.stderr)
+    # Arena pre-fault in the background (this VM commits fresh pages at
+    # only ~0.33 GB/s): problem generation + graph build run concurrently
+    # with the faulting, and only prepare — the first stage whose big
+    # temporaries should recycle arena pages — waits for it.
+    t_arena = time.perf_counter()
+    arena = reserve_host_arena_async(10)
 
     n = N_SPOTS if backend == "tpu" else 100_000  # CPU fallback stays quick
     print(f"# generating {n}-spot problem...", file=sys.stderr)
@@ -175,6 +177,15 @@ def main() -> None:
     t0 = time.perf_counter()
     A = build_knn_graph(coords, k=K_NEIGHBORS)
     print(f"# graph built in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    if arena.wait():
+        print(
+            f"# host arena ready {time.perf_counter() - t_arena:.1f}s after "
+            f"start; blocked {time.perf_counter() - t0:.1f}s (rest "
+            "overlapped with generation + graph)",
+            file=sys.stderr,
+        )
 
     solve_kwargs = dict(lambda_=0.1, rho=0.01, max_iter=MAX_ITER, tol=TOL)
 
@@ -240,7 +251,14 @@ def main() -> None:
         # array becomes a compile-request constant, and the remote compile
         # endpoint rejects large bodies (HTTP 413 at K >= 96's ~400 MB Xty).
         offs, hb, blk = problem.offsets, problem.h_blocks, problem.fused_block
-        ops = (problem.Xty_t_d, problem.XtX_d, problem.masks_d, lam, rho)
+        from flashdeconv_tpu.ops.bcd import gs_inv_den, rest_ns_update
+
+        inv_den_t = gs_inv_den(problem.XtX_d, problem.nnb_d, lam)
+        touched, slots = problem.rest_touched_d, problem.rest_slots_d
+        has_rest = touched is not None
+        ns_rest0 = jnp.zeros_like(problem.Xty_t_d) if has_rest else None
+        ops = (problem.Xty_t_d, problem.XtX_d, problem.masks_d, inv_den_t,
+               ns_rest0, touched, slots, lam, rho)
 
         # Timing discipline (round-4 lesson, see docs/performance_guide.md
         # "Measuring the sweep"): per-sweep DISPATCH chains measure the
@@ -255,14 +273,22 @@ def main() -> None:
         # every runtime mode.
         from functools import partial
 
-        @partial(jax.jit, static_argnums=(6,))
-        def nsweeps(c, xty_t, xtx, masks, la, rh, n):
-            def body(_i, cc):
+        @partial(jax.jit, static_argnums=(10,))
+        def nsweeps(c, xty_t, xtx, masks, inv_t, nsr0, touched, slots,
+                    la, rh, n):
+            # The timed loop body is the production sweep exactly: the
+            # compact rest-edge refresh (when the band-cap spilled any
+            # bands) followed by the fused kernel.
+            def body(_i, state):
+                cc, nsr = state
+                if has_rest:
+                    nsr = rest_ns_update(nsr, cc, touched, slots)
                 c2, _d, _a = fused_banded_sweep(
-                    cc, xty_t, xtx, masks, la, rh, offs, hb, block=blk,
+                    cc, xty_t, xtx, masks, inv_t, la, rh, offs, hb,
+                    block=blk, ns_rest_t=nsr if has_rest else None,
                 )
-                return c2
-            return jax.lax.fori_loop(0, n, body, c)
+                return (c2, nsr)
+            return jax.lax.fori_loop(0, n, body, (c, nsr0))[0]
 
         n_short, n_long = 5, 30
 

@@ -97,6 +97,8 @@ def main() -> None:
         if problem.use_fused_banded:
             from flashdeconv_tpu.ops.bcd import (
                 fused_banded_sweep,
+                gs_inv_den,
+                rest_ns_update,
                 to_fused_carry,
             )
 
@@ -112,8 +114,12 @@ def main() -> None:
             offs, hb, blk = (
                 problem.offsets, problem.h_blocks, problem.fused_block
             )
+            inv_den_t = gs_inv_den(problem.XtX_d, problem.nnb_d, lam)
+            touched, slots = problem.rest_touched_d, problem.rest_slots_d
+            has_rest = touched is not None
+            nsr0 = jnp.zeros_like(problem.Xty_t_d) if has_rest else None
             ops = (problem.Xty_t_d, problem.XtX_d, problem.masks_d,
-                   lam, rho)
+                   inv_den_t, nsr0, touched, slots, lam, rho)
 
             # On-device fori difference (see docs/performance_guide.md
             # "Measuring the sweep"): short/long loop, scalar-fetch
@@ -122,14 +128,19 @@ def main() -> None:
             # block_until_ready mode.
             from functools import partial
 
-            @partial(jax.jit, static_argnums=(6,))
-            def nsweeps(c, xty_t, xtx, masks, la, rh, nn):
-                def body(_i, cc):
+            @partial(jax.jit, static_argnums=(10,))
+            def nsweeps(c, xty_t, xtx, masks, inv_t, nsr0, touched, slots,
+                        la, rh, nn):
+                def body(_i, state):
+                    cc, nsr = state
+                    if has_rest:
+                        nsr = rest_ns_update(nsr, cc, touched, slots)
                     c2, _d, _a = fused_banded_sweep(
-                        cc, xty_t, xtx, masks, la, rh, offs, hb, block=blk,
+                        cc, xty_t, xtx, masks, inv_t, la, rh, offs, hb,
+                        block=blk, ns_rest_t=nsr if has_rest else None,
                     )
-                    return c2
-                return jax.lax.fori_loop(0, nn, body, c)
+                    return (c2, nsr)
+                return jax.lax.fori_loop(0, nn, body, (c, nsr0))[0]
 
             def timed_loop(nn: int) -> float:
                 t0 = time.perf_counter()

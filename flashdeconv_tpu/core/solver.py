@@ -274,7 +274,24 @@ class BCDProblem:
         )
         use_pallas = pallas_tier and n_types <= 128
         fused_plan = None
-        if pallas_tier and use_banded and A_rest.nnz == 0:
+        # NOTE (round 5, measured): band-capping — spilling the ~8
+        # near-empty boundary-artifact bands of a grid kNN graph into the
+        # rest-stream — was tried and is intentionally NOT done: the XLA
+        # scatter maintaining the rest buffer costs ~0.75 ms/sweep at
+        # 1M x 20 (TPU scatters serialize) vs ~0.3 ms for the 8 spilled
+        # band FMAs, a net 33% sweep regression. The rest-stream below
+        # exists for ELIGIBILITY: banded-dominant graphs whose remainder
+        # is natively nonzero now take the fused kernel (+ rest stream)
+        # instead of falling back to the ~4x slower unfused banded path.
+        # Fused eligibility: everything banded, or a rest remainder small
+        # enough for the compact rest-stream (bounded scatter width).
+        rest_fusable = use_banded and (
+            A_rest.nnz == 0 or (
+                A_rest.nnz <= 0.02 * max(int(A_solve.nnz), 1)
+                and int(np.diff(A_rest.tocsr().indptr).max()) <= 8
+            )
+        )
+        if pallas_tier and rest_fusable:
             from flashdeconv_tpu.ops.bcd import (
                 FUSED_BLOCK_CANDIDATES_1D,
                 plan_fused_banded,
@@ -387,13 +404,28 @@ class BCDProblem:
             # every prepare (~0.4 s each over the tunnel); eager
             # primitives hit the cached dispatch path.
             self.Xty_t_d = Xty_d.T
-            # The row-layout operands are unreachable on the fused
-            # path (sweep AND objective consume the transposed /
-            # uint8 copies, and derive the degree from the masks);
-            # release them so the dominant (N, K) buffer is not
-            # resident twice (~800 MB at 10M spots).
+            # The row-layout Xty is unreachable on the fused path
+            # (sweep AND objective consume the transposed / uint8
+            # copies); release it so the dominant (N, K) buffer is not
+            # resident twice (~800 MB at 10M spots). The tiny (n_solve,)
+            # degree vector STAYS resident: the per-solve reciprocal
+            # denominator (ops/bcd.gs_inv_den) is computed from it on
+            # device at the top of every fused solve program.
             self.Xty_d = None
-            self.nnb_d = None
+            # Compact rest-edge tables for the rest-stream (the spilled
+            # sparse bands + any native remainder — see
+            # ops/bcd.build_fused_rest_tables).
+            from flashdeconv_tpu.ops.bcd import build_fused_rest_tables
+
+            touched_np, slots_np = build_fused_rest_tables(
+                rest_nbr_np, n_spots, self.h_blocks, self.fused_block
+            )
+            self.rest_touched_d = (
+                jnp.asarray(touched_np) if touched_np is not None else None
+            )
+            self.rest_slots_d = (
+                jnp.asarray(slots_np) if slots_np is not None else None
+            )
         if use_banded and not self.use_fused_banded:
             # Unfused banded sweeps multiply by the masks every offset
             # pass: widen the uint8 copy once and keep only the f32.
@@ -429,8 +461,10 @@ class BCDProblem:
             # masks_d is the uint8 copy, widened in-kernel.
             return bcd_iterate_banded_fused(
                 beta_d, self.Xty_t_d, self.XtX_d, self.masks_d,
-                lam_d, rho_d, tol_d, max_iter,
+                self.nnb_d, lam_d, rho_d, tol_d, max_iter,
                 self.offsets, self.h_blocks, block=self.fused_block,
+                rest_touched=self.rest_touched_d,
+                rest_slot_cols=self.rest_slots_d,
                 iter_cap=cap,
             )
         if self.use_banded:
@@ -455,10 +489,14 @@ class BCDProblem:
         if self.use_fused_banded:
             from flashdeconv_tpu.ops.bcd import objective_terms_banded_fused
 
+            if isinstance(beta_d, tuple):
+                beta_d = beta_d[0]  # rest-stream loop carry (ext, ns_rest)
             return objective_terms_banded_fused(
                 beta_d, self.Xty_t_d, self.XtX_d, self.YtY_d, self.offsets,
                 self.masks_d, lam_d, rho_d,
                 self.h_blocks, self.fused_block,
+                nnb=self.nnb_d, rest_touched=self.rest_touched_d,
+                rest_slot_cols=self.rest_slots_d,
             )
         if self.use_banded:
             return objective_terms_banded(
@@ -581,10 +619,13 @@ class BCDProblem:
 
                 beta_d, n_iter_d, rel_d, obj_d = fused_solve_program(
                     beta0, self.Xty_t_d, self.XtX_d, self.masks_d,
-                    self.YtY_d, inv_perm, lam_d, rho_d, tol_d, cap,
+                    self.nnb_d, self.YtY_d, inv_perm, lam_d, rho_d,
+                    tol_d, cap,
                     offsets=self.offsets, max_iter=max_iter,
                     h=self.h_blocks, block=self.fused_block,
                     n_spots=self.n_spots,
+                    rest_touched=self.rest_touched_d,
+                    rest_slot_cols=self.rest_slots_d,
                 )
             else:
                 from flashdeconv_tpu.ops.bcd import solve_program

@@ -256,13 +256,41 @@ def _gs_panel_width(n_types: int) -> Optional[int]:
     return _GS_PANEL_P_SMALL if n_types <= _GS_PANEL_WIDE_K else _GS_PANEL_P
 
 
-def _gs_prologue(beta_old, xty, xtx, ns, nnb, lam, rho):
+def gs_inv_den(XtX, n_nbrs, lam):
+    """Per-solve reciprocal Gauss-Seidel denominator, positivity-guarded.
+
+    ``1 / (diag(XtX) + lam * degree)`` with ``den <= 1e-10 -> 0`` so
+    ``num * inv_den`` yields the guarded 0.0 branch-free (num is finite
+    and >= 0, matching the reference's den guard at reference
+    ``flashdeconv/core/solver.py:88-93``).
+
+    The denominator is SWEEP-INVARIANT (degree, diag and lam are fixed
+    for a solve), so every Pallas GS caller computes this ONCE per solve
+    in XLA and streams the (K, B) result into the kernels — removing the
+    per-sweep in-kernel degree column-sum, denominator FMA, guard compare
+    and reciprocal (a multi-instruction Newton sequence on the VPU) from
+    an instruction-issue-bound loop (round-5 ablation,
+    docs/performance_guide.md). Both Pallas tiers (fused and unfused)
+    consume THE SAME precomputed array, so their bitwise equality
+    (hw_parity check 1) is preserved by construction. The f64 XLA path
+    (:func:`coordinate_descent`) keeps its own in-sweep denominator and
+    is untouched.
+
+    ``n_nbrs``: (B,) or (1, B) float degrees. Returns (K, B).
+    """
+    diag = jnp.diagonal(XtX)[:, None]
+    den = diag + lam * jnp.reshape(n_nbrs, (1, -1)).astype(XtX.dtype)
+    return jnp.where(den > 1e-10, 1.0 / den, 0.0)
+
+
+def _gs_prologue(beta_old, xty, xtx, ns, lam, rho):
     """Shared hoisted prologue of both Gauss-Seidel passes.
 
-    Returns (C, den_safe): the coordinate-order-independent numerator part
-    ``C = xty + lam*ns - r0 + diag(xtx)*beta_old - rho`` (one full-(K, B)
-    computation) and the positivity-guarded denominator (``den <= 1e-10 ->
-    +inf`` so ``num/den`` yields the guarded 0.0 branch-free).
+    Returns C, the coordinate-order-independent numerator part
+    ``C = xty + lam*ns - r0 + diag(xtx)*beta_old - rho`` as one
+    full-(K, B) computation. The (likewise coordinate-order-independent)
+    reciprocal denominator is sweep-invariant and precomputed per solve
+    (:func:`gs_inv_den`), not here.
     """
     K = beta_old.shape[0]
     r0 = jax.lax.dot_general(
@@ -275,13 +303,10 @@ def _gs_prologue(beta_old, xty, xtx, ns, nnb, lam, rho):
     cid = lax.broadcasted_iota(jnp.int32, (K, K), 1)
     diag = jnp.sum(jnp.where(rid == cid, xtx, 0.0), axis=1, keepdims=True)
 
-    C = (xty + lam * ns - r0 + diag * beta_old) - rho      # (K, B)
-    den = diag + lam * nnb                                 # (K, B)
-    den_safe = jnp.where(den > 1e-10, den, jnp.inf)
-    return C, den_safe
+    return (xty + lam * ns - r0 + diag * beta_old) - rho   # (K, B)
 
 
-def _gs_pass_kb(beta_old, xty, xtx, ns, nnb, lam, rho):
+def _gs_pass_kb(beta_old, xty, xtx, ns, inv_den, lam, rho):
     """(K, B)-layout Gauss-Seidel coordinate pass — THE iterate semantics.
 
     Shared by both Pallas kernels (:func:`_cd_block_kernel` and the fused
@@ -291,9 +316,10 @@ def _gs_pass_kb(beta_old, xty, xtx, ns, nnb, lam, rho):
     (reference ``flashdeconv/core/solver.py:75-99``) vectorized over the B
     spots on the 128-wide vector lanes.
 
-    All operands are VMEM-resident values: beta_old/xty/ns (K, B),
-    xtx (K, K), nnb (1, B); lam/rho scalars. Returns the updated (K, B)
-    beta.
+    All operands are VMEM-resident values: beta_old/xty/ns/inv_den
+    (K, B), xtx (K, K); lam/rho scalars. ``inv_den`` is the per-solve
+    precomputed reciprocal denominator (:func:`gs_inv_den`). Returns the
+    updated (K, B) beta.
 
     VPU schedule (this loop is instruction-throughput bound — at K=20,
     B=2048 the sweep kernel spends ~all of its time here, far above the
@@ -305,42 +331,49 @@ def _gs_pass_kb(beta_old, xty, xtx, ns, nnb, lam, rho):
     - the constant part of the numerator, ``C = xty + lam*ns - r0 +
       diag(xtx)*beta_old - rho``, so the per-coordinate residual is a
       single subtract of the accumulated rank-1 corrections;
-    - the denominator with its positivity guard pre-applied
-      (``den<=1e-10 -> +inf``, so ``num/den`` yields the guarded 0.0
-      without a per-row compare+select — num is finite and >= 0).
+    - the RECIPROCAL denominator with its positivity guard pre-applied
+      (``den<=1e-10 -> 0``, so ``num * inv_den`` yields the guarded 0.0
+      without a per-row compare+select — num is finite and >= 0). The
+      f32 divide is a multi-instruction Newton sequence on the VPU;
+      paying it once full-(K, B) instead of K times (1, B) is a direct
+      cycle cut in an issue-bound loop.
 
-    The loop body is then 3 per-row (1, B) ops (subtract+clip, divide,
-    delta) plus the full-(K, B) rank-1 accumulator refresh; updated rows
-    are collected and assembled with one concatenate (row k is read once,
-    before its own update, and written once). Measured ~15% faster per
-    sweep than the direct-form loop at 1M x 20.
+    The loop body is then 3 per-row (1, B) ops — subtract, clip, and the
+    fused ``delta = num*inv - beta_old`` multiply-subtract — plus the
+    full-(K, B) rank-1 accumulator refresh. The loop collects DELTA rows
+    and the updated beta is reassembled at the end as one full-(K, B)
+    ``deltas + beta_old`` add (one more hoisted row-op saved per
+    coordinate; non-negativity is preserved exactly: for x >= 0, b >= 0
+    both representable, fl(fl(x - b) + b) >= 0 by rounding
+    monotonicity). Measured ~15% faster per sweep than the direct-form
+    loop at 1M x 20 before the round-5 reciprocal/delta-form rework.
 
     Numerics: algebraically identical to the reference update
     (reference ``flashdeconv/core/solver.py:75-99``); the hoisting
-    reassociates f32 additions, so this pass differs from the XLA
-    :func:`coordinate_descent` fallback by ~1 ulp per sweep (observed
-    max 6e-8 at 1M spots). Both Pallas paths share THIS function (via
-    :func:`gs_pass`), so fused and unfused Pallas sweeps remain
-    bit-identical to each other; the f64 CPU path (XLA) and its reference
-    parity are untouched.
+    reassociates f32 additions and rounds the division as
+    reciprocal-multiply, so this pass differs from the XLA
+    :func:`coordinate_descent` fallback by a few ulp per sweep
+    (hw_parity check 2 bounds it at 1e-5). Both Pallas paths share THIS
+    function (via :func:`gs_pass`), so fused and unfused Pallas sweeps
+    remain bit-identical to each other; the f64 CPU path (XLA) and its
+    reference parity are untouched.
     """
     K = beta_old.shape[0]
-    C, den_safe = _gs_prologue(beta_old, xty, xtx, ns, nnb, lam, rho)
+    C = _gs_prologue(beta_old, xty, xtx, ns, lam, rho)
 
     acc = jnp.zeros_like(beta_old)         # accumulated rank-1 corrections
-    rows = []
+    deltas = []
     for k in range(K):
         num = jnp.maximum(C[k : k + 1, :] - acc[k : k + 1, :], 0.0)
-        new = num / den_safe[k : k + 1, :]
         # Row k is untouched before its own turn, so the current carry
         # row equals beta_old's — read it there directly.
-        delta = new - beta_old[k : k + 1, :]
+        delta = num * inv_den[k : k + 1, :] - beta_old[k : k + 1, :]
         acc = acc + xtx[:, k : k + 1] * delta  # rank-1 refresh, exact f32
-        rows.append(new)
-    return jnp.concatenate(rows, axis=0)
+        deltas.append(delta)
+    return jnp.concatenate(deltas, axis=0) + beta_old
 
 
-def _gs_pass_kb_panel(beta_old, xty, xtx, ns, nnb, lam, rho,
+def _gs_pass_kb_panel(beta_old, xty, xtx, ns, inv_den, lam, rho,
                       panel: int = _GS_PANEL_P):
     """MXU-panel Gauss-Seidel pass — same iterate semantics, less VPU work.
 
@@ -365,9 +398,8 @@ def _gs_pass_kb_panel(beta_old, xty, xtx, ns, nnb, lam, rho,
     unfused Pallas sweeps stay mutually bit-identical at every K.
     """
     K, B = beta_old.shape
-    C, den_safe = _gs_prologue(beta_old, xty, xtx, ns, nnb, lam, rho)
+    C = _gs_prologue(beta_old, xty, xtx, ns, lam, rho)
 
-    rows = []
     delta_panels = []            # finished panels' delta rows, (P_i, B)
     a = 0
     while a < K:
@@ -386,19 +418,17 @@ def _gs_pass_kb_panel(beta_old, xty, xtx, ns, nnb, lam, rho,
         for i in range(p):
             k = a + i
             num = jnp.maximum(C[k : k + 1, :] - acc_p[i : i + 1, :], 0.0)
-            new = num / den_safe[k : k + 1, :]
-            delta = new - beta_old[k : k + 1, :]
+            delta = num * inv_den[k : k + 1, :] - beta_old[k : k + 1, :]
             # Panel-local rank-1 refresh: only the P panel rows (exact f32
             # FMA, same in-panel association as the classic pass).
             acc_p = acc_p + xtx[a:b, k : k + 1] * delta
-            rows.append(new)
             pdeltas.append(delta)
         delta_panels.append(jnp.concatenate(pdeltas, axis=0))
         a = b
-    return jnp.concatenate(rows, axis=0)
+    return jnp.concatenate(delta_panels, axis=0) + beta_old
 
 
-def gs_pass(beta_old, xty, xtx, ns, nnb, lam, rho):
+def gs_pass(beta_old, xty, xtx, ns, inv_den, lam, rho):
     """The Gauss-Seidel coordinate pass both Pallas kernels run.
 
     Dispatches on the static K (:func:`_gs_panel_width`): the classic
@@ -411,12 +441,12 @@ def gs_pass(beta_old, xty, xtx, ns, nnb, lam, rho):
     """
     p = _gs_panel_width(beta_old.shape[0])
     if p is not None:
-        return _gs_pass_kb_panel(beta_old, xty, xtx, ns, nnb, lam, rho,
+        return _gs_pass_kb_panel(beta_old, xty, xtx, ns, inv_den, lam, rho,
                                  panel=p)
-    return _gs_pass_kb(beta_old, xty, xtx, ns, nnb, lam, rho)
+    return _gs_pass_kb(beta_old, xty, xtx, ns, inv_den, lam, rho)
 
 
-def _cd_block_kernel(lam_ref, rho_ref, beta_ref, xty_ref, ns_ref, nnb_ref,
+def _cd_block_kernel(lam_ref, rho_ref, beta_ref, xty_ref, ns_ref, inv_ref,
                      xtx_ref, out_ref):
     """Pallas TPU kernel: full Gauss-Seidel coordinate pass for one spot block.
 
@@ -429,7 +459,7 @@ def _cd_block_kernel(lam_ref, rho_ref, beta_ref, xty_ref, ns_ref, nnb_ref,
     write of each (N, K) operand per sweep.
     """
     out_ref[:] = gs_pass(
-        beta_ref[:], xty_ref[:], xtx_ref[:], ns_ref[:], nnb_ref[:],
+        beta_ref[:], xty_ref[:], xtx_ref[:], ns_ref[:], inv_ref[:],
         lam_ref[0, 0], rho_ref[0, 0],
     )
 
@@ -444,6 +474,7 @@ def coordinate_descent_pallas(
     rho,
     block: int = 2048,
     interpret: bool = False,
+    inv_den: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Fused-VMEM Gauss-Seidel pass (TPU Pallas); same iterate path as
     :func:`coordinate_descent`.
@@ -453,6 +484,11 @@ def coordinate_descent_pallas(
     through the update since their Xty/neighbor sums are zero). The XLA-level
     transposes into the kernel's (K, B) layout cost two streaming passes over
     the operands — a fraction of what they buy in lane utilization.
+
+    ``inv_den``: optional per-solve (K, n) reciprocal denominator
+    (:func:`gs_inv_den`); computed here from ``n_nbrs`` when not given.
+    Loop drivers pass it precomputed so the reciprocal is not re-evaluated
+    every sweep.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -461,6 +497,9 @@ def coordinate_descent_pallas(
     block = min(block, n)
     assert n % block == 0, f"n ({n}) must be a multiple of block ({block})"
     grid = (n // block,)
+
+    if inv_den is None:
+        inv_den = gs_inv_den(XtX, n_nbrs, lambda_)
 
     lam2d = jnp.reshape(jnp.asarray(lambda_, jnp.float32), (1, 1))
     rho2d = jnp.reshape(jnp.asarray(rho, jnp.float32), (1, 1))
@@ -475,20 +514,19 @@ def coordinate_descent_pallas(
             pl.BlockSpec((K, block), col_block, memory_space=pltpu.VMEM),
             pl.BlockSpec((K, block), col_block, memory_space=pltpu.VMEM),
             pl.BlockSpec((K, block), col_block, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block), col_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, block), col_block, memory_space=pltpu.VMEM),
             pl.BlockSpec((K, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((K, block), col_block, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((K, n), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * K * K * 2,
-            bytes_accessed=4 * (4 * n * K + n + K * K),
+            bytes_accessed=4 * (5 * n * K + K * K),
             transcendentals=0,
         ),
         interpret=interpret,
     )(
-        lam2d, rho2d, beta.T, Xty.T, nbr_sum.T,
-        n_nbrs.astype(jnp.float32)[None, :], XtX,
+        lam2d, rho2d, beta.T, Xty.T, nbr_sum.T, inv_den, XtX,
     )
     return out_t.T
 
@@ -522,14 +560,17 @@ def fused_banded_vmem_bytes(n_types: int, n_bands: int, h: int,
     """
     kp = -(-n_types // 8) * 8              # sublane-padded K
     kb = kp * block * 4
-    streams = 3 * kb * 2                   # beta in + out + Xty, x2
+    streams = 4 * kb * 2                   # beta in + out + Xty + inv, x2
     masks = n_bands * block * 2            # uint8 masks block, x2
     scratch = (2 * h + 1) * kb             # rolling window scratch
-    # GS pass live set: ~6 (K, B) blocks for the classic pass; the
-    # MXU-panel pass (whenever the dispatch engages it — see
+    # GS pass live set: ~5 (K, B) blocks for the classic pass (C, ns,
+    # the rank-1 accumulator, the collected delta rows, the reassembled
+    # output — the round-5 delta-form loop dropped the separate new-rows
+    # list, and the denominator is a stream now, not an in-kernel
+    # value); the MXU-panel pass (whenever the dispatch engages it — see
     # _gs_panel_width) additionally keeps the accumulated delta rows
-    # resident (+1 block).
-    gs_live = 6 + (1 if _gs_panel_width(n_types) is not None else 0)
+    # resident across panels (+1 block).
+    gs_live = 5 + (1 if _gs_panel_width(n_types) is not None else 0)
     values = (2 * h + 1) * kb + gs_live * kb
     return streams + masks + scratch + values
 
@@ -589,7 +630,7 @@ def plan_fused_banded(
 
 
 def _make_fused_banded_kernel(offsets: Tuple[int, ...], h: int, block: int,
-                              n_blocks_total: int):
+                              n_blocks_total: int, has_rest: bool = False):
     """Build the fully fused banded-sweep kernel for a static band set.
 
     Software-pipelined streaming schedule: grid step ``i`` DMAs beta block
@@ -600,16 +641,29 @@ def _make_fused_banded_kernel(offsets: Tuple[int, ...], h: int, block: int,
     per grid step, (2h+1)x the traffic). The kernel fuses, entirely in
     VMEM: the banded neighbor sum (static shifted slices of the window),
     the full Gauss-Seidel coordinate pass (identical iterate path to
-    :func:`_cd_block_kernel` — both call :func:`gs_pass`), the per-spot
-    degree (the band masks' column sum — exact, since fused eligibility
-    requires 100% banded edge coverage), and the per-block convergence
-    statistics (max |delta|, max |old|). Edge slabs (the h pad blocks on
-    each side) write zeros.
+    :func:`_cd_block_kernel` — both call :func:`gs_pass` on the per-solve
+    precomputed reciprocal denominator, see :func:`gs_inv_den`) and the
+    per-block convergence statistics (max |delta|, max |old|). Edge slabs
+    (the h pad blocks on each side) write zeros.
+
+    Per-block runtime skipping of sparse bands was tried and REMOVED
+    (round 5): wrapping a band's FMA in ``lax.cond`` on a host-computed
+    any-nonzero bitmask measured 25% SLOWER than unconditionally running
+    all 16 bands (branches fence Mosaic's instruction scheduling), and
+    the sparse bands' nonzeros are scattered across ~every block anyway.
+    Sparse bands are instead spilled out of the kernel entirely by the
+    band-cap + rest-stream mechanism (see :func:`fused_banded_sweep`'s
+    ``ns_rest_t``).
     """
     from jax.experimental import pallas as pl
 
-    def kernel(lam_ref, rho_ref, beta_in_ref, xty_ref, masks_ref, xtx_ref,
-               out_beta_ref, out_diff_ref, out_abs_ref, win_ref):
+    def kernel(lam_ref, rho_ref, beta_in_ref, xty_ref, masks_ref, inv_ref,
+               xtx_ref, *rest):
+        if has_rest:
+            (nsr_ref, out_beta_ref, out_diff_ref, out_abs_ref,
+             win_ref) = rest
+        else:
+            out_beta_ref, out_diff_ref, out_abs_ref, win_ref = rest
         i = pl.program_id(0)
         # Mid (data) slabs j = i - h with j in [h, nbt - h): processed at
         # steps i in [2h, nbt).
@@ -636,25 +690,29 @@ def _make_fused_banded_kernel(offsets: Tuple[int, ...], h: int, block: int,
             # center slab sits at window column h*block + j, its offset-o
             # neighbor at h*block + j + o — a static slice per band. The
             # 0/1 masks arrive uint8 (4x less HBM than f32) and widen here
-            # (via int32 — Mosaic has no direct uint8->f32 cast); their
-            # column sum IS the degree (all edges are banded).
+            # (via int32 — Mosaic has no direct uint8->f32 cast).
             masksf = masks_ref[:]
             if jnp.issubdtype(masksf.dtype, jnp.integer):
                 masksf = masksf.astype(jnp.int32)
             masksf = masksf.astype(win.dtype)
-            nnb = jnp.sum(masksf, axis=0, keepdims=True)   # (1, B)
             ns = jnp.zeros((K, block), dtype=win.dtype)
             for u, off in enumerate(offsets):
                 sl = lax.slice_in_dim(
                     win, h * block + off, h * block + off + block, axis=1
                 )
                 ns = ns + masksf[u : u + 1, :] * sl
+            if has_rest:
+                # Rest-edge totals (spilled sparse bands + native
+                # remainder), precomputed per sweep into the streamed
+                # ns_rest buffer; ONE add after the bands — the same
+                # association as neighbor_sum_banded's bands + rest-total.
+                ns = ns + nsr_ref[:]
 
             beta_old = lax.slice_in_dim(
                 win, h * block, (h + 1) * block, axis=1
             )                                   # (K, B) center slab
             beta = gs_pass(
-                beta_old, xty_ref[:], xtx_ref[:], ns, nnb, lam, rho
+                beta_old, xty_ref[:], xtx_ref[:], ns, inv_ref[:], lam, rho
             )
             out_beta_ref[:] = beta
             out_diff_ref[0, jc] = jnp.max(jnp.abs(beta - beta_old))
@@ -669,16 +727,78 @@ def _make_fused_banded_kernel(offsets: Tuple[int, ...], h: int, block: int,
     return kernel
 
 
+def build_fused_rest_tables(rest_nbr_idx, sentinel: int, h: int,
+                            block: int):
+    """Compact per-sweep gather tables for the fused path's rest edges.
+
+    The band-cap (:func:`flashdeconv_tpu.utils.graph.cap_sparse_bands`)
+    spills near-empty bands out of the fused kernel — each spilled band
+    cost a full-(K, B) FMA pass per sweep for <0.2% real edges (round-5
+    ablation: ~38 us/band at 1M x 20, ~6 of 16 grid-kNN bands are
+    boundary artifacts). The spilled edges (plus any native remainder)
+    are instead applied as a compact XLA scatter into a persistent
+    (K, n_solve) ``ns_rest`` buffer that the kernel streams: per sweep
+    only the ~T touched columns are recomputed (slot-ordered gather from
+    the transposed carry, matching :func:`neighbor_sum`'s association
+    bitwise) and scattered in place — O(T*K) work and bytes instead of
+    O(n*K) per spilled band.
+
+    ``rest_nbr_idx``: the (n_solve, R) padded gather table
+    (:func:`flashdeconv_tpu.utils.graph.adjacency_to_padded`), padding
+    slots == ``sentinel``. Returns ``(touched, slot_cols)`` int32 host
+    arrays — touched data columns (T,) padded to a lane multiple by
+    repeating the last entry (the duplicate scatter writes the same
+    value — deterministic), and (R, T) absolute carry columns per slot
+    (sentinel -> column 0, a left-pad zero column of the single-device
+    carry) — or ``(None, None)`` when the table has no real edges.
+    """
+    import numpy as np
+
+    t = np.asarray(rest_nbr_idx)
+    touched = np.flatnonzero((t != sentinel).any(axis=1))
+    if touched.size == 0:
+        return None, None
+    pad = (-touched.size) % 128
+    touched_p = np.concatenate(
+        [touched, np.full(pad, touched[-1], dtype=touched.dtype)]
+    ).astype(np.int32)
+    slots = t[touched_p]                          # (T, R)
+    cols = np.where(
+        slots == sentinel, 0, slots + h * block
+    ).astype(np.int32).T                          # (R, T)
+    return touched_p, np.ascontiguousarray(cols)
+
+
+def rest_ns_update(ns_rest, carry_ext_t, touched, slot_cols):
+    """Refresh the persistent rest-edge neighbor-sum buffer in place.
+
+    Gathers the pre-sweep beta values of every rest edge from the
+    transposed carry (slot-by-slot, the exact accumulation order of
+    :func:`neighbor_sum` so the fused iterate stays bitwise equal to the
+    unfused banded+rest path) and scatters the per-spot totals into the
+    touched columns of ``ns_rest``. All other columns remain exactly
+    +0.0 from the per-solve init; XLA performs the scatter in place when
+    ``ns_rest`` is loop-carried (only ~T*K elements move per sweep).
+    """
+    vals = jnp.take(carry_ext_t, slot_cols[0], axis=1)
+    for sl in range(1, slot_cols.shape[0]):
+        vals = vals + jnp.take(carry_ext_t, slot_cols[sl], axis=1)
+    return ns_rest.at[:, touched].set(vals)
+
+
 def fused_banded_sweep(
     beta_ext_t: jnp.ndarray,
     Xty_t: jnp.ndarray,
     XtX: jnp.ndarray,
     masks: jnp.ndarray,
+    inv_den_t: jnp.ndarray,
     lambda_,
     rho,
     offsets: Tuple[int, ...],
     h: int,
     block: int = 2048,
+    ns_rest_t: Optional[jnp.ndarray] = None,
+    sub: Optional[Tuple[int, int]] = None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One fully fused banded BCD sweep on the transposed padded carry.
@@ -691,9 +811,29 @@ def fused_banded_sweep(
         layout for the whole solve loop; see ``BCDProblem``).
     Xty_t : (K, n_solve); masks : (U, n_solve) 0/1, uint8 (preferred — 4x
         less HBM per sweep) or float32 (widened in-kernel either way).
-        The per-spot degree is the masks' column sum — exact because fused
-        eligibility requires every edge on a band.
+    inv_den_t : (K, n_solve) per-solve reciprocal denominator
+        (:func:`gs_inv_den` on the degree vector) — streamed, replacing
+        the old in-kernel degree column-sum + reciprocal (sweep-invariant
+        work that an instruction-issue-bound kernel should not repeat).
     offsets : static band offsets, each |o| <= h*block.
+    ns_rest_t : optional (K, n_solve) rest-edge neighbor-sum stream
+        (:func:`rest_ns_update` refreshes its touched columns each
+        sweep) — added once after the band FMAs; lets the band-cap spill
+        near-empty bands out of the kernel (each spilled band was a full
+        (K, B) FMA pass per sweep for <0.2% real edges).
+    sub : optional static ``(start_block, n_data_blocks)`` — run the
+        sweep on a SUB-RANGE of the carry only: the sub-problem's data
+        blocks are carry blocks ``[start_block + h, start_block + h +
+        n_data_blocks)`` and its 2h "pad" window blocks hold the
+        surrounding REAL beta (not zeros). No operand slicing happens —
+        the index maps offset into the same resident arrays — and the
+        per-block math is bit-identical to the full call's, so a
+        boundary/interior split recomposes the full sweep exactly. This
+        is how the GSPMD mesh path overlaps its ppermute halo exchange
+        with interior compute: the interior sub-call has no data
+        dependency on the halo transfer. Output is the sub-carry
+        ``(K, (n_data_blocks + 2h) * block)`` with zero-written pad
+        slots.
     Returns ``(new beta_ext_t, max_diff, max_abs)`` — stats reduced over
     per-block partials (a (n_blocks,) max, fused by XLA).
 
@@ -710,43 +850,59 @@ def fused_banded_sweep(
     from jax.experimental.pallas import tpu as pltpu
 
     K, n_ext = beta_ext_t.shape
-    n_solve = n_ext - 2 * h * block
-    assert n_solve % block == 0 and n_solve > 0
-    n_blocks_total = n_ext // block
-    n_mid = n_solve // block
+    if sub is None:
+        assert (n_ext - 2 * h * block) % block == 0
+        start_block, n_mid = 0, (n_ext - 2 * h * block) // block
+    else:
+        start_block, n_mid = sub
+    n_solve = n_mid * block
+    assert n_solve > 0
+    assert (start_block + n_mid + 2 * h) * block <= n_ext
+    n_blocks_total = n_mid + 2 * h
     grid = (n_blocks_total + h,)
 
     lam2d = jnp.reshape(jnp.asarray(lambda_, jnp.float32), (1, 1))
     rho2d = jnp.reshape(jnp.asarray(rho, jnp.float32), (1, 1))
 
-    kernel = _make_fused_banded_kernel(offsets, h, block, n_blocks_total)
+    kernel = _make_fused_banded_kernel(
+        offsets, h, block, n_blocks_total,
+        has_rest=ns_rest_t is not None,
+    )
 
     def beta_map(i):
         # Streaming fetch: block i, clipped (trailing steps re-map to the
         # last block, whose DMA the pipeline skips as the index is equal).
-        return (0, jnp.minimum(i, n_blocks_total - 1))
+        return (0, jnp.minimum(i, n_blocks_total - 1) + start_block)
 
     def data_map(i):
         # Data slab for the processed block j = i - h (data arrays carry
         # no pad blocks, so the data index is j - h = i - 2h).
-        return (0, jnp.clip(i - 2 * h, 0, n_mid - 1))
+        return (0, jnp.clip(i - 2 * h, 0, n_mid - 1) + start_block)
 
     def out_map(i):
         return (0, jnp.clip(i - h, 0, n_blocks_total - 1))
 
     U = masks.shape[0]
     msize = masks.dtype.itemsize
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((K, block), beta_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, block), data_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((U, block), data_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, block), data_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [lam2d, rho2d, beta_ext_t, Xty_t, masks, inv_den_t, XtX]
+    if ns_rest_t is not None:
+        in_specs.append(
+            pl.BlockSpec((K, block), data_map, memory_space=pltpu.VMEM)
+        )
+        operands.append(ns_rest_t)
     out_beta, diff_p, abs_p = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((K, block), beta_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, block), data_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((U, block), data_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((K, block), out_map, memory_space=pltpu.VMEM),
             # Per-block scalar stats: one SMEM-resident (1, n_blocks)
@@ -761,7 +917,7 @@ def fused_banded_sweep(
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((K, n_ext), jnp.float32),
+            jax.ShapeDtypeStruct((K, n_blocks_total * block), jnp.float32),
             jax.ShapeDtypeStruct((1, n_blocks_total), jnp.float32),
             jax.ShapeDtypeStruct((1, n_blocks_total), jnp.float32),
         ],
@@ -770,15 +926,15 @@ def fused_banded_sweep(
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * n_solve * K * (K + len(offsets)) * 2,
-            # 1 beta read + 1 beta write + Xty read + uint8 masks read
+            # beta read + write + Xty read + inv_den read + uint8 masks
             bytes_accessed=(
-                4 * (2 * n_ext * K + n_solve * K + K * K)
+                4 * (2 * n_ext * K + 2 * n_solve * K + K * K)
                 + msize * n_solve * U
             ),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(lam2d, rho2d, beta_ext_t, Xty_t, masks, XtX)
+    )(*operands)
     return out_beta, jnp.max(diff_p), jnp.max(abs_p)
 
 
@@ -787,20 +943,46 @@ def fused_banded_sweep(
     static_argnames=("offsets", "max_iter", "h", "block", "interpret"),
 )
 def bcd_iterate_banded_fused(
-    beta_ext_t0, Xty_t, XtX, masks, lambda_, rho, tol,
+    beta_ext_t0, Xty_t, XtX, masks, nnb, lambda_, rho, tol,
     max_iter: int, offsets: Tuple[int, ...], h: int, block: int = 2048,
-    iter_cap=None, interpret: bool = False,
+    rest_touched=None, rest_slot_cols=None, iter_cap=None,
+    interpret: bool = False,
 ):
     """Fused solve loop whose carry is the transposed padded beta; same
     convergence semantics as :func:`bcd_iterate_banded` (the sweep math is
-    identical — only the memory schedule changed)."""
-    return converge_loop(
-        lambda beta_ext: fused_banded_sweep(
-            beta_ext, Xty_t, XtX, masks, lambda_, rho,
-            offsets, h, block=block, interpret=interpret,
-        ),
-        beta_ext_t0, tol, max_iter, iter_cap=iter_cap,
+    identical — only the memory schedule changed). ``nnb`` is the
+    (n_solve,) degree vector; the sweep-invariant reciprocal denominator
+    is computed from it ONCE here (:func:`gs_inv_den`) and streamed into
+    every sweep. ``rest_touched``/``rest_slot_cols``
+    (:func:`build_fused_rest_tables`) activate the rest-stream: a
+    persistent (K, n_solve) ns_rest buffer rides the loop carry, its
+    touched columns refreshed from the pre-sweep beta each iteration
+    (Jacobi reads, like the bands)."""
+    inv_den_t = gs_inv_den(XtX, nnb, lambda_)
+    if rest_touched is None:
+        return converge_loop(
+            lambda beta_ext: fused_banded_sweep(
+                beta_ext, Xty_t, XtX, masks, inv_den_t, lambda_, rho,
+                offsets, h, block=block, interpret=interpret,
+            ),
+            beta_ext_t0, tol, max_iter, iter_cap=iter_cap,
+        )
+
+    ns_rest0 = jnp.zeros_like(Xty_t)
+
+    def sweep(state):
+        ext, nsr = state
+        nsr = rest_ns_update(nsr, ext, rest_touched, rest_slot_cols)
+        out, d, a = fused_banded_sweep(
+            ext, Xty_t, XtX, masks, inv_den_t, lambda_, rho,
+            offsets, h, block=block, ns_rest_t=nsr, interpret=interpret,
+        )
+        return (out, nsr), d, a
+
+    state, n_iter, rel = converge_loop(
+        sweep, (beta_ext_t0, ns_rest0), tol, max_iter, iter_cap=iter_cap,
     )
+    return state[0], n_iter, rel
 
 
 @partial(jax.jit, static_argnames=("h", "block"))
@@ -825,12 +1007,17 @@ def from_fused_carry(beta_ext_t: jnp.ndarray, h: int, block: int
 def objective_terms_banded_fused(
     beta_ext_t, Xty_t, XtX, YtY, offsets: Tuple[int, ...], masks,
     lambda_, rho, h: int, block: int,
+    nnb=None, rest_touched=None, rest_slot_cols=None,
 ):
     """Objective on the fused carry's transposed layout — same algebra as
     :func:`objective_terms_banded`, shifts taken directly from the carry's
     own zero padding (h*block >= halo by construction). ``masks`` may be
-    uint8 (the fused solve's resident copy) or float; the per-spot degree
-    is their column sum (exact on the fully banded fused path)."""
+    uint8 (the fused solve's resident copy) or float. The per-spot
+    degree is ``nnb`` when given (required under the band-cap, where the
+    masks no longer carry every edge); their column sum otherwise.
+    ``rest_touched``/``rest_slot_cols`` add the spilled rest edges'
+    neighbor sums (one add after the bands — the association of
+    :func:`neighbor_sum_banded`)."""
     n_solve = Xty_t.shape[1]
     beta_t = lax.slice_in_dim(
         beta_ext_t, h * block, h * block + n_solve, axis=1
@@ -841,13 +1028,21 @@ def objective_terms_banded_fused(
     fidelity = 0.5 * (YtY - 2.0 * cross + quad)
 
     masksf = masks.astype(beta_t.dtype)
-    nnb_row = jnp.sum(masksf, axis=0, keepdims=True)
+    if nnb is None:
+        nnb_row = jnp.sum(masksf, axis=0, keepdims=True)
+    else:
+        nnb_row = jnp.reshape(nnb, (1, -1)).astype(beta_t.dtype)
     ns_t = jnp.zeros_like(beta_t)
     for u, off in enumerate(offsets):
         sl = lax.slice_in_dim(
             beta_ext_t, h * block + off, h * block + off + n_solve, axis=1
         )
         ns_t = ns_t + masksf[u : u + 1, :] * sl
+    if rest_touched is not None:
+        ns_t = ns_t + rest_ns_update(
+            jnp.zeros_like(beta_t), beta_ext_t, rest_touched,
+            rest_slot_cols,
+        )
     deg_term = jnp.sum(nnb_row * jnp.sum(beta_t * beta_t, axis=0,
                                          keepdims=True))
     adj_term = jnp.sum(beta_t * ns_t)
@@ -863,10 +1058,11 @@ def objective_terms_banded_fused(
                      "interpret"),
 )
 def fused_solve_program(
-    beta0, Xty_t, XtX, masks, YtY, inv_perm,
+    beta0, Xty_t, XtX, masks, nnb, YtY, inv_perm,
     lambda_, rho, tol, iter_cap,
     offsets: Tuple[int, ...], max_iter: int, h: int, block: int,
-    n_spots: int, interpret: bool = False,
+    n_spots: int, rest_touched=None, rest_slot_cols=None,
+    interpret: bool = False,
 ):
     """The WHOLE fused-banded solve as ONE compiled program.
 
@@ -896,11 +1092,14 @@ def fused_solve_program(
     carry = jnp.zeros((K, n_solve + 2 * h * block), dtype=beta0.dtype)
     carry = lax.dynamic_update_slice(carry, beta0.T, (0, h * block))
     carry, n_iter, rel = bcd_iterate_banded_fused(
-        carry, Xty_t, XtX, masks, lambda_, rho, tol, max_iter,
-        offsets, h, block=block, iter_cap=iter_cap, interpret=interpret,
+        carry, Xty_t, XtX, masks, nnb, lambda_, rho, tol, max_iter,
+        offsets, h, block=block, rest_touched=rest_touched,
+        rest_slot_cols=rest_slot_cols,
+        iter_cap=iter_cap, interpret=interpret,
     )
     obj = objective_terms_banded_fused(
         carry, Xty_t, XtX, YtY, offsets, masks, lambda_, rho, h, block,
+        nnb=nnb, rest_touched=rest_touched, rest_slot_cols=rest_slot_cols,
     )
     beta = lax.slice_in_dim(
         carry, h * block, h * block + n_solve, axis=1
@@ -996,9 +1195,11 @@ def converge_loop(sweep_fn, beta0, tol, max_iter: int, iter_cap=None):
 
     ``max_iter`` is the static (compile-time) bound; ``iter_cap`` is an
     optional *traced* bound so callers can run shorter chunks without
-    recompiling (e.g. the verbose driver's tail chunk).
+    recompiling (e.g. the verbose driver's tail chunk). ``beta0`` may be
+    any pytree (e.g. the rest-stream fused loop carries (carry, ns_rest));
+    the convergence scalars take the first leaf's dtype.
     """
-    big = jnp.asarray(jnp.inf, dtype=beta0.dtype)
+    big = jnp.asarray(jnp.inf, dtype=jax.tree_util.tree_leaves(beta0)[0].dtype)
 
     def cond(carry):
         _, it, rel = carry
@@ -1078,6 +1279,7 @@ def bcd_sweep(
     use_pallas: bool = False,
     ov_src: Optional[jnp.ndarray] = None,
     ov_dst: Optional[jnp.ndarray] = None,
+    inv_den: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One BCD sweep with fused convergence statistics (single device).
 
@@ -1107,7 +1309,8 @@ def bcd_sweep(
 
     if use_pallas:
         beta_out = coordinate_descent_pallas(
-            beta_in, Xty, XtX, nbr_sum, n_nbrs, lambda_, rho
+            beta_in, Xty, XtX, nbr_sum, n_nbrs, lambda_, rho,
+            inv_den=inv_den,
         )
     else:
         beta_out = coordinate_descent(
@@ -1142,10 +1345,12 @@ def bcd_iterate(
     Returns (beta, n_iterations, rel_change). Runs entirely on device inside
     one compiled while-loop — the host only sees the final state.
     """
+    inv_den = gs_inv_den(XtX, n_nbrs, lambda_) if use_pallas else None
     return converge_loop(
         lambda beta: bcd_sweep(
             beta, Xty, XtX, nbr_idx, n_nbrs, lambda_, rho,
             use_pallas=use_pallas, ov_src=ov_src, ov_dst=ov_dst,
+            inv_den=inv_den,
         ),
         beta0, tol, max_iter, iter_cap=iter_cap,
     )
@@ -1191,13 +1396,14 @@ def objective_terms(
 
 def bcd_sweep_banded(
     beta_in, Xty, XtX, offsets, masks, rest_nbr_idx, n_nbrs, lambda_, rho,
-    halo: int, use_pallas: bool = False,
+    halo: int, use_pallas: bool = False, inv_den=None,
 ):
     """BCD sweep with the banded neighbor decomposition (grid fast path)."""
     nbr_sum = neighbor_sum_banded(beta_in, offsets, masks, rest_nbr_idx, halo)
     if use_pallas:
         beta_out = coordinate_descent_pallas(
-            beta_in, Xty, XtX, nbr_sum, n_nbrs, lambda_, rho
+            beta_in, Xty, XtX, nbr_sum, n_nbrs, lambda_, rho,
+            inv_den=inv_den,
         )
     else:
         beta_out = coordinate_descent(
@@ -1213,10 +1419,12 @@ def bcd_iterate_banded(
 ):
     """Fused solve loop over :func:`bcd_sweep_banded`; same convergence
     semantics as :func:`bcd_iterate`."""
+    inv_den = gs_inv_den(XtX, n_nbrs, lambda_) if use_pallas else None
     return converge_loop(
         lambda beta: bcd_sweep_banded(
             beta, Xty, XtX, offsets, masks, rest_nbr_idx, n_nbrs,
             lambda_, rho, halo=halo, use_pallas=use_pallas,
+            inv_den=inv_den,
         ),
         beta0, tol, max_iter, iter_cap=iter_cap,
     )

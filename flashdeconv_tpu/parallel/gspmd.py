@@ -94,25 +94,37 @@ def _gspmd_iterate(
 @partial(
     jax.jit,
     static_argnames=(
-        "offsets", "h", "block", "max_iter", "mesh", "interpret"
+        "offsets", "h", "block", "max_iter", "mesh", "overlap", "interpret"
     ),
 )
 def _gspmd_iterate_fused(
-    beta0, Xty_t, XtX, masks, lam, rho, tol, iter_cap,
+    beta0, Xty_t, XtX, masks, nnb, lam, rho, tol, iter_cap,
     offsets: Tuple[int, ...], h: int, block: int, max_iter: int, mesh: Mesh,
-    interpret: bool = False,
+    overlap: bool = True, interpret: bool = False,
 ):
     """Sharded solve loop over the fully fused banded Pallas kernel.
 
-    shard_map over the spot axis; per sweep each shard runs ONE Pallas
-    kernel (:func:`flashdeconv_tpu.ops.bcd.fused_banded_sweep`) on its
-    local transposed carry, whose ``h``-block side pads hold the adjacent
-    shards' boundary blocks — refreshed each sweep by two ``ppermute``
-    block transfers over ICI (the global ends stay zero: ppermute
-    zero-fills shards with no source). Convergence statistics are the
-    kernel's per-block partials reduced by ``pmax`` across shards, so the
-    iterate AND the stopping decision are bit-identical to the
-    single-device fused solve.
+    shard_map over the spot axis; per sweep each shard runs the fused
+    banded Pallas kernel (:func:`flashdeconv_tpu.ops.bcd.
+    fused_banded_sweep`) on its local transposed carry, whose ``h``-block
+    side pads hold the adjacent shards' boundary blocks — refreshed each
+    sweep by two ``ppermute`` block transfers over ICI (the global ends
+    stay zero: ppermute zero-fills shards with no source). Convergence
+    statistics are the kernel's per-block partials reduced by ``pmax``
+    across shards, so the iterate AND the stopping decision are
+    bit-identical to the single-device fused solve.
+
+    ``overlap=True`` (default, when each shard has at least one interior
+    block) splits the sweep into an INTERIOR sub-call — data blocks whose
+    neighbor windows never touch the halo pads, issued BEFORE the halo
+    update so it has no data dependency on the ppermutes — and two
+    h-block BOUNDARY sub-calls issued after, letting XLA's async
+    collective-permute machinery run the ICI transfer underneath the
+    interior kernel (the dominant term of the projected strong-scaling
+    sync floor — docs/performance_guide.md). Every data block sees the
+    identical window and per-block math in either form (Jacobi reads are
+    pre-sweep by construction), so the split recomposes the unsplit
+    sweep BITWISE (pinned by tests/test_fused_banded.py).
 
     The transposed-carry layout is fully encapsulated: this function takes
     and returns the (n_pad, K) row-sharded beta of the outer protocol.
@@ -122,9 +134,23 @@ def _gspmd_iterate_fused(
     perm_fwd = [(i, i + 1) for i in range(n_shards - 1)]  # to right neighbor
     perm_bwd = [(i + 1, i) for i in range(n_shards - 1)]  # to left neighbor
 
-    def local_solve(beta_loc, xty_t, xtx, masks_loc,
+    from flashdeconv_tpu.ops.bcd import gs_inv_den
+
+    def local_solve(beta_loc, xty_t, xtx, masks_loc, nnb_loc,
                     lam, rho, tol, cap):
         n_local = beta_loc.shape[0]
+        m = n_local // block
+        split = overlap and m >= 2 * h + 1
+        # Sweep-invariant reciprocal denominator, once per solve per shard
+        # (ops/bcd.gs_inv_den — identical values to the single-device
+        # solve's, so the mesh path stays bitwise-identical to it).
+        inv_den_t = gs_inv_den(xtx, nnb_loc, lam)
+
+        def run(ext_for, sub):
+            return fused_banded_sweep(
+                ext_for, xty_t, xtx, masks_loc, inv_den_t, lam, rho,
+                offsets, h, block=block, sub=sub, interpret=interpret,
+            )
 
         def sweep(ext):
             # Halo refresh: my first/last h data blocks -> neighbors' pads.
@@ -132,14 +158,31 @@ def _gspmd_iterate_fused(
             last = jax.lax.slice_in_dim(ext, n_local, n_local + hB, axis=1)
             from_left = jax.lax.ppermute(last, _AXIS, perm_fwd)
             from_right = jax.lax.ppermute(first, _AXIS, perm_bwd)
+            if split:
+                # Interior first — independent of the in-flight ppermutes.
+                mid, d_i, a_i = run(ext, (h, m - 2 * h))
             ext_in = jax.lax.dynamic_update_slice(ext, from_left, (0, 0))
             ext_in = jax.lax.dynamic_update_slice(
                 ext_in, from_right, (0, hB + n_local)
             )
-            out, diff, mabs = fused_banded_sweep(
-                ext_in, xty_t, xtx, masks_loc, lam, rho,
-                offsets, h, block=block, interpret=interpret,
-            )
+            if split:
+                left, d_l, a_l = run(ext_in, (0, h))
+                right, d_r, a_r = run(ext_in, (m - h, h))
+                new_data = jnp.concatenate(
+                    [
+                        jax.lax.slice_in_dim(left, hB, 2 * hB, axis=1),
+                        jax.lax.slice_in_dim(
+                            mid, hB, hB + (m - 2 * h) * block, axis=1
+                        ),
+                        jax.lax.slice_in_dim(right, hB, 2 * hB, axis=1),
+                    ],
+                    axis=1,
+                )
+                out = jnp.pad(new_data, ((0, 0), (hB, hB)))
+                diff = jnp.maximum(jnp.maximum(d_l, d_i), d_r)
+                mabs = jnp.maximum(jnp.maximum(a_l, a_i), a_r)
+            else:
+                out, diff, mabs = run(ext_in, None)
             return (
                 out,
                 jax.lax.pmax(diff, _AXIS),
@@ -161,11 +204,12 @@ def _gspmd_iterate_fused(
             P(None, _AXIS),   # Xty_t (K, n_pad)
             P(),              # XtX
             P(None, _AXIS),   # masks (U, n_pad) uint8
+            P(_AXIS),         # degree (n_pad,)
             P(), P(), P(), P(),
         ),
         out_specs=(P(_AXIS, None), P(), P()),
         check_vma=False,  # pallas_call out_shape carries no vma info
-    )(beta0, Xty_t, XtX, masks, lam, rho, tol, iter_cap)
+    )(beta0, Xty_t, XtX, masks, nnb, lam, rho, tol, iter_cap)
 
 
 class GspmdBandedProblem:
@@ -426,9 +470,9 @@ class GspmdBandedProblem:
             def run_chunk(beta_d, cap):
                 return _gspmd_iterate_fused(
                     beta_d, self.Xty_t_d, self.XtX_d, self.masks_d,
-                    lam_d, rho_d, tol_d, cap, self.offsets,
+                    self.nnb_d, lam_d, rho_d, tol_d, cap, self.offsets,
                     self._fused_h, self._fused_block, max_iter, self.mesh,
-                    self._fused_interpret,
+                    interpret=self._fused_interpret,
                 )
         else:
             def run_chunk(beta_d, cap):

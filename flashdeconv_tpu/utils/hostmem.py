@@ -38,6 +38,43 @@ _M_MMAP_MAX = -4
 
 _reserved_bytes = 0
 
+# Dead end, documented so it is not retried: transparent hugepages do NOT
+# fix the fault cost on this VM class. THP is in `madvise` mode and
+# madvise(MADV_HUGEPAGE) returns 0, but write faults never install huge
+# pages (AnonHugePages stays 0; a 2 MiB-stride touch of an advised 4 GB
+# mmap leaves RSS at ~8 MB). The measured ~0.16 GB/s single-threaded /
+# ~0.33 GB/s threaded first-touch ceiling is hypervisor page-commitment
+# bandwidth, not 4 KiB fault count — so the only wins available are
+# (a) touching from several threads (native.zero_fill) and (b) hiding the
+# fault time behind unrelated pipeline stages (reserve_host_arena_async).
+
+
+def _enable_brk_retention() -> bool:
+    """mallopt the process so big allocations live on the persistent brk
+    heap and are never trimmed back — the setup both reserve variants
+    share. Returns False when glibc is unavailable."""
+    if not sys.platform.startswith("linux"):
+        return False
+    try:
+        libc = ctypes.CDLL(ctypes.util.find_library("c") or "libc.so.6")
+        mallopt = libc.mallopt
+    except (OSError, AttributeError):
+        return False
+    mallopt(ctypes.c_int(_M_MMAP_MAX), ctypes.c_int(0))
+    mallopt(ctypes.c_int(_M_MMAP_THRESHOLD), ctypes.c_int(2**31 - 1))
+    mallopt(ctypes.c_int(_M_TRIM_THRESHOLD), ctypes.c_int(2**31 - 1))
+    return True
+
+
+def _fault_and_release(arena_box: list) -> None:
+    """Fault every page of the held arena, then drop it back to glibc."""
+    from flashdeconv_tpu import native
+
+    arena = arena_box[0]
+    if not native.zero_fill(arena):
+        arena.fill(0)  # single-threaded fallback still pre-faults
+    arena_box[0] = None  # pages stay in glibc's free list, already faulted
+
 
 def reserve_host_arena(gigabytes: float) -> bool:
     """Pre-fault ``gigabytes`` of heap for reuse by later big allocations.
@@ -50,26 +87,66 @@ def reserve_host_arena(gigabytes: float) -> bool:
     n = int(gigabytes * (1 << 30))
     if n <= _reserved_bytes:
         return True
-    if not sys.platform.startswith("linux"):
+    if not _enable_brk_retention():
         return False
-    try:
-        libc = ctypes.CDLL(ctypes.util.find_library("c") or "libc.so.6")
-        mallopt = libc.mallopt
-    except (OSError, AttributeError):
-        return False
-
-    # Serve big allocations from brk (persistent) rather than mmap
-    # (returned to the kernel on free, re-faulted on the next stage), and
-    # never trim the heap back.
-    mallopt(ctypes.c_int(_M_MMAP_MAX), ctypes.c_int(0))
-    mallopt(ctypes.c_int(_M_MMAP_THRESHOLD), ctypes.c_int(2**31 - 1))
-    mallopt(ctypes.c_int(_M_TRIM_THRESHOLD), ctypes.c_int(2**31 - 1))
-
-    from flashdeconv_tpu import native
-
-    arena = np.empty(n, dtype=np.uint8)
-    if not native.zero_fill(arena):
-        arena.fill(0)  # single-threaded fallback still pre-faults
-    del arena  # pages stay in glibc's free list, already faulted
+    _fault_and_release([np.empty(n, dtype=np.uint8)])
     _reserved_bytes = n
     return True
+
+
+class ArenaReservation:
+    """Handle for an in-flight background arena pre-fault.
+
+    ``wait()`` blocks until the fault pass finishes (returns the reserve
+    success flag). ``done`` is a non-blocking check. Stages that allocate
+    multi-GB temporaries should ``wait()`` first so their allocations
+    recycle the faulted pages; stages that only compute (graph build,
+    device compiles, data generation already holding its memory) can run
+    concurrently with the faulting.
+    """
+
+    def __init__(self, thread, ok: bool):
+        self._thread = thread
+        self._ok = ok
+
+    @property
+    def done(self) -> bool:
+        return self._thread is None or not self._thread.is_alive()
+
+    def wait(self, timeout=None) -> bool:
+        if self._thread is not None:
+            self._thread.join(timeout)
+            if self._thread.is_alive():
+                return False
+        return self._ok
+
+
+def reserve_host_arena_async(gigabytes: float) -> ArenaReservation:
+    """Start the arena pre-fault on a background thread.
+
+    The arena buffer is ALLOCATED on the calling thread (so glibc serves
+    it from the main arena's brk heap — a worker-thread malloc would land
+    in a per-thread arena whose pages later main-thread allocations never
+    reuse); only the page-faulting pass runs in the background. This VM
+    class faults fresh anonymous memory at only ~0.33 GB/s even threaded
+    (hypervisor page-commitment ceiling — see the THP note above), so a
+    10 GB arena costs ~30 s of wall-clock the caller can spend building
+    the spatial graph or compiling device programs instead of blocking
+    on it (round-4 verdict item 8).
+    """
+    import threading
+
+    global _reserved_bytes
+    n = int(gigabytes * (1 << 30))
+    if n <= _reserved_bytes:
+        return ArenaReservation(None, True)
+    if not _enable_brk_retention():
+        return ArenaReservation(None, False)
+    arena_box = [np.empty(n, dtype=np.uint8)]  # caller-thread malloc
+    _reserved_bytes = n
+    t = threading.Thread(
+        target=_fault_and_release, args=(arena_box,),
+        name="flashdeconv-arena", daemon=True,
+    )
+    t.start()
+    return ArenaReservation(t, True)
