@@ -20,7 +20,7 @@ Quick start (scanpy-style API)::
     adata_st.obsm["flashdeconv"]                       # proportions
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 import os as _os
 

@@ -630,7 +630,9 @@ def plan_fused_banded(
 
 
 def _make_fused_banded_kernel(offsets: Tuple[int, ...], h: int, block: int,
-                              n_blocks_total: int, has_rest: bool = False):
+                              n_blocks_total: int, has_rest: bool = False,
+                              store_edges: bool = True,
+                              has_alias: bool = False):
     """Build the fully fused banded-sweep kernel for a static band set.
 
     Software-pipelined streaming schedule: grid step ``i`` DMAs beta block
@@ -659,11 +661,11 @@ def _make_fused_banded_kernel(offsets: Tuple[int, ...], h: int, block: int,
 
     def kernel(lam_ref, rho_ref, beta_in_ref, xty_ref, masks_ref, inv_ref,
                xtx_ref, *rest):
-        if has_rest:
-            (nsr_ref, out_beta_ref, out_diff_ref, out_abs_ref,
-             win_ref) = rest
-        else:
-            out_beta_ref, out_diff_ref, out_abs_ref, win_ref = rest
+        rest = list(rest)
+        nsr_ref = rest.pop(0) if has_rest else None
+        if has_alias:
+            rest.pop(0)  # donated alias buffer: storage only, never read
+        out_beta_ref, out_diff_ref, out_abs_ref, win_ref = rest
         i = pl.program_id(0)
         # Mid (data) slabs j = i - h with j in [h, nbt - h): processed at
         # steps i in [2h, nbt).
@@ -720,7 +722,13 @@ def _make_fused_banded_kernel(offsets: Tuple[int, ...], h: int, block: int,
 
         @pl.when(jnp.logical_not(is_mid))
         def _edge():
-            out_beta_ref[:] = jnp.zeros_like(out_beta_ref)
+            if store_edges:
+                out_beta_ref[:] = jnp.zeros_like(out_beta_ref)
+            # store_edges=False (aliased sub-range form): the edge steps'
+            # out_map is CLAMPED into the call's own data blocks, and not
+            # storing leaves each revisited VMEM block holding the data
+            # step's store, which is what flushes — so the aliased output
+            # buffer's other regions are never touched.
             out_diff_ref[0, jc] = 0.0
             out_abs_ref[0, jc] = 0.0
 
@@ -799,6 +807,7 @@ def fused_banded_sweep(
     block: int = 2048,
     ns_rest_t: Optional[jnp.ndarray] = None,
     sub: Optional[Tuple[int, int]] = None,
+    out_alias: Optional[jnp.ndarray] = None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One fully fused banded BCD sweep on the transposed padded carry.
@@ -821,19 +830,32 @@ def fused_banded_sweep(
         sweep) — added once after the band FMAs; lets the band-cap spill
         near-empty bands out of the kernel (each spilled band was a full
         (K, B) FMA pass per sweep for <0.2% real edges).
-    sub : optional static ``(start_block, n_data_blocks)`` — run the
-        sweep on a SUB-RANGE of the carry only: the sub-problem's data
-        blocks are carry blocks ``[start_block + h, start_block + h +
-        n_data_blocks)`` and its 2h "pad" window blocks hold the
-        surrounding REAL beta (not zeros). No operand slicing happens —
-        the index maps offset into the same resident arrays — and the
-        per-block math is bit-identical to the full call's, so a
-        boundary/interior split recomposes the full sweep exactly. This
-        is how the GSPMD mesh path overlaps its ppermute halo exchange
-        with interior compute: the interior sub-call has no data
-        dependency on the halo transfer. Output is the sub-carry
-        ``(K, (n_data_blocks + 2h) * block)`` with zero-written pad
-        slots.
+    sub : optional static ``(carry_start, data_start, n_data_blocks)``
+        — run the sweep on a SUB-RANGE: the sub-problem's window blocks
+        begin at block ``carry_start`` of whatever carry operand is
+        given (which may be the full resident carry, or a small
+        assembled ``[halo | edge-data]`` buffer), its data blocks are
+        GLOBAL data blocks ``[data_start, data_start + n_data_blocks)``
+        (indexing Xty/masks/inv/ns_rest, and fixing the output position
+        under ``out_alias``). The 2h window "pad" blocks hold REAL
+        surrounding beta, and the per-block math is bit-identical to the
+        full call's, so a boundary/interior split recomposes the full
+        sweep exactly. This is how the GSPMD mesh path overlaps its
+        ppermute halo exchange with interior compute: the interior
+        sub-call has no data dependency on the halo transfer, and the
+        boundary sub-calls consume the transfer through ~MB-scale
+        assembled side buffers instead of a full-carry update (a
+        dynamic-update-slice of the 84 MB carry measured as a full
+        copy). Output is the sub-carry ``(K, (n_data_blocks + 2h) *
+        block)`` with zero-written pad slots — or, with ``out_alias``,
+        the full carry updated in place.
+    out_alias : optional full-carry-shaped (K, n_ext) buffer, DONATED:
+        the output becomes this buffer with ONLY the sub-range's data
+        blocks rewritten (``input_output_aliases`` + edge steps that
+        don't store), so a boundary/interior split recomposes the full
+        sweep with ZERO copies — the measured alternative (slicing each
+        sub-call's output and concatenating) cost ~30% of the sweep.
+        Requires ``sub``.
     Returns ``(new beta_ext_t, max_diff, max_abs)`` — stats reduced over
     per-block partials (a (n_blocks,) max, fused by XLA).
 
@@ -852,35 +874,49 @@ def fused_banded_sweep(
     K, n_ext = beta_ext_t.shape
     if sub is None:
         assert (n_ext - 2 * h * block) % block == 0
-        start_block, n_mid = 0, (n_ext - 2 * h * block) // block
+        carry_start, data_start, n_mid = 0, 0, (n_ext - 2 * h * block) \
+            // block
     else:
-        start_block, n_mid = sub
+        carry_start, data_start, n_mid = sub
     n_solve = n_mid * block
     assert n_solve > 0
-    assert (start_block + n_mid + 2 * h) * block <= n_ext
+    assert (carry_start + n_mid + 2 * h) * block <= n_ext
     n_blocks_total = n_mid + 2 * h
     grid = (n_blocks_total + h,)
 
     lam2d = jnp.reshape(jnp.asarray(lambda_, jnp.float32), (1, 1))
     rho2d = jnp.reshape(jnp.asarray(rho, jnp.float32), (1, 1))
 
+    assert out_alias is None or sub is not None
     kernel = _make_fused_banded_kernel(
         offsets, h, block, n_blocks_total,
         has_rest=ns_rest_t is not None,
+        store_edges=out_alias is None,
+        has_alias=out_alias is not None,
     )
 
     def beta_map(i):
         # Streaming fetch: block i, clipped (trailing steps re-map to the
         # last block, whose DMA the pipeline skips as the index is equal).
-        return (0, jnp.minimum(i, n_blocks_total - 1) + start_block)
+        return (0, jnp.minimum(i, n_blocks_total - 1) + carry_start)
 
     def data_map(i):
         # Data slab for the processed block j = i - h (data arrays carry
         # no pad blocks, so the data index is j - h = i - 2h).
-        return (0, jnp.clip(i - 2 * h, 0, n_mid - 1) + start_block)
+        return (0, jnp.clip(i - 2 * h, 0, n_mid - 1) + data_start)
 
-    def out_map(i):
-        return (0, jnp.clip(i - h, 0, n_blocks_total - 1))
+    if out_alias is None:
+        def out_map(i):
+            return (0, jnp.clip(i - h, 0, n_blocks_total - 1))
+        out_cols = n_blocks_total * block
+    else:
+        # Aliased full-carry output: visit ONLY this call's own data
+        # blocks (edge steps clamp into the range and don't store — the
+        # revisited VMEM block flushes the data step's store). Data
+        # block d sits at carry block d + h of the full buffer.
+        def out_map(i):
+            return (0, data_start + h + jnp.clip(i - 2 * h, 0, n_mid - 1))
+        out_cols = out_alias.shape[1]
 
     U = masks.shape[0]
     msize = masks.dtype.itemsize
@@ -899,6 +935,16 @@ def fused_banded_sweep(
             pl.BlockSpec((K, block), data_map, memory_space=pltpu.VMEM)
         )
         operands.append(ns_rest_t)
+    io_aliases = {}
+    if out_alias is not None:
+        # Dummy-spec'd donated buffer (its blocks are never read by the
+        # kernel; the alias just makes the output share its storage).
+        in_specs.append(
+            pl.BlockSpec((K, block), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(out_alias)
+        io_aliases = {len(operands) - 1: 0}
     out_beta, diff_p, abs_p = pl.pallas_call(
         kernel,
         grid=grid,
@@ -917,7 +963,10 @@ def fused_banded_sweep(
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((K, n_blocks_total * block), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (K, out_cols if out_alias is not None
+                 else n_blocks_total * block), jnp.float32,
+            ),
             jax.ShapeDtypeStruct((1, n_blocks_total), jnp.float32),
             jax.ShapeDtypeStruct((1, n_blocks_total), jnp.float32),
         ],
@@ -933,6 +982,7 @@ def fused_banded_sweep(
             ),
             transcendentals=0,
         ),
+        input_output_aliases=io_aliases,
         interpret=interpret,
     )(*operands)
     return out_beta, jnp.max(diff_p), jnp.max(abs_p)

@@ -100,7 +100,7 @@ def _gspmd_iterate(
 def _gspmd_iterate_fused(
     beta0, Xty_t, XtX, masks, nnb, lam, rho, tol, iter_cap,
     offsets: Tuple[int, ...], h: int, block: int, max_iter: int, mesh: Mesh,
-    overlap: bool = True, interpret: bool = False,
+    overlap="auto", interpret: bool = False,
 ):
     """Sharded solve loop over the fully fused banded Pallas kernel.
 
@@ -114,17 +114,23 @@ def _gspmd_iterate_fused(
     across shards, so the iterate AND the stopping decision are
     bit-identical to the single-device fused solve.
 
-    ``overlap=True`` (default, when each shard has at least one interior
-    block) splits the sweep into an INTERIOR sub-call — data blocks whose
+    ``overlap`` (default ``"auto"`` — see the measured engagement rule in
+    the body; ``True`` forces it when each shard has at least one
+    interior block) splits the sweep into an INTERIOR sub-call — data blocks whose
     neighbor windows never touch the halo pads, issued BEFORE the halo
     update so it has no data dependency on the ppermutes — and two
     h-block BOUNDARY sub-calls issued after, letting XLA's async
     collective-permute machinery run the ICI transfer underneath the
     interior kernel (the dominant term of the projected strong-scaling
-    sync floor — docs/performance_guide.md). Every data block sees the
-    identical window and per-block math in either form (Jacobi reads are
-    pre-sweep by construction), so the split recomposes the unsplit
-    sweep BITWISE (pinned by tests/test_fused_banded.py).
+    sync floor — docs/performance_guide.md). The three sub-calls write
+    disjoint regions of ONE donated full-size buffer in place
+    (``fused_banded_sweep(out_alias=...)``), carried ping-pong with the
+    beta buffer — recomposition costs zero copies (a slice+concatenate
+    recompose measured ~30% of the sweep and was replaced). Every data
+    block sees the identical window and per-block math in either form
+    (Jacobi reads are pre-sweep by construction), so the split
+    recomposes the unsplit sweep BITWISE (pinned by
+    tests/test_fused_banded.py).
 
     The transposed-carry layout is fully encapsulated: this function takes
     and returns the (n_pad, K) row-sharded beta of the outer protocol.
@@ -140,59 +146,96 @@ def _gspmd_iterate_fused(
                     lam, rho, tol, cap):
         n_local = beta_loc.shape[0]
         m = n_local // block
-        split = overlap and m >= 2 * h + 1
+        # MEASURED trade (round 5, 1M x 20 on v5e): the split costs ~29%
+        # of per-shard compute — XLA inserts a full-carry copy for the
+        # aliased recompose (one aliased call: 1.74 vs 1.30 ms/sweep;
+        # concat and dynamic-update-slice recomposes measured the same
+        # or worse). Hiding t_halo (~8 us) therefore only nets out when
+        # per-shard compute is tiny: 0.29 * t_comp < t_halo at
+        # n_local <~ 16k spots (1.43 ms/sweep per 1M spots). "auto"
+        # applies that rule; True/False force it (tests pin the split
+        # bitwise against the unsplit sweep).
+        if overlap == "auto":
+            split = n_local <= 16384 and m >= 2 * h + 1
+        else:
+            split = bool(overlap) and m >= 2 * h + 1
         # Sweep-invariant reciprocal denominator, once per solve per shard
         # (ops/bcd.gs_inv_den — identical values to the single-device
         # solve's, so the mesh path stays bitwise-identical to it).
         inv_den_t = gs_inv_den(xtx, nnb_loc, lam)
 
-        def run(ext_for, sub):
+        def run(ext_for, sub, alias=None):
             return fused_banded_sweep(
                 ext_for, xty_t, xtx, masks_loc, inv_den_t, lam, rho,
-                offsets, h, block=block, sub=sub, interpret=interpret,
+                offsets, h, block=block, sub=sub, out_alias=alias,
+                interpret=interpret,
             )
 
-        def sweep(ext):
+        def sweep_unsplit(ext):
             # Halo refresh: my first/last h data blocks -> neighbors' pads.
             first = jax.lax.slice_in_dim(ext, hB, 2 * hB, axis=1)
             last = jax.lax.slice_in_dim(ext, n_local, n_local + hB, axis=1)
             from_left = jax.lax.ppermute(last, _AXIS, perm_fwd)
             from_right = jax.lax.ppermute(first, _AXIS, perm_bwd)
-            if split:
-                # Interior first — independent of the in-flight ppermutes.
-                mid, d_i, a_i = run(ext, (h, m - 2 * h))
             ext_in = jax.lax.dynamic_update_slice(ext, from_left, (0, 0))
             ext_in = jax.lax.dynamic_update_slice(
                 ext_in, from_right, (0, hB + n_local)
             )
-            if split:
-                left, d_l, a_l = run(ext_in, (0, h))
-                right, d_r, a_r = run(ext_in, (m - h, h))
-                new_data = jnp.concatenate(
-                    [
-                        jax.lax.slice_in_dim(left, hB, 2 * hB, axis=1),
-                        jax.lax.slice_in_dim(
-                            mid, hB, hB + (m - 2 * h) * block, axis=1
-                        ),
-                        jax.lax.slice_in_dim(right, hB, 2 * hB, axis=1),
-                    ],
-                    axis=1,
-                )
-                out = jnp.pad(new_data, ((0, 0), (hB, hB)))
-                diff = jnp.maximum(jnp.maximum(d_l, d_i), d_r)
-                mabs = jnp.maximum(jnp.maximum(a_l, a_i), a_r)
-            else:
-                out, diff, mabs = run(ext_in, None)
+            out, diff, mabs = run(ext_in, None)
             return (
                 out,
                 jax.lax.pmax(diff, _AXIS),
                 jax.lax.pmax(mabs, _AXIS),
             )
 
+        def sweep_split(state):
+            # Ping-pong buffers: read ext, write every data block of
+            # scratch in place through three aliased sub-calls, then
+            # swap. Neither buffer's PADS are ever written (they stay
+            # exactly zero from init — halo data reaches the boundary
+            # calls through small assembled side carries, never through
+            # the 84 MB resident buffers, whose dynamic-update-slice
+            # measured as a full copy).
+            ext, scratch = state
+            first = jax.lax.slice_in_dim(ext, hB, 2 * hB, axis=1)
+            last = jax.lax.slice_in_dim(ext, n_local, n_local + hB, axis=1)
+            from_left = jax.lax.ppermute(last, _AXIS, perm_fwd)
+            from_right = jax.lax.ppermute(first, _AXIS, perm_bwd)
+            # Interior first — no data dependency on the in-flight
+            # ppermutes, so the transfer hides underneath it.
+            nxt, d_i, a_i = run(ext, (h, h, m - 2 * h), alias=scratch)
+            # Boundary windows: (K, 3hB) assembled [halo | edge data]
+            # carries (~MBs — the copies are negligible at any scale).
+            left_in = jnp.concatenate(
+                [from_left,
+                 jax.lax.slice_in_dim(ext, hB, 3 * hB, axis=1)], axis=1,
+            )
+            right_in = jnp.concatenate(
+                [jax.lax.slice_in_dim(
+                    ext, hB + n_local - 2 * hB, hB + n_local, axis=1),
+                 from_right], axis=1,
+            )
+            nxt, d_l, a_l = run(left_in, (0, 0, h), alias=nxt)
+            nxt, d_r, a_r = run(right_in, (0, m - h, h), alias=nxt)
+            diff = jnp.maximum(jnp.maximum(d_l, d_i), d_r)
+            mabs = jnp.maximum(jnp.maximum(a_l, a_i), a_r)
+            return (
+                (nxt, ext),
+                jax.lax.pmax(diff, _AXIS),
+                jax.lax.pmax(mabs, _AXIS),
+            )
+
         ext0 = jnp.pad(beta_loc.T, ((0, 0), (hB, hB)))
-        ext, n_iter, rel = converge_loop(
-            sweep, ext0, tol, max_iter, iter_cap=cap
-        )
+        if split:
+            state, n_iter, rel = converge_loop(
+                sweep_split, (ext0, jnp.zeros_like(ext0)), tol, max_iter,
+                iter_cap=cap,
+            )
+            ext = state[0]
+        else:
+            ext, n_iter, rel = converge_loop(
+                sweep_unsplit, ext0, tol, max_iter, iter_cap=cap
+            )
         beta_out = jax.lax.slice_in_dim(ext, hB, hB + n_local, axis=1).T
         return beta_out, n_iter, rel
 
