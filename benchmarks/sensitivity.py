@@ -1,0 +1,171 @@
+"""Reproduce the reference's documented robustness findings, offline.
+
+The reference's Stereo-seq guide reports two sensitivity results on real
+MOSTA data (reference ``docs/stereo_seq_guide.md:169-174``):
+
+1. **Preprocessing**: ``log_cpm`` vs ``pearson`` residuals produce
+   correlated results, r ~ 0.72-0.94 between the two proportion
+   matrices.
+2. **k_neighbors**: results are insensitive across k = 4-12.
+
+The real datasets need network egress (unavailable here), so this
+harness reproduces both findings on the silver-standard protocol of
+``benchmarks/spotless_like.py`` (spots pooled from simulated cells,
+reference signatures from held-out cells): for each dataset the model is
+fit under each setting and the flattened Pearson correlation between the
+resulting proportion matrices is reported. ``tests/test_aux.py``
+pins the bands so a regression in either robustness property fails CI.
+
+Usage: python benchmarks/sensitivity.py [--out results.json]
+       [--n-spots 600] [--replicates 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spotless_like import (  # noqa: E402
+    DESIGNS,
+    compose_spots,
+    reference_from_cells,
+    simulate_cells,
+)
+
+K_GRID = (4, 6, 8, 12)
+
+
+def result_correlation(P1, P2) -> float:
+    """Flattened Pearson r between two (N, K) proportion matrices."""
+    a = np.asarray(P1, dtype=np.float64).ravel()
+    b = np.asarray(P2, dtype=np.float64).ravel()
+    a = a - a.mean()
+    b = b - b.mean()
+    denom = np.sqrt((a * a).sum() * (b * b).sum())
+    return float((a * b).sum() / max(denom, 1e-300))
+
+
+def make_dataset(design_name, seed, n_spots, n_genes=4000,
+                 cells_per_type=120):
+    cfg = dict(DESIGNS[design_name])
+    n_types = cfg.pop("n_types")
+    pattern = cfg.pop("pattern")
+    target_depth = cfg.pop("target_depth", None)
+    cells_per_spot = cfg.pop("cells_per_spot", (2, 12))
+    cfg.pop("rare_frac", None)
+    cfg.pop("dominant_frac", None)
+
+    rng = np.random.RandomState(seed)
+    counts, labels = simulate_cells(n_types, n_genes, cells_per_type, rng)
+    half = counts.shape[0] // 2
+    Y, coords, props = compose_spots(
+        counts[:half], labels[:half], n_types, n_spots, rng,
+        cells_per_spot=cells_per_spot, pattern=pattern,
+        type_freq=np.ones(n_types) / n_types, target_depth=target_depth,
+    )
+    X = reference_from_cells(counts[half:], labels[half:], n_types)
+    return Y, X, coords, props
+
+
+def fit(Y, X, coords, preprocess="log_cpm", k_neighbors=6):
+    from flashdeconv_tpu import FlashDeconv
+
+    return FlashDeconv(
+        sketch_dim=512, lambda_spatial="auto", n_hvg=2000,
+        n_markers_per_type=50, random_state=0,
+        preprocess=preprocess, k_neighbors=k_neighbors,
+    ).fit_transform(Y, X, coords)
+
+
+def run_one(design_name, seed, n_spots):
+    from flashdeconv_tpu.utils.metrics import compute_correlation
+
+    Y, X, coords, props = make_dataset(design_name, seed, n_spots)
+    t0 = time.perf_counter()
+    preds = {}
+    for pre in ("log_cpm", "pearson"):
+        preds[pre] = fit(Y, X, coords, preprocess=pre)
+    k_preds = {6: preds["log_cpm"]}
+    for k in K_GRID:
+        if k != 6:
+            k_preds[k] = fit(Y, X, coords, k_neighbors=k)
+    row = {
+        "design": design_name,
+        "seed": seed,
+        "preproc_result_corr": round(
+            result_correlation(preds["log_cpm"], preds["pearson"]), 4
+        ),
+        "accuracy_log_cpm": round(
+            float(compute_correlation(preds["log_cpm"], props)), 4
+        ),
+        "accuracy_pearson": round(
+            float(compute_correlation(preds["pearson"], props)), 4
+        ),
+        "k_result_corr_vs_k6": {
+            str(k): round(result_correlation(k_preds[k], k_preds[6]), 4)
+            for k in K_GRID if k != 6
+        },
+        "k_accuracy": {
+            str(k): round(
+                float(compute_correlation(k_preds[k], props)), 4
+            )
+            for k in K_GRID
+        },
+        "seconds": round(time.perf_counter() - t0, 1),
+    }
+    return row
+
+
+def run(n_spots=600, replicates=2, designs=("regional_deep", "uniform_mix"),
+        seed0=0):
+    rows = []
+    for rep in range(replicates):
+        for j, name in enumerate(designs):
+            row = run_one(name, seed0 + 31 * rep + j, n_spots)
+            rows.append(row)
+            print(
+                f"# {name} rep={rep}: preproc_corr="
+                f"{row['preproc_result_corr']:.3f} "
+                f"k_corr_min="
+                f"{min(row['k_result_corr_vs_k6'].values()):.3f} "
+                f"({row['seconds']:.0f}s)",
+                file=sys.stderr, flush=True,
+            )
+    pre = [r["preproc_result_corr"] for r in rows]
+    kmin = [min(r["k_result_corr_vs_k6"].values()) for r in rows]
+    return {
+        "metric": "sensitivity_reproduction",
+        "preproc_result_corr_range": [
+            round(float(np.min(pre)), 4), round(float(np.max(pre)), 4)
+        ],
+        "reference_band_preproc": [0.72, 0.94],
+        "k_result_corr_min": round(float(np.min(kmin)), 4),
+        "reference_claim_k": "k = 4-12 results similar "
+                             "(stereo_seq_guide.md:173-174)",
+        "datasets": rows,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-spots", type=int, default=600)
+    ap.add_argument("--replicates", type=int, default=2)
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+    out = run(n_spots=args.n_spots, replicates=args.replicates)
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

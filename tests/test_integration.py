@@ -186,7 +186,8 @@ class TestErrorContracts:
 
 class TestAnnDataAPI:
     def _make_adatas(self):
-        ad = pytest.importorskip("anndata")
+        from tests.fake_anndata import anndata_or_fake
+        ad = anndata_or_fake()
         Y, X, coords, props = make_synthetic(n_spots=80, n_genes=200, n_types=4)
         genes = np.array([f"gene{i}" for i in range(Y.shape[1])])
         adata_st = ad.AnnData(X=Y)
@@ -236,7 +237,8 @@ class TestAnnDataAPI:
         assert "flashdeconv" in out.obsm
 
     def test_result_to_anndata_errors(self):
-        ad = pytest.importorskip("anndata")
+        from tests.fake_anndata import anndata_or_fake
+        ad = anndata_or_fake()
         from flashdeconv_tpu.io import result_to_anndata
 
         adata = ad.AnnData(X=np.zeros((5, 3)))
@@ -250,7 +252,8 @@ class TestAnnDataAPI:
             )
 
     def test_prepare_data_alignment(self):
-        ad = pytest.importorskip("anndata")
+        from tests.fake_anndata import anndata_or_fake
+        ad = anndata_or_fake()
         from flashdeconv_tpu.io import prepare_data
 
         rng = np.random.RandomState(0)

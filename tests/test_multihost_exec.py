@@ -212,6 +212,174 @@ with open(os.path.join(outdir, f"pipe_record_p{{pid}}.json"), "w") as f:
 """
 
 
+VARIANTS_WORKER = """
+import os, sys, json
+sys.path.insert(0, {repo!r})
+import numpy as np
+pid, nproc, port, outdir = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+from flashdeconv_tpu.parallel import multihost
+multihost.initialize(
+    coordinator_address="localhost:" + port,
+    num_processes=nproc,
+    process_id=pid,
+)
+assert jax.process_count() == nproc
+
+from scipy import sparse
+from flashdeconv_tpu import FlashDeconv
+
+rng = np.random.RandomState(0)
+side = 16
+xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+n = coords.shape[0]
+G, K = 400, 6
+X = rng.gamma(2.0, 1.0, size=(K, G)) * (rng.rand(K, G) < 0.3)
+bt = rng.dirichlet(np.ones(K), size=n)
+Y = sparse.csr_matrix(rng.poisson(bt @ X * 25.0).astype(np.float64))
+
+cuts = np.round(np.linspace(0, n, nproc + 1)).astype(int)
+cuts[1:-1] -= 17
+lo, hi = int(cuts[pid]), int(cuts[pid + 1])
+
+mesh = multihost.global_spot_mesh()
+assert mesh.devices.size == 8
+
+CASES = {{
+    "pearson": dict(preprocess="pearson"),
+    "radius": dict(spatial_method="radius", radius=1.5),
+    "gridm": dict(spatial_method="grid"),
+}}
+record = {{"processes": nproc, "rows": [lo, hi]}}
+for name, kw in CASES.items():
+    model = FlashDeconv(
+        sketch_dim=64, n_hvg=120, n_markers_per_type=10, max_iter=40,
+        tol=1e-5, solver_dtype=np.float64, random_state=0, mesh=mesh,
+        **kw,
+    )
+    model.fit_distributed(Y[lo:hi], X, coords[lo:hi])
+    np.save(os.path.join(outdir, f"var_beta_{{name}}_p{{pid}}.npy"),
+            model.beta_)
+    np.save(os.path.join(outdir, f"var_genes_{{name}}_p{{pid}}.npy"),
+            model.gene_idx_)
+    record[name] = {{
+        "lambda": model.lambda_used_,
+        "n_iterations": model.info_["n_iterations"],
+        "final_objective": model.info_["final_objective"],
+        "avg_degree": float(model.adjacency_.nnz) / n,
+        "converged": bool(model.info_["converged"]),
+    }}
+
+with open(os.path.join(outdir, f"var_record_p{{pid}}.json"), "w") as f:
+    json.dump(record, f)
+"""
+
+
+def test_fit_distributed_noncanonical_paths(tmp_path):
+    """2-process ``fit_distributed`` for the NON-canonical configurations
+    (round-5 verdict item 7): pearson preprocessing (global gene means are
+    one cross-host allreduce -> float64-rounding agreement, per the
+    documented contract) and radius/grid spatial adjacency (built from the
+    gathered coordinates -> bit-identical to single-process)."""
+    nproc = 2
+    worker = tmp_path / "var_worker.py"
+    worker.write_text(VARIANTS_WORKER.format(repo=str(REPO)))
+    port = str(_free_port())
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={8 // nproc}"
+    )
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("JAX_ENABLE_X64", None)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), str(nproc), port,
+             str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(nproc)
+    ]
+    try:
+        outs = [p.communicate(timeout=300) for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+
+    records = [
+        json.loads((tmp_path / f"var_record_p{pid}.json").read_text())
+        for pid in range(nproc)
+    ]
+
+    # Single-process references over the same 8-device virtual mesh.
+    from scipy import sparse
+
+    from flashdeconv_tpu import FlashDeconv
+
+    rng = np.random.RandomState(0)
+    side = 16
+    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+    coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+    n = coords.shape[0]
+    G, K = 400, 6
+    X = rng.gamma(2.0, 1.0, size=(K, G)) * (rng.rand(K, G) < 0.3)
+    bt = rng.dirichlet(np.ones(K), size=n)
+    Y = sparse.csr_matrix(rng.poisson(bt @ X * 25.0).astype(np.float64))
+
+    cases = {
+        "pearson": dict(preprocess="pearson"),
+        "radius": dict(spatial_method="radius", radius=1.5),
+        "gridm": dict(spatial_method="grid"),
+    }
+    for name, kw in cases.items():
+        ref = FlashDeconv(
+            sketch_dim=64, n_hvg=120, n_markers_per_type=10, max_iter=40,
+            tol=1e-5, solver_dtype=np.float64, random_state=0, n_shards=8,
+            **kw,
+        ).fit(Y, X, coords)
+        for pid in range(nproc):
+            beta = np.load(tmp_path / f"var_beta_{name}_p{pid}.npy")
+            genes = np.load(tmp_path / f"var_genes_{name}_p{pid}.npy")
+            rec = records[pid][name]
+            # gene selection is log-CPM-moment-based in every mode: exact.
+            np.testing.assert_array_equal(genes, ref.gene_idx_)
+            assert rec["n_iterations"] == ref.info_["n_iterations"]
+            assert rec["converged"] == ref.info_["converged"]
+            assert rec["avg_degree"] == pytest.approx(
+                float(ref.adjacency_.nnz) / n
+            )
+            if name == "pearson":
+                # documented bound: cross-host sums reassociate -> f64
+                # rounding agreement, not bit equality
+                np.testing.assert_allclose(
+                    beta, ref.beta_, rtol=1e-9, atol=1e-12
+                )
+                assert rec["final_objective"] == pytest.approx(
+                    ref.info_["final_objective"], rel=1e-10
+                )
+            else:
+                # canonical log_cpm feed + coordinate-gathered adjacency:
+                # bit-identical
+                np.testing.assert_array_equal(beta, ref.beta_)
+                assert rec["final_objective"] == pytest.approx(
+                    ref.info_["final_objective"], rel=1e-12
+                )
+            assert rec["lambda"] == pytest.approx(
+                ref.lambda_used_, rel=1e-12
+            )
+
+
 def test_fit_distributed_two_process_matches_single_fit(tmp_path):
     """FULL one-call pipeline across a REAL process boundary, bit-identical
     to single-process ``fit`` on the concatenated inputs (VERDICT r3 #4)."""
