@@ -532,14 +532,17 @@ def coordinate_descent_pallas(
 
 
 #: Per-core scoped-VMEM budget for the fused banded kernel's working set.
-#: The hardware limit is 16 MB. Calibrated against MEASURED Mosaic
-#: scoped-size rejections of the STREAMING kernel (2026-08-19), estimate
-#: vs actual: (K=128,h=1,B=2048) 18.1M vs 22.7M (1.26x — the worst),
-#: (K=20,h=1,B=16384) 25.3M vs 31.2M (1.24x), (K=96,h=4,B=2048) 22.6M vs
-#: 21.9M (0.97x), (K=128,h=8,B=1024) 23.0M vs 18.7M (0.81x). Gate at
-#: 16 MB / 1.26 ≈ 12.7 MB, held at 12 MB; every measured failing config
-#: estimates >= 18M and every measured passing one <= 11.1M.
-FUSED_VMEM_BUDGET_BYTES = 12 * 2**20
+#: The hardware limit is 16 MB. RE-CALIBRATED round 5 (2026-08-20)
+#: against the CURRENT kernel (inv_den stream + delta-form GS pass) by
+#: compiling+running the borderline configs on the chip: PASS
+#: (K=128,h=2,B=1024) 12,615,680 B, (K=256,h=8,B=256) 12,591,104 B,
+#: (K=64,h=2,B=2048) 12,648,448 B; FAIL (K=160,h=1,B=1024)
+#: 13,139,968 B, (K=160,h=2,B=1024) 15.8M, (K=20,h=1,B=8192) 16.0M.
+#: The measured boundary sits in (12,648,448, 13,139,968] — gate at
+#: 12.25 MiB. (The round-3 table against the pre-inv-stream kernel:
+#: failures (K=128,h=1,B=2048) 21M+, (K=96,h=4,B=2048) 25M,
+#: (K=20,h=1,B=16384) 32M — all still comfortably rejected.)
+FUSED_VMEM_BUDGET_BYTES = 12_845_056  # 12.25 MiB
 
 
 def fused_banded_vmem_bytes(n_types: int, n_bands: int, h: int,

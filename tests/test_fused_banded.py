@@ -528,13 +528,19 @@ def test_vmem_gate_calibration_bounds():
         fused_banded_vmem_bytes,
     )
 
-    # production shapes (headline 20 types, atlas 25, MOSTA 25, 10M h=2)
-    for K, U, h in [(20, 16, 1), (25, 16, 1), (25, 16, 2), (64, 16, 1)]:
-        assert fused_banded_vmem_bytes(K, U, h) <= FUSED_VMEM_BUDGET_BYTES, (
-            K, U, h)
-    # measured Mosaic scoped-size failures (actual > 16 MB on v5e)
-    for K, U, h, block in [(128, 16, 1, 2048), (128, 16, 2, 2048),
-                           (96, 16, 4, 2048), (20, 16, 1, 16384)]:
+    # configs COMPILED+RUN on hardware (2026-08-20, round-5 kernel):
+    # production shapes plus the measured-pass boundary points
+    for K, U, h, block in [(20, 16, 1, 2048), (25, 16, 1, 2048),
+                           (25, 16, 2, 2048), (64, 16, 2, 2048),
+                           (128, 16, 2, 1024), (256, 16, 8, 256),
+                           (200, 16, 2, 512)]:
+        assert fused_banded_vmem_bytes(K, U, h, block) \
+            <= FUSED_VMEM_BUDGET_BYTES, (K, U, h, block)
+    # measured Mosaic rejections (HTTP-500 remote compiles / scoped-size
+    # failures) — the boundary case (160,1,1024) plus the round-3 set
+    for K, U, h, block in [(160, 16, 1, 1024), (128, 16, 1, 2048),
+                           (128, 16, 2, 2048), (96, 16, 4, 2048),
+                           (20, 16, 1, 8192), (20, 16, 1, 16384)]:
         assert fused_banded_vmem_bytes(K, U, h, block) \
             > FUSED_VMEM_BUDGET_BYTES, (K, U, h, block)
 
@@ -711,7 +717,7 @@ def test_plan_fused_banded_blocks():
     assert plan_fused_banded(128, bands, halo) == (1024, 1)
     assert plan_fused_banded(160, bands, halo) == (512, 2)
     assert plan_fused_banded(200, bands, halo) == (512, 2)
-    assert plan_fused_banded(256, bands, halo) == (256, 4)
+    assert plan_fused_banded(256, bands, halo) == (512, 2)
     assert plan_fused_banded(320, bands, halo) == (256, 4)
     assert plan_fused_banded(512, bands, halo) is None
     # mesh-path constraint: halo blocks must fit one neighbor shard
