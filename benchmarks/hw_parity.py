@@ -22,7 +22,10 @@ multi-block grids and real band structure, small enough to stay quick):
 5. large-K tier (K = 96 — MXU-panel GS pass + planned 1024 block): fused
    == unfused banded Pallas CD (bitwise: both call the same gs_pass
    dispatch) and == the XLA fori tier (<= 1e-4 — the panel pass
-   reassociates f32 sums across panels and runs cross-panel corrections
+   reassociates f32 sums across panels and runs cross-panel corrections;
+6. rest-stream (round 5): a banded-dominant graph with a small native
+   remainder runs the fused kernel + compact rest scatter, bitwise ==
+   the unfused banded+rest path
    on the MXU at precision=HIGHEST).
 
 Usage: python benchmarks/hw_parity.py
@@ -205,6 +208,58 @@ def main() -> int:
         "ok": fused_big and d_bu == 0.0 and d_bx < 1e-4
               and info_bf["n_iterations"] == info_bu["n_iterations"]
               == int(it_bx),
+    }
+
+    # 6: rest-stream eligibility extension (round 5): a banded-dominant
+    # graph with a small native remainder must take the FUSED kernel
+    # (compact per-sweep rest scatter) and be bitwise-identical to the
+    # unfused banded+rest path on the chip — the interpret-mode parity
+    # tests cannot catch Mosaic-lowering regressions in this form.
+    from scipy import sparse as sp_sparse
+
+    rng_r = np.random.RandomState(11)
+    src_r = rng_r.choice(n, 60, replace=False)
+    dst_r = (src_r + rng_r.randint(4000, 9000, size=60)) % n
+    extra = sp_sparse.coo_matrix(
+        (np.ones(120), (np.r_[src_r, dst_r], np.r_[dst_r, src_r])),
+        shape=(n, n),
+    )
+    A_rest_graph = ((A + extra.tocsr()) > 0).astype(np.float64)
+    xty_r = np.abs(rng.randn(n, K)).astype(np.float32) * 3.0
+    kw_r = dict(lambda_=0.4, rho=0.01, max_iter=10, tol=1e-6)
+
+    pr_fused = prepare_bcd(None, X_sketch, A_rest_graph, coords=coords,
+                           xty=xty_r, yty=float(n * D))
+    rest_fused = bool(pr_fused.use_fused_banded)
+    rest_present = pr_fused.rest_touched_d is not None
+    assert pr_fused.perm is None
+    beta_rf, info_rf = pr_fused.solve(return_device=True, **kw_r)
+
+    # Unfused Pallas banded+rest sweep on the SAME (rescued/capped)
+    # decomposition — the bitwise partner of the fused kernel. (A second
+    # prepare under a zeroed gate would re-plan WITHOUT the cap and solve
+    # a differently-associated but equivalent problem, ~1e-9 apart.)
+    xty_pad = np.zeros((pr_fused.n_solve, K), np.float32)
+    xty_pad[:n] = xty_r
+    beta0_r = jnp.zeros(
+        (pr_fused.n_solve, K), jnp.float32
+    ).at[:n].set(1.0 / K)
+    beta_ru, it_ru, _ = bcd_iterate_banded(
+        beta0_r, jnp.asarray(xty_pad), pr_fused.XtX_d, pr_fused.offsets,
+        pr_fused.masks_d.astype(jnp.float32), pr_fused.rest_d,
+        pr_fused.nnb_d, jnp.float32(kw_r["lambda_"]),
+        jnp.float32(kw_r["rho"] * pr_fused.mean_diag),
+        jnp.float32(kw_r["tol"]), kw_r["max_iter"], pr_fused.halo,
+        use_pallas=True,
+    )
+    d_rest = float(jnp.max(jnp.abs(beta_rf - beta_ru[:n])))
+    results["rest_stream_fused_vs_unfused"] = {
+        "fused_engaged": rest_fused,
+        "rest_tables_present": rest_present,
+        "max_abs_diff": d_rest,
+        "same_iterations": info_rf["n_iterations"] == int(it_ru),
+        "ok": rest_fused and rest_present and d_rest == 0.0
+              and info_rf["n_iterations"] == int(it_ru),
     }
 
     ok = all(r["ok"] for r in results.values())

@@ -285,13 +285,13 @@ class BCDProblem:
         # instead of falling back to the ~4x slower unfused banded path.
         # Fused eligibility: everything banded, or a rest remainder small
         # enough for the compact rest-stream (bounded scatter width).
-        rest_fusable = use_banded and (
-            A_rest.nnz == 0 or (
-                A_rest.nnz <= 0.02 * max(int(A_solve.nnz), 1)
-                and int(np.diff(A_rest.tocsr().indptr).max()) <= 8
+        def _rest_fusable(rest):
+            return rest.nnz == 0 or (
+                rest.nnz <= 0.02 * max(int(A_solve.nnz), 1)
+                and int(np.diff(rest.tocsr().indptr).max()) <= 8
             )
-        )
-        if pallas_tier and rest_fusable:
+
+        if pallas_tier and use_banded and _rest_fusable(A_rest):
             from flashdeconv_tpu.ops.bcd import (
                 FUSED_BLOCK_CANDIDATES_1D,
                 plan_fused_banded,
@@ -302,6 +302,29 @@ class BCDProblem:
                 n_types, int(offsets_np.size), halo_spots,
                 candidates=FUSED_BLOCK_CANDIDATES_1D,
             )
+            if fused_plan is None:
+                # Rescue: a handful of long-range edges can be absorbed
+                # by banded_split as near-singleton "bands" whose offsets
+                # inflate the halo past any plannable h (seen with ~100
+                # random extra edges on a 262k grid: halo 257k). Spill
+                # pathological bands into the rest-stream and re-plan —
+                # this path only runs when the direct plan FAILED, so the
+                # measured no-cap-on-grids decision stands.
+                from flashdeconv_tpu.utils.graph import cap_sparse_bands
+
+                off2, masks2, rest2 = cap_sparse_bands(
+                    offsets_np, masks_np, A_rest, int(A_solve.nnz)
+                )
+                if off2.size and off2.size < offsets_np.size \
+                        and _rest_fusable(rest2):
+                    halo2 = int(np.max(np.abs(off2)))
+                    plan2 = plan_fused_banded(
+                        n_types, int(off2.size), halo2,
+                        candidates=FUSED_BLOCK_CANDIDATES_1D,
+                    )
+                    if plan2 is not None:
+                        offsets_np, masks_np, A_rest = off2, masks2, rest2
+                        fused_plan = plan2
         n_solve = n_spots
         if use_pallas or fused_plan is not None:
             # Pad the spot axis to the larger of 2048 (the unfused Pallas

@@ -445,3 +445,16 @@ class TestSensitivityBands:
             assert corr >= 0.9, (k, corr)
         accs = sens_row["k_accuracy"]
         assert max(accs.values()) - min(accs.values()) < 0.05
+
+
+def test_reserve_host_arena_async():
+    """The background arena reservation returns a waitable handle and the
+    fault pass completes; repeated calls for already-reserved sizes return
+    completed handles immediately."""
+    from flashdeconv_tpu.utils import hostmem
+
+    h = hostmem.reserve_host_arena_async(0.05)
+    assert h.wait(timeout=60) is True
+    assert h.done
+    h2 = hostmem.reserve_host_arena_async(0.05)  # idempotent fast path
+    assert h2.done and h2.wait() is True

@@ -509,6 +509,53 @@ def test_bcd_problem_fused_with_native_rest(monkeypatch):
     assert prob.nnb_d is not None
 
 
+def test_bcd_problem_fused_plan_rescue(monkeypatch):
+    """A few random long-range edges make banded_split absorb
+    near-singleton offsets as bands, inflating the halo past any
+    plannable h (halo ~ N!). BCDProblem must rescue by spilling
+    pathological bands into the rest-stream and re-planning — not fall
+    to the ~4x slower unfused tier. Gating only."""
+    import jax
+    from scipy import sparse as sp
+
+    from flashdeconv_tpu.core import solver as core_solver
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    side = 512                            # big enough that the junk
+    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+    coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+    A = build_knn_graph(coords, k=6)
+    n = A.shape[0]
+    rng = np.random.RandomState(1)
+    src = rng.choice(n // 2, 30, replace=False)
+    dst = src + rng.randint(60_000, 120_000, size=30)  # h > 8 at any block
+    extra = sp.coo_matrix(
+        (np.ones(60), (np.r_[src, dst], np.r_[dst, src])), shape=(n, n)
+    )
+    A = ((A + extra.tocsr()) > 0).astype(np.float64)
+
+    # the junk offsets are un-plannable directly: h = ceil(60k/4096) > 8
+    from flashdeconv_tpu.ops.bcd import (
+        FUSED_BLOCK_CANDIDATES_1D,
+        plan_fused_banded,
+    )
+
+    assert plan_fused_banded(
+        12, 32, 60_000, candidates=FUSED_BLOCK_CANDIDATES_1D
+    ) is None
+
+    K, d = 12, 32
+    prob = core_solver.BCDProblem(
+        rng.randn(n, d), rng.randn(K, d), A, dtype=np.float32,
+        coords=coords,
+    )
+    assert prob.use_banded
+    assert prob.use_fused_banded          # the rescue re-planned
+    assert prob.halo < 4096               # pathological offsets spilled
+    assert prob.rest_touched_d is not None
+
+
 def test_carry_roundtrip():
     rng = np.random.RandomState(0)
     beta = jnp.asarray(rng.randn(4 * BLOCK, 9), jnp.float32)
