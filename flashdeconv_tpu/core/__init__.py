@@ -24,6 +24,8 @@ from flashdeconv_tpu.core.spatial import (
     compute_degree_matrix,
     compute_laplacian,
     compute_laplacian_quadratic,
+    get_neighbor_counts,
+    get_neighbor_indices,
 )
 
 __all__ = [
@@ -47,4 +49,6 @@ __all__ = [
     "compute_degree_matrix",
     "compute_laplacian",
     "compute_laplacian_quadratic",
+    "get_neighbor_counts",
+    "get_neighbor_indices",
 ]

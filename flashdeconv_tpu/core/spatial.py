@@ -40,6 +40,15 @@ def compute_laplacian(
     return L.tocsr()
 
 
+# The neighbor accessors live with the rest of the graph machinery in
+# utils/graph; re-exported here for import-path parity with the reference
+# (``flashdeconv/core/spatial.py:76-115`` keeps them in its spatial module).
+from flashdeconv_tpu.utils.graph import (  # noqa: F401  (parity re-export)
+    get_neighbor_counts,
+    get_neighbor_indices,
+)
+
+
 def compute_laplacian_quadratic(beta: np.ndarray, L: sparse.spmatrix) -> float:
     """Tr(beta^T L beta) = sum over edges ||beta_i - beta_j||^2 (unnormalized L)."""
     return float(np.sum(beta * (L @ beta)))
