@@ -700,3 +700,67 @@ class TestFitDistributed:
             m.fit_distributed(
                 Y, X, coords, cell_type_names=np.array(["a", "b"])
             )
+
+
+_SIXTEEN_DEVICE_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=16"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+
+from flashdeconv_tpu.core.solver import bcd_solve
+from flashdeconv_tpu.parallel import sharded_bcd_solve
+from flashdeconv_tpu.utils.graph import build_knn_graph
+
+assert len(jax.devices()) == 16, jax.devices()
+
+side = 48                                  # 2304 spots, 16 shards of 144
+xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+n = coords.shape[0]
+rng = np.random.RandomState(7)
+K, d = 9, 48
+X_sketch = rng.randn(K, d)
+Y_sketch = np.abs(rng.randn(n, K)) @ X_sketch + 0.05 * rng.randn(n, d)
+A = build_knn_graph(coords, k=6)
+kwargs = dict(lambda_=0.3, rho=0.01, max_iter=60, tol=1e-5)
+
+beta_ref, info_ref = bcd_solve(
+    Y_sketch, X_sketch, A, dtype=np.float64, **kwargs
+)
+for strategy in ("auto", "halo"):
+    beta_sh, info_sh = sharded_bcd_solve(
+        Y_sketch, X_sketch, A, coords=coords, n_shards=16,
+        dtype=np.float64, strategy=strategy, **kwargs,
+    )
+    assert info_sh["n_shards"] == 16, info_sh
+    assert abs(info_sh["n_iterations"] - info_ref["n_iterations"]) <= 1
+    np.testing.assert_allclose(beta_sh, beta_ref, atol=1e-8)
+print("OK16")
+"""
+
+
+def test_sixteen_shard_solve_matches_single_device(tmp_path):
+    """Both sharded strategies at 16 shards — past the 8-device mesh every
+    other test uses, and the shard count the scaling model's knee sits at
+    (docs/performance_guide.md) — agree with the single-device solve to f64
+    rounding. Runs in a subprocess because the device count is fixed at
+    import time in this process."""
+    import os
+    import subprocess
+    import sys
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    script = tmp_path / "worker16.py"
+    script.write_text(_SIXTEEN_DEVICE_WORKER)
+    out = subprocess.run(
+        [sys.executable, str(script)], capture_output=True, text=True,
+        timeout=600, cwd=str(tmp_path), env=env,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "OK16" in out.stdout
