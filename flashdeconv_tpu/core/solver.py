@@ -42,8 +42,43 @@ def soft_threshold(x: float, threshold: float) -> float:
 
 
 def precompute_gram_matrix(X_sketch: np.ndarray) -> np.ndarray:
-    """Gram matrix XtX = X_sketch @ X_sketch.T, shape (K, K)."""
-    return X_sketch @ X_sketch.T
+    """Gram matrix XtX = X_sketch @ X_sketch.T, shape (K, K).
+
+    Raises ``ValueError`` when the Gram matrix comes out non-finite (NaN /
+    Inf signatures, or f32 overflow): a poisoned XtX silently drives EVERY
+    spot to the uniform fallback, which the reference returns without
+    complaint (its clipped Numba update maps NaN to 0) — failing loudly
+    here is deliberate; see docs/migration.md.
+    """
+    XtX = X_sketch @ X_sketch.T
+    if not np.all(np.isfinite(XtX)):
+        raise ValueError(
+            "X_sketch produced a non-finite Gram matrix (NaN/Inf in the "
+            "signature matrix, or overflow) — every proportion would "
+            "degenerate to uniform. Check the reference signatures and "
+            "preprocessing."
+        )
+    return XtX
+
+
+def sanitize_xty_rows(Xty: np.ndarray) -> Tuple[np.ndarray, int]:
+    """Zero Xty rows containing non-finite values; return (Xty, n_bad).
+
+    A poisoned spot (NaN/Inf counts, negative values pushed through log1p)
+    must not NaN its proportions row. With its Xty row zeroed the solve
+    drives that row's beta to 0 and :func:`normalize_proportions` yields
+    uniform 1/K — the same outcome the reference's clipped per-coordinate
+    update converges to on such rows (reference
+    ``flashdeconv/core/solver.py:75-93``: ``max(0.0, nan)`` is 0.0 under
+    Numba). Finite rows pass through untouched (no copy when nothing is
+    bad), so every parity/bitwise contract is preserved.
+    """
+    bad = ~np.isfinite(Xty).all(axis=1)
+    n_bad = int(bad.sum())
+    if n_bad:
+        Xty = Xty.copy()
+        Xty[bad] = 0.0
+    return Xty, n_bad
 
 
 def precompute_XtY(X_sketch: np.ndarray, Y_sketch: np.ndarray) -> np.ndarray:
@@ -229,6 +264,18 @@ class BCDProblem:
             Xty_raw_d = jnp.asarray(
                 np.asarray(Y_sketch @ X_sketch.T, dtype=self.dtype)
             )  # (n_spots, K), input order
+        # Non-finite guard, applied ON DEVICE so the streamed prepare never
+        # syncs (see sanitize_xty_rows for the semantics — poisoned spots
+        # come out uniform after normalization, matching the reference's
+        # emergent behavior). jnp.where is an exact pass-through for finite
+        # rows, so the f64 bit-determinism and Pallas parity contracts are
+        # untouched; the count stays device-resident and is only fetched by
+        # the lazy n_nonfinite_spots property.
+        finite_row = jnp.all(jnp.isfinite(Xty_raw_d), axis=1, keepdims=True)
+        self._xty_bad_d = jnp.sum(~finite_row, dtype=jnp.int32)
+        Xty_raw_d = jnp.where(
+            finite_row, Xty_raw_d, jnp.zeros((), self.dtype)
+        )
         # rho is user-facing dimensionless: rescaled by the Gram diagonal so
         # the soft threshold is commensurate with the residual magnitude.
         self.mean_diag = float(np.mean(np.diag(XtX)))
@@ -470,6 +517,19 @@ class BCDProblem:
 
             self.YtY = native.yty_f64(Y_sketch)
         self.YtY_d = jnp.asarray(self.YtY, dtype=self.dtype)
+
+    @property
+    def n_nonfinite_spots(self) -> int:
+        """Spots whose Xty row contained NaN/Inf and was zeroed at prepare
+        time (such spots come out uniform after normalization — see
+        :func:`sanitize_xty_rows`). Reading this fetches a device scalar,
+        i.e. it synchronizes with the device."""
+        bad = getattr(self, "_xty_bad_d", None)
+        if bad is None:
+            return 0
+        import jax
+
+        return int(jax.device_get(bad))
 
     # -- internal device closures -----------------------------------------
     def _run_chunk(self, beta_d, lam_d, rho_d, tol_d, max_iter: int, cap):

@@ -388,9 +388,12 @@ class GspmdBandedProblem:
         pad = n_pad - n_spots
         self.n_pad = n_pad
 
-        XtX = np.asarray(X_sketch, np.float64) @ np.asarray(
-            X_sketch, np.float64
-        ).T
+        from flashdeconv_tpu.core.solver import (
+            precompute_gram_matrix,
+            sanitize_xty_rows,
+        )
+
+        XtX = precompute_gram_matrix(np.asarray(X_sketch, np.float64))
         YtY = float(yty) if yty is not None else native.yty_f64(Y_sketch)
         self.rho_scale = float(np.mean(np.diag(XtX)))
 
@@ -398,6 +401,10 @@ class GspmdBandedProblem:
             Xty = np.asarray(xty, dtype=dtype)
         else:
             Xty = np.asarray(Y_sketch @ X_sketch.T, dtype=dtype)
+        # Host-side non-finite guard (BEFORE the pad/transpose so both
+        # device layouts see identical rows); poisoned spots come out
+        # uniform, see core.solver.sanitize_xty_rows.
+        Xty, self.n_nonfinite_spots = sanitize_xty_rows(Xty)
         # Binary degree (nnz per row), NOT edge-weight sums: the sweep
         # kernels treat every edge as weight 1 (reference CSR semantics).
         nnb = np.diff(A.tocsr().indptr).astype(dtype)

@@ -335,9 +335,12 @@ class HaloShardedProblem:
                 f"({100 * halo_fraction(plan):.2f}% of rows exchanged/sweep)"
             )
 
-        XtX64 = np.asarray(X_sketch, np.float64) @ np.asarray(
-            X_sketch, np.float64
-        ).T
+        from flashdeconv_tpu.core.solver import (
+            precompute_gram_matrix,
+            sanitize_xty_rows,
+        )
+
+        XtX64 = precompute_gram_matrix(np.asarray(X_sketch, np.float64))
         YtY = float(yty) if yty is not None else native.yty_f64(Y_sketch)
         self.rho_scale = float(np.mean(np.diag(XtX64)))
 
@@ -345,6 +348,10 @@ class HaloShardedProblem:
             Xty_np = np.ascontiguousarray(xty, dtype=dtype)
         else:
             Xty_np = np.ascontiguousarray(Y_sketch @ X_sketch.T, dtype=dtype)
+        # Host-side non-finite guard (BEFORE the halo scatter so boundary
+        # copies match); poisoned spots come out uniform, see
+        # core.solver.sanitize_xty_rows.
+        Xty_np, self.n_nonfinite_spots = sanitize_xty_rows(Xty_np)
         Xty = plan.scatter(Xty_np)
 
         self._shard = NamedSharding(mesh, P(_AXIS))

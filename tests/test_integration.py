@@ -183,6 +183,36 @@ class TestErrorContracts:
         with pytest.raises(ValueError, match=msg):
             FlashDeconv(**kw)
 
+    def test_nonfinite_reference_raises(self):
+        Y, X, coords, _ = make_synthetic(n_spots=60, n_genes=200, n_types=4)
+        Xbad = np.asarray(X, dtype=float).copy()
+        Xbad[1, 7] = np.nan
+        with pytest.raises(ValueError, match="non-finite Gram"):
+            FlashDeconv(sketch_dim=32, max_iter=10).fit(Y, Xbad, coords)
+
+    @pytest.mark.parametrize("sparse_output", [False, True])
+    def test_nonfinite_spot_degrades_gracefully(self, sparse_output):
+        """A NaN count (dense path) or NaN data entry (sparse CSR through
+        the native fused pipeline) must never surface as NaN proportions:
+        the poisoned spot's Xty row is zeroed at prepare time and the spot
+        is spatially imputed from its neighbors."""
+        from scipy import sparse as sp
+
+        Y, X, coords, _ = make_synthetic(
+            n_spots=80, n_genes=200, n_types=4,
+            sparse_output=sparse_output,
+        )
+        if sparse_output:
+            Ybad = Y.tocsr(copy=True)
+            Ybad.data[5] = np.nan
+        else:
+            Ybad = np.asarray(Y, dtype=float).copy()
+            Ybad[3, 11] = np.nan
+        m = FlashDeconv(sketch_dim=32, max_iter=30).fit(Ybad, X, coords)
+        props = m.proportions_
+        assert np.isfinite(props).all()
+        np.testing.assert_allclose(props.sum(axis=1), 1.0, atol=1e-5)
+
 
 class TestAnnDataAPI:
     def _make_adatas(self):

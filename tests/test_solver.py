@@ -283,3 +283,81 @@ def test_normalize_proportions_device_matches_host_zero_rows():
     np.testing.assert_allclose(dev, host, rtol=1e-6, atol=1e-7)
     # uniform fill is computed in the solve dtype (f32 third, not f64)
     np.testing.assert_allclose(dev[1], np.full(3, 1.0 / 3.0), rtol=1e-6)
+
+
+class TestNonFiniteGuards:
+    """Production robustness: poisoned inputs must fail loudly (bad X) or
+    degrade gracefully to the reference's emergent behavior (bad Y spots
+    come out uniform — the reference's clipped Numba update maps NaN to 0,
+    reference core/solver.py:75-93), never emit NaN proportions."""
+
+    def test_nonfinite_gram_raises(self, simple_problem):
+        Y, X, A, _ = simple_problem
+        Xbad = X.copy()
+        Xbad[1, 3] = np.nan
+        with pytest.raises(ValueError, match="non-finite Gram"):
+            precompute_gram_matrix(Xbad)
+        with pytest.raises(ValueError, match="non-finite Gram"):
+            bcd_solve(Y, Xbad, A, lambda_=0.3, rho=0.01, max_iter=10)
+
+    def test_nan_spot_sanitized(self, simple_problem):
+        Y, X, A, _ = simple_problem
+        Ybad = Y.copy()
+        Ybad[7, 0] = np.nan                      # poisons spot 7's Xty row
+        Ybad[19, 2] = np.inf
+        beta, info = bcd_solve(
+            Ybad, X, A, lambda_=0.3, rho=0.01, max_iter=40,
+            dtype=np.float64,
+        )
+        props = normalize_proportions(beta)
+        assert np.isfinite(props).all()
+        # bitwise identical to explicitly zeroing the poisoned rows: with
+        # lambda > 0 the zeroed spots are imputed from their neighbors
+        # (spatial smoothing), not left uniform
+        Yzero = Y.copy()
+        Yzero[[7, 19]] = 0.0
+        beta_ref, _ = bcd_solve(
+            Yzero, X, A, lambda_=0.3, rho=0.01, max_iter=40,
+            dtype=np.float64,
+        )
+        np.testing.assert_array_equal(beta, beta_ref)
+        # with no spatial coupling the poisoned spot degenerates to the
+        # uniform fallback (the reference's emergent NaN behavior)
+        beta0, _ = bcd_solve(
+            Ybad, X, A, lambda_=0.0, rho=0.01, max_iter=40,
+            dtype=np.float64,
+        )
+        K = X.shape[0]
+        np.testing.assert_allclose(
+            normalize_proportions(beta0)[7], np.full(K, 1.0 / K)
+        )
+
+    def test_n_nonfinite_spots_property(self, simple_problem):
+        from flashdeconv_tpu.core.solver import prepare_bcd
+
+        Y, X, A, _ = simple_problem
+        prob = prepare_bcd(Y, X, A, dtype=np.float64)
+        assert prob.n_nonfinite_spots == 0
+        Ybad = Y.copy()
+        Ybad[3, :] = np.nan
+        Ybad[11, 5] = -np.inf
+        prob2 = prepare_bcd(Ybad, X, A, dtype=np.float64)
+        assert prob2.n_nonfinite_spots == 2
+
+    def test_sharded_sanitize_matches_single_device(self, simple_problem):
+        from flashdeconv_tpu.parallel import sharded_bcd_solve
+
+        Y, X, A, _ = simple_problem
+        rng = np.random.RandomState(0)
+        coords = rng.rand(Y.shape[0], 2)
+        Ybad = Y.copy()
+        Ybad[5, 1] = np.nan
+        kw = dict(lambda_=0.3, rho=0.01, max_iter=40, dtype=np.float64)
+        beta_ref, _ = bcd_solve(Ybad, X, A, **kw)
+        for strategy in ("auto", "halo"):
+            beta_sh, info_sh = sharded_bcd_solve(
+                Ybad, X, A, coords=coords, n_shards=4, strategy=strategy,
+                **kw,
+            )
+            assert np.isfinite(beta_sh).all()
+            np.testing.assert_allclose(beta_sh, beta_ref, atol=1e-8)
