@@ -65,13 +65,17 @@ def sanitize_xty_rows(Xty: np.ndarray) -> Tuple[np.ndarray, int]:
     """Zero Xty rows containing non-finite values; return (Xty, n_bad).
 
     A poisoned spot (NaN/Inf counts, negative values pushed through log1p)
-    must not NaN its proportions row. With its Xty row zeroed the solve
-    drives that row's beta to 0 and :func:`normalize_proportions` yields
-    uniform 1/K — the same outcome the reference's clipped per-coordinate
-    update converges to on such rows (reference
+    must not NaN its proportions row. With its Xty row zeroed: at
+    ``lambda = 0`` (or an isolated spot) the row's beta is driven to 0 and
+    :func:`normalize_proportions` yields uniform 1/K — exactly the
+    reference's emergent outcome (reference
     ``flashdeconv/core/solver.py:75-93``: ``max(0.0, nan)`` is 0.0 under
-    Numba). Finite rows pass through untouched (no copy when nothing is
-    bad), so every parity/bitwise contract is preserved.
+    Numba); with spatial coupling the spot is instead IMPUTED from its
+    neighbors (the ``lam * ns`` term), a deliberate divergence from the
+    reference, whose pinned-zero row also contributes nothing back to its
+    neighborhood — see docs/migration.md behavioral difference #6. Finite
+    rows pass through untouched (no copy when nothing is bad), so every
+    parity/bitwise contract on finite inputs is preserved.
     """
     bad = ~np.isfinite(Xty).all(axis=1)
     n_bad = int(bad.sum())
@@ -266,11 +270,11 @@ class BCDProblem:
             )  # (n_spots, K), input order
         # Non-finite guard, applied ON DEVICE so the streamed prepare never
         # syncs (see sanitize_xty_rows for the semantics — poisoned spots
-        # come out uniform after normalization, matching the reference's
-        # emergent behavior). jnp.where is an exact pass-through for finite
-        # rows, so the f64 bit-determinism and Pallas parity contracts are
-        # untouched; the count stays device-resident and is only fetched by
-        # the lazy n_nonfinite_spots property.
+        # are spatially imputed under lambda > 0, uniform otherwise).
+        # jnp.where is an exact pass-through for finite rows, so the f64
+        # bit-determinism and Pallas parity contracts are untouched; the
+        # count stays device-resident and is only fetched by the lazy
+        # n_nonfinite_spots property.
         finite_row = jnp.all(jnp.isfinite(Xty_raw_d), axis=1, keepdims=True)
         self._xty_bad_d = jnp.sum(~finite_row, dtype=jnp.int32)
         Xty_raw_d = jnp.where(
@@ -348,6 +352,7 @@ class BCDProblem:
             fused_plan = plan_fused_banded(
                 n_types, int(offsets_np.size), halo_spots,
                 candidates=FUSED_BLOCK_CANDIDATES_1D,
+                rest=A_rest.nnz > 0,
             )
             if fused_plan is None:
                 # Rescue: a handful of long-range edges can be absorbed
@@ -367,7 +372,7 @@ class BCDProblem:
                     halo2 = int(np.max(np.abs(off2)))
                     plan2 = plan_fused_banded(
                         n_types, int(off2.size), halo2,
-                        candidates=FUSED_BLOCK_CANDIDATES_1D,
+                        candidates=FUSED_BLOCK_CANDIDATES_1D, rest=True,
                     )
                     if plan2 is not None:
                         offsets_np, masks_np, A_rest = off2, masks2, rest2
@@ -521,7 +526,7 @@ class BCDProblem:
     @property
     def n_nonfinite_spots(self) -> int:
         """Spots whose Xty row contained NaN/Inf and was zeroed at prepare
-        time (such spots come out uniform after normalization — see
+        time (spatially imputed under lambda > 0, uniform otherwise — see
         :func:`sanitize_xty_rows`). Reading this fetches a device scalar,
         i.e. it synchronizes with the device."""
         bad = getattr(self, "_xty_bad_d", None)

@@ -546,24 +546,33 @@ FUSED_VMEM_BUDGET_BYTES = 12_845_056  # 12.25 MiB
 
 
 def fused_banded_vmem_bytes(n_types: int, n_bands: int, h: int,
-                            block: int = 2048) -> int:
+                            block: int = 2048, rest: bool = False,
+                            alias: bool = False) -> int:
     """Estimated VMEM working set of :func:`fused_banded_sweep` per grid step.
 
     Streams (double-buffered by the pipeline): ONE beta block in, one out,
-    one Xty block, one uint8 masks block. Scratch: the rolling
-    (2h+1)-block beta window. Values: the concatenated window, the
-    neighbor sum, and the hoisted Gauss-Seidel pass's live set (r0/C,
-    den_safe, the accumulator, the collected output rows — ~6 (K, B)
-    blocks). The eligibility gates (``BCDProblem``,
-    ``GspmdBandedProblem``) require this to fit
+    one Xty block, one uint8 masks block — plus, when engaged, the
+    ``ns_rest_t`` rest-edge stream (``rest=True``: one more (K, block)
+    input) and the overlap split's aliased dummy input (``alias=True``).
+    Scratch: the rolling (2h+1)-block beta window. Values: the
+    concatenated window, the neighbor sum, and the hoisted Gauss-Seidel
+    pass's live set (r0/C, den_safe, the accumulator, the collected
+    output rows — ~6 (K, B) blocks). The eligibility gates
+    (``BCDProblem``, ``GspmdBandedProblem``) require this to fit
     :data:`FUSED_VMEM_BUDGET_BYTES` — otherwise a legal-looking config
     (large K x large halo) dies at Mosaic compile time instead of falling
-    back to the unfused banded path. Calibration table: see
-    :data:`FUSED_VMEM_BUDGET_BYTES`.
+    back to the unfused banded path; callers whose kernel will carry the
+    rest stream / alias input MUST pass the flags, or a config planned at
+    the gate boundary can exceed the calibrated Mosaic limit at runtime.
+    Calibration table: see :data:`FUSED_VMEM_BUDGET_BYTES`.
     """
     kp = -(-n_types // 8) * 8              # sublane-padded K
     kb = kp * block * 4
     streams = 4 * kb * 2                   # beta in + out + Xty + inv, x2
+    if rest:
+        streams += 2 * kb                  # ns_rest_t block, x2
+    if alias:
+        streams += 2 * kb                  # aliased dummy input block
     masks = n_bands * block * 2            # uint8 masks block, x2
     scratch = (2 * h + 1) * kb             # rolling window scratch
     # GS pass live set: ~5 (K, B) blocks for the classic pass (C, ns,
@@ -603,6 +612,8 @@ def plan_fused_banded(
     max_h: int = 8,
     max_local: Optional[int] = None,
     candidates: Tuple[int, ...] = FUSED_BLOCK_CANDIDATES,
+    rest: bool = False,
+    alias: bool = False,
 ) -> Optional[Tuple[int, int]]:
     """Pick the fused banded kernel's (block, h) for a problem, or None.
 
@@ -626,7 +637,7 @@ def plan_fused_banded(
         if max_local is not None and h * block > max_local:
             continue
         if fused_banded_vmem_bytes(
-            n_types, n_bands, h, block
+            n_types, n_bands, h, block, rest=rest, alias=alias
         ) <= FUSED_VMEM_BUDGET_BYTES:
             return block, h
     return None

@@ -371,8 +371,13 @@ class GspmdBandedProblem:
                 if (
                     1 <= h <= 8
                     and h * cand <= n_local_c
+                    # alias=True: the halo-overlap split adds an aliased
+                    # dummy input whenever the runtime auto-gate engages
+                    # it; budget for it up front so a boundary config
+                    # cannot blow VMEM only when overlap kicks in. (This
+                    # path rejects rest edges entirely, so rest=False.)
                     and fused_banded_vmem_bytes(
-                        n_types, int(offsets_np.size), h, cand
+                        n_types, int(offsets_np.size), h, cand, alias=True
                     ) <= FUSED_VMEM_BUDGET_BYTES
                 ):
                     use_fused = True
@@ -402,8 +407,8 @@ class GspmdBandedProblem:
         else:
             Xty = np.asarray(Y_sketch @ X_sketch.T, dtype=dtype)
         # Host-side non-finite guard (BEFORE the pad/transpose so both
-        # device layouts see identical rows); poisoned spots come out
-        # uniform, see core.solver.sanitize_xty_rows.
+        # device layouts see identical rows); semantics in
+        # core.solver.sanitize_xty_rows.
         Xty, self.n_nonfinite_spots = sanitize_xty_rows(Xty)
         # Binary degree (nnz per row), NOT edge-weight sums: the sweep
         # kernels treat every edge as weight 1 (reference CSR semantics).

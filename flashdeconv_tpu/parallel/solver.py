@@ -79,7 +79,8 @@ def _halo_exchange(beta_loc: jnp.ndarray, send_idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sharded_sweep(beta_loc, Xty_loc, XtX, nbr_loc, nnb_loc, mask_loc,
-                   send_idx, lambda_, rho, use_pallas: bool = False):
+                   send_idx, lambda_, rho, use_pallas: bool = False,
+                   inv_den=None):
     """One BCD sweep of this shard's spots, incl. halo exchange and stats."""
     pool = _halo_exchange(beta_loc, send_idx)
     zero = jnp.zeros((1, beta_loc.shape[1]), dtype=beta_loc.dtype)
@@ -88,7 +89,8 @@ def _sharded_sweep(beta_loc, Xty_loc, XtX, nbr_loc, nnb_loc, mask_loc,
 
     if use_pallas:
         beta_new = coordinate_descent_pallas(
-            beta_loc, Xty_loc, XtX, nbr_sum, nnb_loc, lambda_, rho
+            beta_loc, Xty_loc, XtX, nbr_sum, nnb_loc, lambda_, rho,
+            inv_den=inv_den,
         )
     else:
         beta_new = coordinate_descent(
@@ -111,10 +113,18 @@ def _sharded_iterate(beta_loc, Xty_loc, XtX, nbr_loc, nnb_loc, mask_loc,
     *traced* chunk bound (see :func:`ops.bcd.converge_loop`) so the verbose
     chunked driver reuses the same executable.
     """
+    # Per-solve hoist of the sweep-invariant reciprocal GS denominator
+    # (same values coordinate_descent_pallas would recompute every sweep;
+    # identical solve bitwise) — mirrors every other Pallas loop driver.
+    inv_den = None
+    if use_pallas:
+        from flashdeconv_tpu.ops.bcd import gs_inv_den
+
+        inv_den = gs_inv_den(XtX, nnb_loc, lambda_)
     return converge_loop(
         lambda beta: _sharded_sweep(
             beta, Xty_loc, XtX, nbr_loc, nnb_loc, mask_loc, send_idx,
-            lambda_, rho, use_pallas=use_pallas,
+            lambda_, rho, use_pallas=use_pallas, inv_den=inv_den,
         ),
         beta_loc, tol, max_iter, iter_cap=iter_cap,
     )
@@ -349,8 +359,7 @@ class HaloShardedProblem:
         else:
             Xty_np = np.ascontiguousarray(Y_sketch @ X_sketch.T, dtype=dtype)
         # Host-side non-finite guard (BEFORE the halo scatter so boundary
-        # copies match); poisoned spots come out uniform, see
-        # core.solver.sanitize_xty_rows.
+        # copies match); semantics in core.solver.sanitize_xty_rows.
         Xty_np, self.n_nonfinite_spots = sanitize_xty_rows(Xty_np)
         Xty = plan.scatter(Xty_np)
 

@@ -37,6 +37,7 @@ _M_MMAP_THRESHOLD = -3
 _M_MMAP_MAX = -4
 
 _reserved_bytes = 0
+_inflight = None  # ArenaReservation of a background fault still running
 
 # Dead end, documented so it is not retried: transparent hugepages do NOT
 # fix the fault cost on this VM class. THP is in `madvise` mode and
@@ -83,8 +84,16 @@ def reserve_host_arena(gigabytes: float) -> bool:
     (non-glibc platforms) — harmless, everything still works at the
     default fault cost. Idempotent for sizes already reserved.
     """
-    global _reserved_bytes
+    global _reserved_bytes, _inflight
     n = int(gigabytes * (1 << 30))
+    if _inflight is not None:
+        # A background fault is (or was) running for some earlier request:
+        # join it before trusting _reserved_bytes — returning early while
+        # the faulting thread still holds its arena would let the caller's
+        # multi-GB temporaries allocate CONCURRENTLY with the held arena
+        # (no page recycling, peak RSS = arena + temporaries).
+        _inflight.wait()
+        _inflight = None
     if n <= _reserved_bytes:
         return True
     if not _enable_brk_retention():
@@ -136,8 +145,17 @@ def reserve_host_arena_async(gigabytes: float) -> ArenaReservation:
     """
     import threading
 
-    global _reserved_bytes
+    global _reserved_bytes, _inflight
     n = int(gigabytes * (1 << 30))
+    if _inflight is not None and not _inflight.done:
+        if n <= _reserved_bytes:
+            # The running fault already covers this size: hand back the
+            # SAME handle so wait()/done reflect the in-flight pass (a
+            # fresh completed handle would let the caller allocate while
+            # the faulting thread still holds the arena).
+            return _inflight
+        _inflight.wait()  # need a bigger arena: finish the old one first
+    _inflight = None
     if n <= _reserved_bytes:
         return ArenaReservation(None, True)
     if not _enable_brk_retention():
@@ -149,4 +167,5 @@ def reserve_host_arena_async(gigabytes: float) -> ArenaReservation:
         name="flashdeconv-arena", daemon=True,
     )
     t.start()
-    return ArenaReservation(t, True)
+    _inflight = ArenaReservation(t, True)
+    return _inflight

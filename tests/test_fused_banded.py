@@ -592,6 +592,35 @@ def test_vmem_gate_calibration_bounds():
             > FUSED_VMEM_BUDGET_BYTES, (K, U, h, block)
 
 
+def test_vmem_gate_accounts_rest_and_alias_streams():
+    """The rest-edge stream and the overlap alias each add a double-buffered
+    (K, block) VMEM input; the estimate (and hence the planner) must charge
+    for them, or a config planned at the gate boundary exceeds the
+    hardware-calibrated Mosaic limit exactly when those inputs engage."""
+    from flashdeconv_tpu.ops.bcd import (
+        FUSED_VMEM_BUDGET_BYTES,
+        fused_banded_vmem_bytes,
+        plan_fused_banded,
+    )
+
+    K, U, h, block = 64, 16, 2, 2048
+    kb = (-(-K // 8) * 8) * block * 4
+    base = fused_banded_vmem_bytes(K, U, h, block)
+    assert fused_banded_vmem_bytes(K, U, h, block, rest=True) == base + 2 * kb
+    assert fused_banded_vmem_bytes(
+        K, U, h, block, alias=True
+    ) == base + 2 * kb
+    # (64, 16, h=2, 2048) is the measured PASS boundary bare; with the rest
+    # stream it must be rejected, so the planner drops to the next block
+    assert base <= FUSED_VMEM_BUDGET_BYTES
+    assert fused_banded_vmem_bytes(K, U, h, block, rest=True) \
+        > FUSED_VMEM_BUDGET_BYTES
+    bare = plan_fused_banded(K, U, 2 * 2048)
+    with_rest = plan_fused_banded(K, U, 2 * 2048, rest=True)
+    assert bare == (2048, 2)
+    assert with_rest is not None and with_rest[0] < 2048
+
+
 def test_fused_solve_program_matches_decomposed():
     """ops/bcd.fused_solve_program (the one-dispatch solve) must reproduce
     the decomposed to_carry -> converge loop -> objective -> from_carry
