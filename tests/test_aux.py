@@ -458,3 +458,53 @@ def test_reserve_host_arena_async():
     assert h.done
     h2 = hostmem.reserve_host_arena_async(0.05)  # idempotent fast path
     assert h2.done and h2.wait() is True
+
+
+def test_reserve_host_arena_inflight_coalescing(monkeypatch):
+    """While a background fault is still running, a covered async re-request
+    must hand back the SAME handle (not a fresh completed one — that would
+    let the caller allocate concurrently with the held arena), and the
+    synchronous variant must join the flight before reporting success."""
+    import threading
+
+    from flashdeconv_tpu.utils import hostmem
+
+    release = threading.Event()
+    started = threading.Event()
+    real = hostmem._fault_and_release
+
+    def gated(arena_box):
+        started.set()
+        release.wait(30)
+        real(arena_box)
+
+    monkeypatch.setattr(hostmem, "_fault_and_release", gated)
+    monkeypatch.setattr(hostmem, "_reserved_bytes", 0)
+    monkeypatch.setattr(hostmem, "_inflight", None)
+    try:
+        h = hostmem.reserve_host_arena_async(0.01)
+        if h._thread is None:  # non-glibc platform: nothing to coalesce
+            return
+        assert started.wait(10)
+        assert not h.done
+        # Covered re-request while in flight: same handle, still pending.
+        h2 = hostmem.reserve_host_arena_async(0.01)
+        assert h2 is h
+        assert not h2.done
+        # Sync variant joins the running flight instead of returning early
+        # on the (already-advanced) _reserved_bytes bookkeeping.
+        joined = {}
+        t = threading.Thread(
+            target=lambda: joined.setdefault(
+                "ok", hostmem.reserve_host_arena(0.01)
+            )
+        )
+        t.start()
+        t.join(0.3)
+        assert t.is_alive(), "sync reserve returned before the flight ended"
+        release.set()
+        t.join(30)
+        assert joined.get("ok") is True
+        assert h.wait(30) is True and h.done
+    finally:
+        release.set()
