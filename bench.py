@@ -236,10 +236,9 @@ def main() -> None:
     # on-device loop, not as a dispatch chain (protocol note below).
     sweep_ms = sweep_ms_median = None
     if getattr(problem, "use_fused_banded", False):
-        import jax
         import jax.numpy as jnp
 
-        from flashdeconv_tpu.ops.bcd import fused_banded_sweep, to_fused_carry
+        from flashdeconv_tpu.ops.bcd import gs_inv_den, to_fused_carry
 
         lam = jnp.float32(solve_kwargs["lambda_"])
         rho = jnp.float32(solve_kwargs["rho"] * problem.mean_diag)
@@ -247,63 +246,28 @@ def main() -> None:
             jnp.zeros((problem.n_solve, N_TYPES), jnp.float32),
             problem.h_blocks, problem.fused_block,
         )
-        # Operands as explicit jit args, not closures: a closed-over device
-        # array becomes a compile-request constant, and the remote compile
-        # endpoint rejects large bodies (HTTP 413 at K >= 96's ~400 MB Xty).
         offs, hb, blk = problem.offsets, problem.h_blocks, problem.fused_block
-        from flashdeconv_tpu.ops.bcd import gs_inv_den, rest_ns_update
-
         inv_den_t = gs_inv_den(problem.XtX_d, problem.nnb_d, lam)
         touched, slots = problem.rest_touched_d, problem.rest_slots_d
-        has_rest = touched is not None
-        ns_rest0 = jnp.zeros_like(problem.Xty_t_d) if has_rest else None
-        ops = (problem.Xty_t_d, problem.XtX_d, problem.masks_d, inv_den_t,
-               ns_rest0, touched, slots, lam, rho)
 
         # Timing discipline (round-4 lesson, see docs/performance_guide.md
-        # "Measuring the sweep"): per-sweep DISPATCH chains measure the
-        # tunnel's dispatch throughput as much as the kernel (r1-r4
-        # numbers, ~1 ms/sweep inflation), and the runtime sometimes
-        # enters an async-ack mode where block_until_ready returns before
-        # the work completes (sweeps then read *below* the HBM streaming
-        # floor). The honest protocol: run the sweeps inside ONE on-device
-        # fori_loop (exactly how the production solve runs them), force
-        # completion with a scalar fetch, and time a short and a long loop
-        # — the difference cancels the RTT + fetch + launch overhead in
-        # every runtime mode.
-        from functools import partial
-
-        @partial(jax.jit, static_argnums=(10,))
-        def nsweeps(c, xty_t, xtx, masks, inv_t, nsr0, touched, slots,
-                    la, rh, n):
-            # The timed loop body is the production sweep exactly: the
-            # compact rest-edge refresh (when the band-cap spilled any
-            # bands) followed by the fused kernel.
-            def body(_i, state):
-                cc, nsr = state
-                if has_rest:
-                    nsr = rest_ns_update(nsr, cc, touched, slots)
-                c2, _d, _a = fused_banded_sweep(
-                    cc, xty_t, xtx, masks, inv_t, la, rh, offs, hb,
-                    block=blk, ns_rest_t=nsr if has_rest else None,
-                )
-                return (c2, nsr)
-            return jax.lax.fori_loop(0, n, body, (c, nsr0))[0]
+        # "Measuring the sweep" and utils/timing.fused_sweep_timer — the
+        # ONE home of the on-device fori-difference protocol shared with
+        # benchmarks/largek_probe.py and benchmarks/sweep_ablation.py).
+        from flashdeconv_tpu.utils.timing import (
+            fori_difference_windows,
+            fused_sweep_timer,
+        )
 
         n_short, n_long = 5, 30
-
-        def timed_loop(n: int) -> float:
-            t0 = time.perf_counter()
-            float(jax.device_get(nsweeps(carry, *ops, n)[0, 0]))
-            return time.perf_counter() - t0
-
-        timed_loop(n_short)  # compile + warm both loop lengths
-        timed_loop(n_long)
-        windows = []
-        for _ in range(12):
-            t_short = timed_loop(n_short)
-            t_long = timed_loop(n_long)
-            windows.append(max(t_long - t_short, 0.0) / (n_long - n_short))
+        timed_loop = fused_sweep_timer(
+            carry, problem.Xty_t_d, problem.XtX_d, problem.masks_d,
+            inv_den_t, lam, rho, offs, hb, blk,
+            rest_touched=touched, rest_slots=slots,
+        )
+        windows = fori_difference_windows(
+            timed_loop, n_short=n_short, n_long=n_long, windows=12
+        )
         sweep_ms = round(min(windows) * 1e3, 3)
         sweep_ms_median = round(float(np.median(windows)) * 1e3, 3)
         print(

@@ -22,11 +22,11 @@ multi-block grids and real band structure, small enough to stay quick):
 5. large-K tier (K = 96 — MXU-panel GS pass + planned 1024 block): fused
    == unfused banded Pallas CD (bitwise: both call the same gs_pass
    dispatch) and == the XLA fori tier (<= 1e-4 — the panel pass
-   reassociates f32 sums across panels and runs cross-panel corrections;
+   reassociates f32 sums across panels and runs cross-panel corrections
+   on the MXU at precision=HIGHEST);
 6. rest-stream (round 5): a banded-dominant graph with a small native
    remainder runs the fused kernel + compact rest scatter, bitwise ==
-   the unfused banded+rest path
-   on the MXU at precision=HIGHEST).
+   the unfused banded+rest path.
 
 Usage: python benchmarks/hw_parity.py
 """

@@ -95,11 +95,10 @@ def main() -> None:
 
         sweep_ms = None
         if problem.use_fused_banded:
-            from flashdeconv_tpu.ops.bcd import (
-                fused_banded_sweep,
-                gs_inv_den,
-                rest_ns_update,
-                to_fused_carry,
+            from flashdeconv_tpu.ops.bcd import gs_inv_den, to_fused_carry
+            from flashdeconv_tpu.utils.timing import (
+                fori_difference_windows,
+                fused_sweep_timer,
             )
 
             lam = jnp.float32(kwargs["lambda_"])
@@ -108,53 +107,22 @@ def main() -> None:
                 jnp.zeros((problem.n_solve, K), jnp.float32),
                 problem.h_blocks, problem.fused_block,
             )
-            # Operands as explicit jit args (closures would embed the
-            # ~100s-of-MB Xty as a compile-request constant — the remote
-            # compile endpoint rejects bodies that large with HTTP 413).
-            offs, hb, blk = (
-                problem.offsets, problem.h_blocks, problem.fused_block
-            )
             inv_den_t = gs_inv_den(problem.XtX_d, problem.nnb_d, lam)
-            touched, slots = problem.rest_touched_d, problem.rest_slots_d
-            has_rest = touched is not None
-            nsr0 = jnp.zeros_like(problem.Xty_t_d) if has_rest else None
-            ops = (problem.Xty_t_d, problem.XtX_d, problem.masks_d,
-                   inv_den_t, nsr0, touched, slots, lam, rho)
 
-            # On-device fori difference (see docs/performance_guide.md
-            # "Measuring the sweep"): short/long loop, scalar-fetch
-            # synced — immune to both the per-dispatch tunnel latency
-            # (~1 ms/sweep in chained timings) and the async-ack
-            # block_until_ready mode.
-            from functools import partial
-
-            @partial(jax.jit, static_argnums=(10,))
-            def nsweeps(c, xty_t, xtx, masks, inv_t, nsr0, touched, slots,
-                        la, rh, nn):
-                def body(_i, state):
-                    cc, nsr = state
-                    if has_rest:
-                        nsr = rest_ns_update(nsr, cc, touched, slots)
-                    c2, _d, _a = fused_banded_sweep(
-                        cc, xty_t, xtx, masks, inv_t, la, rh, offs, hb,
-                        block=blk, ns_rest_t=nsr if has_rest else None,
-                    )
-                    return (c2, nsr)
-                return jax.lax.fori_loop(0, nn, body, (c, nsr0))[0]
-
-            def timed_loop(nn: int) -> float:
-                t0 = time.perf_counter()
-                float(jax.device_get(nsweeps(carry, *ops, nn)[0, 0]))
-                return time.perf_counter() - t0
-
-            timed_loop(3)
-            timed_loop(13)
-            best = float("inf")
-            for _ in range(6):
-                t_short = timed_loop(3)
-                t_long = timed_loop(13)
-                best = min(best, max(t_long - t_short, 0.0) / 10)
-            sweep_ms = round(best * 1e3, 3)
+            # On-device fori difference — the shared protocol home
+            # (utils/timing.fused_sweep_timer; rationale in
+            # docs/performance_guide.md "Measuring the sweep").
+            timed_loop = fused_sweep_timer(
+                carry, problem.Xty_t_d, problem.XtX_d, problem.masks_d,
+                inv_den_t, lam, rho, problem.offsets, problem.h_blocks,
+                problem.fused_block,
+                rest_touched=problem.rest_touched_d,
+                rest_slots=problem.rest_slots_d,
+            )
+            windows = fori_difference_windows(
+                timed_loop, n_short=3, n_long=13, windows=6
+            )
+            sweep_ms = round(min(windows) * 1e3, 3)
 
         row = {
             "K": K,

@@ -140,40 +140,20 @@ def build_operands(n_spots: int, n_types: int, seed: int = 0):
 
 
 def make_timer(ops, offsets, h, block, tag, capped=False):
-    """Fresh jitted n-sweep loop (fresh function identity per variant so
-    jit caching cannot alias two variants' traces)."""
+    """Timed n-sweep loop for one variant via the shared protocol home
+    (utils/timing.fused_sweep_timer — returns a FRESH jitted closure per
+    call, so jit caching cannot alias two variants' traces and a swapped
+    bcd.gs_pass is traced in)."""
+    from flashdeconv_tpu.utils.timing import fused_sweep_timer
 
     masks = ops["masks_capped"] if capped else ops["masks"]
     touched = ops["rest_touched"] if capped else None
     slots = ops["rest_slots"] if capped else None
-    has_rest = touched is not None
-    nsr0 = jnp.zeros_like(ops["Xty_t"]) if has_rest else None
-
-    @partial(jax.jit, static_argnums=(8,))
-    def nsweeps(c, xty_t, xtx, masks, inv_t, nsr0, tch, slt, n):
-        lam, rho = jnp.float32(0.1), jnp.float32(0.05)
-
-        def body(_i, state):
-            cc, nsr = state
-            if has_rest:
-                nsr = bcd.rest_ns_update(nsr, cc, tch, slt)
-            c2, _d, _a = bcd.fused_banded_sweep(
-                cc, xty_t, xtx, masks, inv_t, lam, rho, offsets, h,
-                block=block, ns_rest_t=nsr if has_rest else None,
-            )
-            return (c2, nsr)
-
-        return jax.lax.fori_loop(0, n, body, (c, nsr0))[0]
-
-    def timed(n):
-        t0 = time.perf_counter()
-        float(jax.device_get(
-            nsweeps(ops["carry"], ops["Xty_t"], ops["XtX"], masks,
-                    ops["inv_den_t"], nsr0, touched, slots, n)[0, 0]
-        ))
-        return time.perf_counter() - t0
-
-    return timed
+    return fused_sweep_timer(
+        ops["carry"], ops["Xty_t"], ops["XtX"], masks, ops["inv_den_t"],
+        jnp.float32(0.1), jnp.float32(0.05), offsets, h, block,
+        rest_touched=touched, rest_slots=slots,
+    )
 
 
 def run_variant(tag, ops, gs_fn=None, offsets=None, capped=False):
@@ -186,15 +166,15 @@ def run_variant(tag, ops, gs_fn=None, offsets=None, capped=False):
     if gs_fn is not None:
         bcd.gs_pass = gs_fn
     try:
+        from flashdeconv_tpu.utils.timing import fori_difference_windows
+
         timed = make_timer(ops, offs, ops["h"], ops["block"], tag,
                            capped=capped)
-        timed(N_SHORT)  # compile + warm
-        timed(N_LONG)
-        windows = []
-        for _ in range(WINDOWS):
-            ts = timed(N_SHORT)
-            tl = timed(N_LONG)
-            windows.append(max(tl - ts, 0.0) / (N_LONG - N_SHORT))
+        # compile/warm + windows all inside the gs_fn swap (tracing
+        # happens on the first timed call)
+        windows = fori_difference_windows(
+            timed, n_short=N_SHORT, n_long=N_LONG, windows=WINDOWS
+        )
     finally:
         bcd.gs_pass = saved
     best = min(windows) * 1e3

@@ -45,6 +45,37 @@ def _pearson_dense(X: np.ndarray) -> np.ndarray:
     return Xd / _pearson_sigma(mu_x)
 
 
+def _zero_poisoned_csr_rows(Y, gene_idx: np.ndarray):
+    """Rows of CSR ``Y`` with a non-finite entry in a *selected* gene
+    column, zeroed in a data-only copy; None when nothing needs repair.
+
+    Support for the fused-feed degraded path: the native pass reduces YtY
+    over the raw sketch, so one NaN count makes the objective constant
+    non-finite even though the solver's row guard keeps beta finite.
+    Only selected columns matter — the fused kernels subset genes before
+    the library-size/normalize/sketch passes (reference
+    ``flashdeconv/core/deconv.py:321-330`` subsets first too), so a
+    non-finite entry in an unselected gene is never touched. The whole
+    poisoned row is zeroed (not just the bad entry) to match the solver
+    guard's zero-observation semantics.
+    """
+    bad_pos = np.flatnonzero(~np.isfinite(Y.data))
+    if bad_pos.size == 0:
+        return None
+    sel = np.zeros(Y.shape[1], dtype=bool)
+    sel[np.asarray(gene_idx)] = True
+    bad_pos = bad_pos[sel[Y.indices[bad_pos]]]
+    if bad_pos.size == 0:
+        return None
+    rows = np.unique(
+        np.searchsorted(Y.indptr, bad_pos, side="right") - 1
+    )
+    data = Y.data.copy()
+    for r in rows:
+        data[Y.indptr[r]: Y.indptr[r + 1]] = 0.0
+    return sparse.csr_matrix((data, Y.indices, Y.indptr), shape=Y.shape)
+
+
 def preprocess_data(
     Y: ArrayLike,
     X: np.ndarray,
@@ -490,6 +521,22 @@ class FlashDeconv:
                             "fused xty kernel returned None despite "
                             "its gates passing — native gate drift"
                         )
+                    if not np.isfinite(res[1]):
+                        # Degraded path: non-finite counts poisoned the
+                        # YtY reduction (the solver's row guard keeps
+                        # beta finite regardless, but the objective
+                        # constant must reflect the sanitized problem —
+                        # see core.solver.sanitize_yty). Zero the
+                        # poisoned rows in a data-only CSR copy and
+                        # re-run the feed.
+                        Y_rep = _zero_poisoned_csr_rows(Y, gene_idx)
+                        if Y_rep is not None:
+                            res2 = self._fused_xty_feed(
+                                Y_rep, gene_idx, op, X_sketch,
+                                colscale=colscale,
+                            )
+                            if res2 is not None:
+                                res = res2
                     self._fused_xty, self._fused_yty = res
                     Y_sketch = None
                 else:
@@ -965,7 +1012,9 @@ class FlashDeconv:
                     Y_sk = np.asarray(Y_sk.todense())
                 Y_sk = np.asarray(Y_sk, dtype=np.float64)
                 xty_local = Y_sk @ X_sketch.T
-                yty_local = native.yty_f64(Y_sk)
+                from flashdeconv_tpu.core.solver import sanitize_yty
+
+                yty_local = sanitize_yty(native.yty_f64(Y_sk), Y_sk)
             xty = multihost.allgather_rows(
                 np.ascontiguousarray(xty_local, dtype=np.float64)
             )

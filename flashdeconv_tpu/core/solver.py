@@ -85,6 +85,36 @@ def sanitize_xty_rows(Xty: np.ndarray) -> Tuple[np.ndarray, int]:
     return Xty, n_bad
 
 
+def sanitize_yty(yty: float, Y_sketch: Optional[np.ndarray]) -> float:
+    """Best-effort YtY of the *sanitized* problem (poisoned rows as zeros).
+
+    The row guard (:func:`sanitize_xty_rows` / the device-side equivalent)
+    makes the SOLVE treat a poisoned spot as a zero observation, but the
+    objective's Frobenius constant is reduced from the raw sketch — one
+    NaN count would leave ``info["final_objective"]`` (the quantity
+    docs/deployment.md tells operators to monitor) NaN even though beta
+    and the proportions are finite. When the reduction came out non-finite
+    and the sketch rows are available, recompute it with the non-finite
+    rows zeroed — the same shape and block-ordered reduction as the clean
+    path, so the result is bit-identical to solving the explicitly-zeroed
+    input. Exact pass-through for finite ``yty`` (the only case parity
+    contracts cover); with no sketch to attribute against (precomputed
+    ``yty`` + ``Y_sketch=None``) the caller must repair upstream (see
+    ``FlashDeconv._fused_xty_feed``'s poisoned-row re-run).
+    """
+    if np.isfinite(yty) or Y_sketch is None:
+        return float(yty)
+    Y_sketch = np.asarray(Y_sketch)
+    bad = ~np.isfinite(Y_sketch).all(axis=1)
+    if not bad.any():
+        return float(yty)  # reduction overflow, not row poison: keep honest
+    from flashdeconv_tpu import native
+
+    Yz = np.array(Y_sketch, copy=True)
+    Yz[bad] = 0.0
+    return native.yty_f64(Yz)
+
+
 def precompute_XtY(X_sketch: np.ndarray, Y_sketch: np.ndarray) -> np.ndarray:
     """H = X_sketch @ Y_sketch.T, shape (K, N) — computed once per solve."""
     return X_sketch @ Y_sketch.T
@@ -516,11 +546,11 @@ class BCDProblem:
         # association than einsum — it only feeds the objective constant);
         # small problems keep einsum's exact sequential accumulation.
         if yty is not None:
-            self.YtY = float(yty)
+            self.YtY = sanitize_yty(float(yty), Y_sketch)
         else:
             from flashdeconv_tpu import native
 
-            self.YtY = native.yty_f64(Y_sketch)
+            self.YtY = sanitize_yty(native.yty_f64(Y_sketch), Y_sketch)
         self.YtY_d = jnp.asarray(self.YtY, dtype=self.dtype)
 
     @property
@@ -577,8 +607,6 @@ class BCDProblem:
         if self.use_fused_banded:
             from flashdeconv_tpu.ops.bcd import objective_terms_banded_fused
 
-            if isinstance(beta_d, tuple):
-                beta_d = beta_d[0]  # rest-stream loop carry (ext, ns_rest)
             return objective_terms_banded_fused(
                 beta_d, self.Xty_t_d, self.XtX_d, self.YtY_d, self.offsets,
                 self.masks_d, lam_d, rho_d,

@@ -555,9 +555,13 @@ def fused_banded_vmem_bytes(n_types: int, n_bands: int, h: int,
     ``ns_rest_t`` rest-edge stream (``rest=True``: one more (K, block)
     input) and the overlap split's aliased dummy input (``alias=True``).
     Scratch: the rolling (2h+1)-block beta window. Values: the
-    concatenated window, the neighbor sum, and the hoisted Gauss-Seidel
-    pass's live set (r0/C, den_safe, the accumulator, the collected
-    output rows — ~6 (K, B) blocks). The eligibility gates
+    concatenated window plus the Gauss-Seidel pass's live set — 5 (K, B)
+    blocks for the delta-form pass (C, the neighbor sum, the rank-1
+    accumulator, the collected delta rows, the reassembled output; the
+    denominator is a streamed input since round 5, not an in-kernel
+    value), +1 when the MXU-panel dispatch engages (see the ``gs_live``
+    accounting below — the authoritative inventory the gate was
+    hardware-recalibrated against). The eligibility gates
     (``BCDProblem``, ``GspmdBandedProblem``) require this to fit
     :data:`FUSED_VMEM_BUDGET_BYTES` — otherwise a legal-looking config
     (large K x large halo) dies at Mosaic compile time instead of falling

@@ -348,10 +348,14 @@ class HaloShardedProblem:
         from flashdeconv_tpu.core.solver import (
             precompute_gram_matrix,
             sanitize_xty_rows,
+            sanitize_yty,
         )
 
         XtX64 = precompute_gram_matrix(np.asarray(X_sketch, np.float64))
-        YtY = float(yty) if yty is not None else native.yty_f64(Y_sketch)
+        YtY = sanitize_yty(
+            float(yty) if yty is not None else native.yty_f64(Y_sketch),
+            Y_sketch,
+        )
         self.rho_scale = float(np.mean(np.diag(XtX64)))
 
         if xty is not None:

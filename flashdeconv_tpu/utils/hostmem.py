@@ -112,6 +112,14 @@ class ArenaReservation:
     recycle the faulted pages; stages that only compute (graph build,
     device compiles, data generation already holding its memory) can run
     concurrently with the faulting.
+
+    ``wait(timeout=...)`` returning False is AMBIGUOUS between "timed out
+    — the background thread still holds the arena" and "reservation
+    unavailable (non-glibc)". A caller about to allocate big temporaries
+    on timeout must disambiguate with ``ok``/``done``: if ``ok and not
+    done``, proceeding would allocate CONCURRENTLY with the held arena
+    (peak RSS = arena + temporaries — the exact hazard this module
+    exists to avoid); prefer waiting longer.
     """
 
     def __init__(self, thread, ok: bool):
@@ -120,7 +128,14 @@ class ArenaReservation:
 
     @property
     def done(self) -> bool:
+        """Non-blocking: the fault pass is no longer running."""
         return self._thread is None or not self._thread.is_alive()
+
+    @property
+    def ok(self) -> bool:
+        """The reservation is (or will be) effective — False only on
+        platforms without glibc ``mallopt``."""
+        return self._ok
 
     def wait(self, timeout=None) -> bool:
         if self._thread is not None:

@@ -58,6 +58,87 @@ class StageTimer:
         return "\n".join(lines + [f"  {'total':<{width}}  {self.total:8.3f}s"])
 
 
+def fused_sweep_timer(carry, Xty_t, XtX, masks, inv_den_t, lam, rho,
+                      offsets, h, block,
+                      rest_touched=None, rest_slots=None):
+    """Build ``timed(n) -> seconds`` for n PRODUCTION fused banded sweeps.
+
+    The honest on-device measurement protocol (see
+    docs/performance_guide.md "Measuring the sweep"): the n sweeps run
+    inside ONE compiled ``fori_loop`` — exactly how
+    ``ops.bcd.fused_solve_program`` runs them, including the compact
+    rest-edge refresh when the decomposition spilled any bands — and
+    completion is forced by a scalar value fetch (``block_until_ready``
+    can return early in one observed runtime mode). Time a short and a
+    long loop and divide the difference (:func:`fori_difference_windows`)
+    to cancel RTT + fetch + launch overhead. Chained per-sweep dispatch
+    timing carries ~1 ms/sweep of tunnel command latency on a
+    remote-attached chip — do not use it.
+
+    Every call returns a fresh jitted closure (fresh trace identity), so
+    A/B harnesses that monkeypatch kernel internals (e.g.
+    ``benchmarks/sweep_ablation.py`` swapping ``ops.bcd.gs_pass``) get
+    the swapped code traced in. Operands are passed as jit *arguments*,
+    not closure constants — closing over 100s-of-MB arrays embeds them in
+    the compile request, which a remote compile endpoint rejects
+    (HTTP 413).
+    """
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from flashdeconv_tpu.ops import bcd
+
+    has_rest = rest_touched is not None
+    nsr0 = jnp.zeros_like(Xty_t) if has_rest else None
+
+    @partial(jax.jit, static_argnums=(10,))
+    def nsweeps(c, xty_t, xtx, mks, inv_t, nsr, tch, slt, la, rh, n):
+        def body(_i, state):
+            cc, nsr_c = state
+            if has_rest:
+                nsr_c = bcd.rest_ns_update(nsr_c, cc, tch, slt)
+            c2, _d, _a = bcd.fused_banded_sweep(
+                cc, xty_t, xtx, mks, inv_t, la, rh, offsets, h,
+                block=block, ns_rest_t=nsr_c if has_rest else None,
+            )
+            return (c2, nsr_c)
+
+        return jax.lax.fori_loop(0, n, body, (c, nsr))[0]
+
+    def timed(n: int) -> float:
+        t0 = time.perf_counter()
+        float(jax.device_get(
+            nsweeps(carry, Xty_t, XtX, masks, inv_den_t, nsr0,
+                    rest_touched, rest_slots, lam, rho, n)[0, 0]
+        ))
+        return time.perf_counter() - t0
+
+    return timed
+
+
+def fori_difference_windows(timed, n_short: int = 5, n_long: int = 30,
+                            windows: int = 12) -> list:
+    """Run the short/long fori-difference protocol; per-sweep seconds.
+
+    Warms/compiles both loop lengths first, then alternates short and
+    long timed runs ``windows`` times, returning each window's
+    ``(t_long - t_short) / (n_long - n_short)`` (clamped at 0). Report
+    the min AND the median: if they disagree by >15% the tunnel/scheduler
+    is noisy — rerun. Sanity-check every reading against the streaming
+    floor (bytes-per-sweep / HBM bandwidth) before trusting it.
+    """
+    timed(n_short)
+    timed(n_long)
+    out = []
+    for _ in range(windows):
+        t_short = timed(n_short)
+        t_long = timed(n_long)
+        out.append(max(t_long - t_short, 0.0) / (n_long - n_short))
+    return out
+
+
 @contextlib.contextmanager
 def trace(name: str, trace_dir: Optional[str] = None) -> Iterator[None]:
     """Wrap a block in a ``jax.profiler`` trace when tracing is enabled.

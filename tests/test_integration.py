@@ -212,6 +212,11 @@ class TestErrorContracts:
         props = m.proportions_
         assert np.isfinite(props).all()
         np.testing.assert_allclose(props.sum(axis=1), 1.0, atol=1e-5)
+        # The monitored objective must also stay finite: the YtY constant
+        # reflects the sanitized problem (core.solver.sanitize_yty; on the
+        # fused native feed, the poisoned-row re-run in _fused_xty_feed's
+        # caller), not the poisoned reduction.
+        assert np.isfinite(m.info_["final_objective"])
 
 
 class TestAnnDataAPI:

@@ -316,11 +316,19 @@ class TestNonFiniteGuards:
         # (spatial smoothing), not left uniform
         Yzero = Y.copy()
         Yzero[[7, 19]] = 0.0
-        beta_ref, _ = bcd_solve(
+        beta_ref, info_ref = bcd_solve(
             Yzero, X, A, lambda_=0.3, rho=0.01, max_iter=40,
             dtype=np.float64,
         )
         np.testing.assert_array_equal(beta, beta_ref)
+        # ... and so is the OBJECTIVE: the YtY constant is recomputed over
+        # the sanitized rows (core.solver.sanitize_yty), so the monitored
+        # info dict stays finite and matches the explicitly-zeroed input
+        # bit-for-bit (same shape, same block-ordered reduction).
+        assert np.isfinite(info["final_objective"])
+        np.testing.assert_array_equal(
+            info["final_objective"], info_ref["final_objective"]
+        )
         # with no spatial coupling the poisoned spot degenerates to the
         # uniform fallback (the reference's emergent NaN behavior)
         beta0, _ = bcd_solve(
@@ -360,4 +368,5 @@ class TestNonFiniteGuards:
                 **kw,
             )
             assert np.isfinite(beta_sh).all()
+            assert np.isfinite(info_sh["final_objective"])
             np.testing.assert_allclose(beta_sh, beta_ref, atol=1e-8)
