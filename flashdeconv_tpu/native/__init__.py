@@ -240,6 +240,44 @@ def _n_threads() -> int:
     return min(os.cpu_count() or 1, 16)
 
 
+def _is_csr(Y) -> bool:
+    """Precondition every CSR-consuming kernel checks FIRST: scipy CSR.
+
+    A CSC matrix also has ``indptr``/``indices``/``data`` attributes, but
+    its column pointers passed as row indptr make the C kernels read out
+    of bounds (hard segfault, measured); a dense ndarray's ``.data`` is a
+    memoryview and fails with an obscure AttributeError. Both must take
+    the documented unavailable path (return None) so callers fall back to
+    the scipy implementations instead.
+    """
+    from scipy import sparse as _sparse
+
+    return _sparse.isspmatrix_csr(Y)
+
+
+def _subset_map(n_genes: int, gene_idx) -> np.ndarray:
+    """Dense old-column -> subset-position map (-1 = not selected) — the
+    form every subset-fused kernel consumes (ONE home so a future change,
+    e.g. a duplicate-gene_idx guard, cannot drift across kernels)."""
+    new_col = np.full(n_genes, -1, dtype=np.int32)
+    new_col[np.asarray(gene_idx, dtype=np.int64)] = np.arange(
+        len(gene_idx), dtype=np.int32
+    )
+    return new_col
+
+
+def _check_subset_op(buckets, weights, n_subset: int) -> None:
+    """The fused kernels index buckets/weights by SUBSET position with no
+    bounds check in the hot loop; catch an undersized operator here
+    instead of corrupting the heap."""
+    if len(buckets) < n_subset or len(weights) < n_subset:
+        raise ValueError(
+            f"CountSketch operator covers {len(buckets)} genes but the "
+            f"gene subset has {n_subset} — build the operator over the "
+            f"subset (buckets/weights are subset-indexed)"
+        )
+
+
 def _csr_buffers(Y) -> Tuple[np.ndarray, np.ndarray, np.ndarray, str]:
     """Contiguous CSR buffers + a dtype-suffix key for the C symbol."""
     indptr = np.ascontiguousarray(Y.indptr, dtype=np.int64)
@@ -276,7 +314,15 @@ def log1p_cpm_moments(
     to the numpy block implementation (equivalent results either way).
     """
     lib = _load()
-    if lib is None or not _log1p_matches_numpy:
+    if lib is None or not _is_csr(Y):
+        return None
+    # Gate on the self-test of the log1p path the dispatched kernel
+    # actually uses: f32 data runs the f32m kernels (vectorized-poly
+    # log1p, _log1pf self-test); everything else promotes to the f64
+    # libm kernels (_log1p self-test).
+    if not _log1p_gate_ok(
+        np.float32 if Y.data.dtype == np.float32 else np.float64
+    ):
         return None
     n_rows, n_genes = Y.shape
     indptr, indices, data, tag = _csr_buffers(Y)
@@ -311,9 +357,14 @@ def log1p_cpm_moments_auto(
     None when the native path is unavailable.
     """
     lib = _load()
-    if lib is None or not _log1p_matches_numpy:
+    if lib is None or not _is_csr(Y):
         return None
     if Y.data.dtype not in (np.float32, np.float64):
+        return None
+    # Same per-dispatch gate as log1p_cpm_moments.
+    if not _log1p_gate_ok(
+        np.float32 if Y.data.dtype == np.float32 else np.float64
+    ):
         return None
     n_rows, n_genes = Y.shape
     indptr, indices, data, tag = _csr_buffers(Y)
@@ -353,14 +404,12 @@ def fused_log1pcpm_project(
     the native path is unavailable.
     """
     lib = _load()
-    if lib is None or not _log1p_gate_ok(Y.data.dtype):
+    if lib is None or not _is_csr(Y) or not _log1p_gate_ok(Y.data.dtype):
         return None
     n_rows, n_genes = Y.shape
     indptr, indices, data, tag = _csr_buffers(Y)
-    new_col = np.full(n_genes, -1, dtype=np.int32)
-    new_col[np.asarray(gene_idx, dtype=np.int64)] = np.arange(
-        len(gene_idx), dtype=np.int32
-    )
+    new_col = _subset_map(n_genes, gene_idx)
+    _check_subset_op(buckets, weights, len(gene_idx))
     buckets = np.ascontiguousarray(buckets, dtype=np.int32)
     weights = np.ascontiguousarray(weights, dtype=np.float64)
     out = np.empty((n_rows, sketch_dim), dtype=np.float64)
@@ -413,16 +462,20 @@ def _fused_xty_setup(Y, gene_idx, buckets, weights, X_sketch,
     the data dtype, or None for the identity (the raw pipeline).
     """
     lib = _load()
-    if lib is None:
+    if lib is None or not _is_csr(Y):
         return None
     if kind == "log1pcpm" and not _log1p_gate_ok(Y.data.dtype):
         return None
+    # colscale has no libm, but its gate (colscale_available) still
+    # requires a float data dtype — keep the kernel's behavior and the
+    # gate's verdict agreeing in BOTH directions (no silent int
+    # promotion the staged scipy pipeline would not perform).
+    if kind == "colscale" and Y.data.dtype not in (np.float32, np.float64):
+        return None
     n_genes = Y.shape[1]
     indptr, indices, data, tag = _csr_buffers(Y)
-    new_col = np.full(n_genes, -1, dtype=np.int32)
-    new_col[np.asarray(gene_idx, dtype=np.int64)] = np.arange(
-        len(gene_idx), dtype=np.int32
-    )
+    new_col = _subset_map(n_genes, gene_idx)
+    _check_subset_op(buckets, weights, len(gene_idx))
     if kind == "colscale" and colscale is not None:
         colscale = np.ascontiguousarray(colscale, dtype=data.dtype)
     return {
@@ -544,14 +597,13 @@ def subset_col_mean(Y, gene_idx: np.ndarray) -> Optional[np.ndarray]:
     in the data dtype, or None when the native path is unavailable.
     """
     lib = _load()
-    if lib is None or Y.data.dtype not in (np.float32, np.float64):
+    if lib is None or not _is_csr(Y):
+        return None
+    if Y.data.dtype not in (np.float32, np.float64):
         return None
     n_rows, n_genes = Y.shape
     indptr, indices, data, tag = _csr_buffers(Y)
-    new_col = np.full(n_genes, -1, dtype=np.int32)
-    new_col[np.asarray(gene_idx, dtype=np.int64)] = np.arange(
-        len(gene_idx), dtype=np.int32
-    )
+    new_col = _subset_map(n_genes, gene_idx)
     out = np.empty(len(gene_idx), dtype=data.dtype)
     getattr(lib, f"subset_scaled_col_sums_{tag}")(
         indptr.ctypes.data_as(ctypes.c_void_p),
@@ -584,14 +636,14 @@ def fused_colscale_project(
     float64 sketch, or None when the native path is unavailable.
     """
     lib = _load()
-    if lib is None or Y.data.dtype not in (np.float32, np.float64):
+    if lib is None or not _is_csr(Y):
+        return None
+    if Y.data.dtype not in (np.float32, np.float64):
         return None
     n_rows, n_genes = Y.shape
     indptr, indices, data, tag = _csr_buffers(Y)
-    new_col = np.full(n_genes, -1, dtype=np.int32)
-    new_col[np.asarray(gene_idx, dtype=np.int64)] = np.arange(
-        len(gene_idx), dtype=np.int32
-    )
+    new_col = _subset_map(n_genes, gene_idx)
+    _check_subset_op(buckets, weights, len(gene_idx))
     if colscale is not None:
         colscale = np.ascontiguousarray(colscale, dtype=data.dtype)
     buckets = np.ascontiguousarray(buckets, dtype=np.int32)
@@ -660,7 +712,9 @@ def csr_row_sums(Y) -> Optional[np.ndarray]:
     not float32/float64.
     """
     lib = _load()
-    if lib is None or Y.data.dtype not in (np.float32, np.float64):
+    if lib is None or not _is_csr(Y):
+        return None
+    if Y.data.dtype not in (np.float32, np.float64):
         return None
     n_rows = Y.shape[0]
     indptr = np.ascontiguousarray(Y.indptr, dtype=np.int64)
@@ -688,7 +742,8 @@ def log1p_cpm_transform(Y, scale: np.ndarray) -> Optional[np.ndarray]:
     moments kernel).
     """
     lib = _load()
-    if lib is None or not _log1p_gate_ok(Y.data.dtype):
+    if (lib is None or not _is_csr(Y)
+            or not _log1p_gate_ok(Y.data.dtype)):
         return None
     n_rows = Y.shape[0]
     indptr = np.ascontiguousarray(Y.indptr, dtype=np.int64)
@@ -781,16 +836,13 @@ def csr_column_subset(Y, gene_idx: np.ndarray):
     from scipy import sparse as _sparse
 
     lib = _load()
-    if lib is None:
+    if lib is None or not _is_csr(Y):
         return None
     if Y.data.dtype not in (np.float32, np.float64):
         return None  # scipy preserves int dtypes; don't silently promote
     n_rows, n_genes = Y.shape
     indptr, indices, data, tag = _csr_buffers(Y)
-    new_col = np.full(n_genes, -1, dtype=np.int32)
-    new_col[np.asarray(gene_idx, dtype=np.int64)] = np.arange(
-        len(gene_idx), dtype=np.int32
-    )
+    new_col = _subset_map(n_genes, gene_idx)
     row_counts = np.empty(n_rows, dtype=np.int64)
     getattr(lib, f"csr_subset_count_{tag}")(
         indptr.ctypes.data_as(ctypes.c_void_p),
@@ -832,12 +884,21 @@ def countsketch_project(
     native path is unavailable (caller falls back to the scipy matmul).
     """
     lib = _load()
-    if lib is None:
+    if lib is None or not _is_csr(Y):
         return None
     n_rows = Y.shape[0]
     indptr, indices, data, tag = _csr_buffers(Y)
     buckets = np.ascontiguousarray(buckets, dtype=np.int32)
     weights = np.ascontiguousarray(weights, dtype=np.float64)
+    # The kernel indexes buckets/weights by RAW column id with no bounds
+    # check (hot loop); catch an undersized operator here instead of
+    # corrupting the heap.
+    if buckets.shape[0] < Y.shape[1] or weights.shape[0] < Y.shape[1]:
+        raise ValueError(
+            f"CountSketch operator covers {buckets.shape[0]} genes but Y "
+            f"has {Y.shape[1]} columns — for a gene subset use the "
+            f"fused_*_project/_xty kernels (subset-indexed buckets)"
+        )
     out = np.empty((n_rows, sketch_dim), dtype=np.float64)
     fn = getattr(lib, f"countsketch_project_{tag}")
     fn(

@@ -404,4 +404,17 @@ def host_spot_range(
     ]
     if not local:
         return 0, 0
+    if local != list(range(local[0], local[-1] + 1)):
+        # An interleaved mesh (round-robin devices across hosts) would
+        # make [first, last+1) span other hosts' shards — every process
+        # would then feed the wrong Y rows with no error anywhere
+        # downstream. Host-major ordering is what global_spot_mesh()
+        # builds and what keeps host boundaries on DCN (module
+        # docstring); anything else is a wiring bug the caller must fix.
+        raise ValueError(
+            "this process's mesh devices are not contiguous in "
+            f"mesh.devices.ravel() (local shard indices {local}); "
+            "host_spot_range requires a host-major mesh — build it with "
+            "global_spot_mesh()"
+        )
     return local[0] * shard_size, (local[-1] + 1) * shard_size

@@ -35,7 +35,18 @@ def _get_coords(adata: Any, spatial_key: str) -> np.ndarray:
     from flashdeconv_tpu.io.loader import load_spatial_data
 
     _, coords, _ = load_spatial_data(adata, coord_key=spatial_key)
-    return coords
+    # Same float cast as the array path: object-dtype obs columns (e.g.
+    # string x/y) must fail here with a clear conversion error, not deep
+    # inside matplotlib.
+    return np.asarray(coords, dtype=float)
+
+
+def _check_names(names, values) -> None:
+    if len(names) != values.shape[1]:
+        raise ValueError(
+            f"cell_type_names has {len(names)} entries but proportions "
+            f"has {values.shape[1]} columns"
+        )
 
 
 def _get_props(adata: Any, key: str):
@@ -71,6 +82,7 @@ def _resolve_inputs(adata, key, spatial_key, coords, proportions,
         if cell_type_names is not None
         else [f"type_{i}" for i in range(values.shape[1])]
     )
+    _check_names(names, values)
     return np.asarray(coords, dtype=float), values, names
 
 
@@ -198,15 +210,26 @@ def composition(
             if cell_type_names is not None
             else [f"type_{i}" for i in range(values.shape[1])]
         )
+        _check_names(names, values)
     else:
         raise ValueError("pass an AnnData or proportions=")
     means = values.mean(axis=0)
     order = np.argsort(means)[::-1] if sort else np.arange(means.size)
     if ax is None:
         _, ax = plt.subplots(figsize=(max(4, 0.45 * len(names)), 4))
+    # A per-type color sequence follows its bar through the sort; a single
+    # color (str, or anything not matching the type count) passes through.
+    bar_color = color
+    if (
+        color is not None
+        and not isinstance(color, str)
+        and hasattr(color, "__len__")
+        and len(color) == means.size
+    ):
+        bar_color = [color[i] for i in order]
     ax.bar(
         np.arange(means.size), means[order],
-        color=color, edgecolor="none",
+        color=bar_color, edgecolor="none",
     )
     ax.set_xticks(np.arange(means.size))
     ax.set_xticklabels([names[i] for i in order], rotation=60, ha="right")

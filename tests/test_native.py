@@ -680,6 +680,126 @@ class TestGatesAndHelpers:
             )
         )
 
+    def test_all_csr_kernels_reject_non_csr_input(self):
+        """Every public CSR-consuming kernel must return None — the
+        documented 'unavailable' contract — for CSC and dense input
+        instead of crashing: a CSC matrix has indptr/indices/data too,
+        and its column pointers read as row indptr segfaulted the
+        interpreter before the _is_csr guard (measured, exit 139);
+        dense ndarrays died on `.data` being a memoryview."""
+        from flashdeconv_tpu.core.sketching import make_countsketch_op
+
+        Ycsr = _random_csr(n_rows=30, n_cols=40, density=0.2,
+                           dtype=np.float64)
+        gene_idx = np.arange(0, 40, 2)
+        op = make_countsketch_op(len(gene_idx), 16, random_state=0)
+        # countsketch_project is NOT subset-indexed: its operator must
+        # cover every raw column of Y
+        op_full = make_countsketch_op(40, 16, random_state=1)
+        colscale = np.ones(len(gene_idx))
+        Xsk = np.ones((3, 16))
+        kernels = [
+            lambda Y: native.log1p_cpm_moments(
+                Y, np.ones(Y.shape[0])
+            ),
+            native.log1p_cpm_moments_auto,
+            lambda Y: native.fused_log1pcpm_project(
+                Y, gene_idx, op.buckets, op.weights, op.sketch_dim
+            ),
+            lambda Y: native.fused_log1pcpm_xty(
+                Y, gene_idx, op.buckets, op.weights, op.sketch_dim, Xsk
+            ),
+            lambda Y: native.fused_log1pcpm_xty_chunks(
+                Y, gene_idx, op.buckets, op.weights, op.sketch_dim, Xsk
+            ),
+            lambda Y: native.fused_colscale_project(
+                Y, gene_idx, colscale, op.buckets, op.weights,
+                op.sketch_dim
+            ),
+            lambda Y: native.fused_colscale_xty(
+                Y, gene_idx, colscale, op.buckets, op.weights,
+                op.sketch_dim, Xsk
+            ),
+            lambda Y: native.subset_col_mean(Y, gene_idx),
+            native.csr_row_sums,
+            lambda Y: native.log1p_cpm_transform(
+                Y, np.ones(Y.shape[0])
+            ),
+            lambda Y: native.csr_column_subset(Y, gene_idx),
+            lambda Y: native.countsketch_project(
+                Y, op_full.buckets, op_full.weights, op_full.sketch_dim
+            ),
+        ]
+        for i, fn in enumerate(kernels):
+            assert fn(Ycsr.tocsc()) is None, f"kernel {i} accepted CSC"
+            assert fn(np.asarray(Ycsr.todense())) is None, (
+                f"kernel {i} accepted dense"
+            )
+            # sanity: the CSR fast path still engages (native loaded here)
+            if native.available():
+                assert fn(Ycsr) is not None, f"kernel {i} rejected CSR"
+        # Undersized operators raise instead of corrupting the heap: the
+        # C loops index buckets/weights with no bounds check.
+        if native.available():
+            with pytest.raises(ValueError, match="operator covers"):
+                native.countsketch_project(
+                    Ycsr, op.buckets, op.weights, op.sketch_dim
+                )
+            with pytest.raises(ValueError, match="operator covers"):
+                native.fused_log1pcpm_xty(
+                    Ycsr, gene_idx, op.buckets[:3], op.weights[:3],
+                    op.sketch_dim, Xsk,
+                )
+
+    def test_colscale_xty_gate_agrees_on_int_dtype(self):
+        """colscale_available(int CSR) is False, so fused_colscale_xty must
+        return None for it too (gate and kernel agree in BOTH directions —
+        no silent int->f64 promotion the staged scipy pipeline would not
+        perform)."""
+        from flashdeconv_tpu.core.sketching import make_countsketch_op
+
+        Yint = sparse.csr_matrix(
+            (np.arange(1, 7, dtype=np.int64),
+             [0, 3, 1, 2, 0, 3], [0, 2, 4, 6]),
+            shape=(3, 4),
+        )
+        gene_idx = np.arange(4)
+        op = make_countsketch_op(4, 8, random_state=0)
+        assert not native.colscale_available(Yint)
+        assert native.fused_colscale_xty(
+            Yint, gene_idx, None, op.buckets, op.weights, op.sketch_dim,
+            np.ones((2, 8)),
+        ) is None
+        assert native.fused_colscale_xty_chunks(
+            Yint, gene_idx, None, op.buckets, op.weights, op.sketch_dim,
+            np.ones((2, 8)),
+        ) is None
+
+    def test_moments_gate_follows_dispatched_dtype(self):
+        """The f32 moments kernels run the f32 log1p path — they must be
+        gated on the f32 self-test, not the f64 one (and vice versa)."""
+        Y32 = _random_csr(n_rows=20, n_cols=30, density=0.2,
+                          dtype=np.float32)
+        native._load()
+        saved32, saved64 = (
+            native._log1pf_matches_numpy, native._log1p_matches_numpy
+        )
+        try:
+            native._log1pf_matches_numpy = False
+            native._log1p_matches_numpy = True
+            assert native.log1p_cpm_moments_auto(Y32) is None
+            assert native.log1p_cpm_moments(
+                Y32, np.ones(Y32.shape[0])
+            ) is None
+            # f64 data unaffected by the f32 gate
+            if native.available():
+                assert native.log1p_cpm_moments_auto(
+                    Y32.astype(np.float64)
+                ) is not None
+        finally:
+            native._log1pf_matches_numpy = saved32
+            native._log1p_matches_numpy = saved64
+
     def test_zero_fill_rejects_noncontiguous(self):
         """zero_fill must refuse strided views (zeroing a temp copy and
         reporting success would leave the caller's array untouched)."""

@@ -231,6 +231,53 @@ class TestMultihost:
             with pytest.raises(ValueError, match="shards"):
                 multihost.host_spot_range(plan)
 
+    def test_host_spot_range_interleaved_mesh_raises(self):
+        """A round-robin (interleaved) device order would make
+        [first, last+1) span other hosts' shards — every process would
+        silently load the wrong Y rows. Must raise, not guess."""
+        from flashdeconv_tpu.parallel import multihost
+
+        rng = np.random.RandomState(0)
+        coords = rng.rand(200, 2)
+        plan = plan_shards(build_knn_graph(coords, k=3), 4, coords=coords)
+
+        class _Dev:
+            def __init__(self, pi):
+                self.process_index = pi
+
+        class _Mesh:
+            # processes 0/1 interleaved round-robin over 4 shards
+            devices = np.array([_Dev(0), _Dev(1), _Dev(0), _Dev(1)])
+
+        with pytest.raises(ValueError, match="not contiguous"):
+            multihost.host_spot_range(plan, mesh=_Mesh())
+        # contiguous host-major order is accepted
+        class _MeshOK:
+            devices = np.array([_Dev(0), _Dev(0), _Dev(1), _Dev(1)])
+
+        start, stop = multihost.host_spot_range(plan, mesh=_MeshOK())
+        assert (start, stop) == (0, 2 * plan.shard_size)
+
+    def test_distributed_subset_col_mean_dense_input(self):
+        """Dense local slices must take the scipy fallback (the native
+        kernel is CSR-only and now declines politely), matching the
+        sparse result."""
+        from scipy import sparse as sp
+
+        from flashdeconv_tpu.parallel import multihost
+
+        rng = np.random.RandomState(1)
+        Y = rng.poisson(2.0, size=(50, 30)).astype(np.float64)
+        idx = np.arange(0, 30, 3)
+        mu_dense = multihost.distributed_subset_col_mean(Y, idx)
+        mu_sparse = multihost.distributed_subset_col_mean(
+            sp.csr_matrix(Y), idx
+        )
+        np.testing.assert_allclose(mu_dense, mu_sparse, rtol=1e-12)
+        np.testing.assert_allclose(
+            mu_dense, Y[:, idx].mean(axis=0), rtol=1e-12
+        )
+
     def test_initialize_noop_single_process(self):
         from flashdeconv_tpu.parallel import multihost
 

@@ -115,6 +115,36 @@ def test_composition(fitted_adata):
     plt.close("all")
 
 
+def test_composition_color_sequence_follows_sort(fitted_adata):
+    """A per-type color list must follow its bar through the mean sort —
+    positional application would paint type B with type A's color."""
+    import matplotlib.colors as mcolors
+
+    P = np.asarray(fitted_adata.obsm["flashdeconv"])
+    k = P.shape[1]
+    palette = ["red", "green", "blue", "orange", "purple", "cyan"][:k]
+    ax = fd.pl.composition(proportions=P, color=palette, sort=True)
+    order = np.argsort(P.mean(axis=0))[::-1]
+    for patch, src in zip(ax.patches, order):
+        assert patch.get_facecolor() == mcolors.to_rgba(palette[src])
+    # a single color string still applies to every bar
+    ax2 = fd.pl.composition(proportions=P, color="red", sort=True)
+    for patch in ax2.patches:
+        assert patch.get_facecolor() == mcolors.to_rgba("red")
+    plt.close("all")
+
+
+def test_name_count_mismatch_raises(fitted_adata):
+    P = np.asarray(fitted_adata.obsm["flashdeconv"])
+    coords = np.asarray(fitted_adata.obsm["spatial"], dtype=float)
+    with pytest.raises(ValueError, match="columns"):
+        fd.pl.spatial(coords=coords, proportions=P,
+                      cell_type_names=["a", "b"])
+    with pytest.raises(ValueError, match="columns"):
+        fd.pl.composition(proportions=P, cell_type_names=["a", "b"])
+    plt.close("all")
+
+
 def test_lambda_path_plot():
     rng = np.random.RandomState(1)
     results = [
