@@ -207,6 +207,10 @@ def sketch_data(
     else:
         raise ValueError(f"Unknown sketching method: {method}")
 
+    if backend not in ("auto", "host", "device"):
+        raise ValueError(
+            f"Unknown backend: {backend!r} (use 'auto' | 'host' | 'device')"
+        )
     if backend == "device":
         if sparse.issparse(Y_tilde):
             raise ValueError(

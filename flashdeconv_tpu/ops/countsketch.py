@@ -33,6 +33,31 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+#: Conservative per-grid-step VMEM budget for the projection kernel
+#: (v5e VMEM is 128 MB; stay well under to leave Mosaic's double-buffer
+#: and spill headroom — d <= ~4096 passes at the default blocks,
+#: d ~ 8192 falls back to the XLA matmul path, which handles it fine).
+PALLAS_PROJECT_VMEM_BUDGET = 32 << 20
+
+
+def _pallas_project_vmem_bytes(
+    sketch_dim: int, row_block: int = 256, gene_block: int = 512
+) -> int:
+    """Estimated VMEM working set of :func:`countsketch_project_pallas`
+    per grid step: the streamed Y block (double-buffered), the untiled
+    (row_block, d_pad) output block (also double-buffered) + same-size
+    accumulator scratch, and the materialized (gene_block, d_pad) one-hot
+    value. The kernel never tiles the d axis, so this scales LINEARLY in
+    sketch_dim — the auto-enable gate must charge for it or a legal
+    large-d setting dies at Mosaic compile time."""
+    d_pad = _round_up(max(sketch_dim, 128), 128)
+    streams = 2 * row_block * gene_block * 4       # Y in, x2
+    out = 2 * row_block * d_pad * 4                # out block, x2
+    scratch = row_block * d_pad * 4                # accumulator
+    onehot = gene_block * d_pad * 4                # one-hot value
+    return streams + out + scratch + onehot
+
+
 def countsketch_project(
     Y,
     op,
@@ -58,6 +83,8 @@ def countsketch_project(
     if use_pallas is None:
         use_pallas = (
             jax.default_backend() == "tpu" and g >= 4096 and n >= 1024
+            and _pallas_project_vmem_bytes(op.sketch_dim)
+            <= PALLAS_PROJECT_VMEM_BUDGET
         )
 
     if use_pallas:
@@ -129,8 +156,9 @@ def countsketch_project_pallas(
     """CountSketch projection as a Pallas TPU kernel (see module docstring).
 
     Pads N, G, and d to hardware-aligned multiples; padded genes carry weight
-    zero and bucket id ``sketch_dim`` (out of range of every retained output
-    column), so they contribute nothing.
+    zero and bucket id ``d_pad`` (one past the PADDED output columns, so the
+    one-hot comparison never matches any column — retained or padding — and
+    the zero weight is belt-and-braces on top), so they contribute nothing.
     """
     n, g = Y.shape
     d = sketch_dim

@@ -105,8 +105,6 @@ def plan_shards(
     n_pad = n_shards * shard_size
 
     # Permute the graph into ordered space: P A P^T.
-    inv_perm = np.empty(n, dtype=np.int64)
-    inv_perm[perm] = np.arange(n)
     A_ord = A_csr[perm][:, perm].tocsr() if n > 0 else A_csr
 
     counts = np.zeros(n_pad, dtype=np.int32)
@@ -119,8 +117,9 @@ def plan_shards(
     # Dense padded neighbor table in ordered-global space; padding = -1.
     nbr_g = np.full((n_pad, max_deg), -1, dtype=np.int64)
     if A_ord.nnz > 0:
-        row_of = np.repeat(np.arange(n), counts[:n])
-        pos = np.arange(A_ord.nnz) - np.repeat(A_ord.indptr[:-1], counts[:n])
+        from flashdeconv_tpu.utils.graph import _csr_row_positions
+
+        row_of, pos = _csr_row_positions(A_ord, counts[:n])
         nbr_g[row_of, pos] = A_ord.indices
 
     owner = np.where(nbr_g >= 0, nbr_g // shard_size, -1)

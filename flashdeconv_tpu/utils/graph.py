@@ -129,6 +129,18 @@ def coords_to_adjacency(
     raise ValueError(f"Unknown method: {method}")
 
 
+def _csr_row_positions(
+    A_csr: sparse.csr_matrix, counts: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(row, position-within-row) for every stored CSR entry — the scatter
+    coordinates every padded-neighbor-table builder shares (here and in
+    ``parallel/partition.plan_shards``). ONE home so a semantic change
+    (e.g. tolerating unsorted indices) cannot drift between copies."""
+    row_of = np.repeat(np.arange(len(counts)), counts)
+    pos_in_row = np.arange(A_csr.nnz) - np.repeat(A_csr.indptr[:-1], counts)
+    return row_of, pos_in_row
+
+
 def adjacency_to_padded(
     A: sparse.spmatrix,
     pad_to_multiple: int = 1,
@@ -153,11 +165,8 @@ def adjacency_to_padded(
     max_deg = max(max_deg, 1)  # keep a non-degenerate trailing axis
 
     nbr = np.full((n, max_deg), n, dtype=np.int32)
-    # Scatter CSR indices into the padded table: position within each row is
-    # the running offset from that row's indptr start.
     if A_csr.nnz > 0:
-        row_of = np.repeat(np.arange(n), counts)
-        pos_in_row = np.arange(A_csr.nnz) - np.repeat(A_csr.indptr[:-1], counts)
+        row_of, pos_in_row = _csr_row_positions(A_csr, counts)
         nbr[row_of, pos_in_row] = A_csr.indices.astype(np.int32)
     return nbr, counts
 
@@ -205,8 +214,7 @@ def adjacency_to_padded_capped(
         return nbr, n_nbrs, empty, empty
 
     nbr = np.full((n, cap), n, dtype=np.int32)
-    row_of = np.repeat(np.arange(n), counts)
-    pos_in_row = np.arange(A_csr.nnz) - np.repeat(A_csr.indptr[:-1], counts)
+    row_of, pos_in_row = _csr_row_positions(A_csr, counts)
     in_table = pos_in_row < cap
     nbr[row_of[in_table], pos_in_row[in_table]] = A_csr.indices[
         in_table
