@@ -45,33 +45,58 @@ def _pearson_dense(X: np.ndarray) -> np.ndarray:
     return Xd / _pearson_sigma(mu_x)
 
 
-def _zero_poisoned_csr_rows(Y, gene_idx: np.ndarray):
-    """Rows of CSR ``Y`` with a non-finite entry in a *selected* gene
-    column, zeroed in a data-only copy; None when nothing needs repair.
+def _zero_poisoned_csr_rows(Y, gene_idx: np.ndarray, logcpm: bool = False):
+    """Rows of CSR ``Y`` whose *selected* gene entries poison the fused
+    feed, zeroed in a data-only copy; None when nothing needs repair.
 
     Support for the fused-feed degraded path: the native pass reduces YtY
-    over the raw sketch, so one NaN count makes the objective constant
-    non-finite even though the solver's row guard keeps beta finite.
+    over the raw sketch, so one poisoned count makes the objective
+    constant non-finite even though the solver's row guard keeps beta
+    finite. Poison = a non-finite entry, or — on the log_cpm path
+    (``logcpm=True``) — a finite entry whose log1p(v * 1e4/lib) is
+    non-finite (``v * scale <= -1``; ``lib`` = the row's SELECTED-gene
+    sum with the staged path's lib==0 -> 1 rule, so the exact rows the
+    staged pipeline's sketch-level guard would zero). A poisoned log_cpm
+    row necessarily contains a negative or non-finite selected entry
+    (all-nonnegative-finite rows give scale > 0 and v*scale >= 0), so
+    candidates are found cheaply and verified exactly per row.
     Only selected columns matter — the fused kernels subset genes before
     the library-size/normalize/sketch passes (reference
-    ``flashdeconv/core/deconv.py:321-330`` subsets first too), so a
-    non-finite entry in an unselected gene is never touched. The whole
+    ``flashdeconv/core/deconv.py:321-330`` subsets first too). The whole
     poisoned row is zeroed (not just the bad entry) to match the solver
     guard's zero-observation semantics.
     """
-    bad_pos = np.flatnonzero(~np.isfinite(Y.data))
-    if bad_pos.size == 0:
-        return None
     sel = np.zeros(Y.shape[1], dtype=bool)
     sel[np.asarray(gene_idx)] = True
-    bad_pos = bad_pos[sel[Y.indices[bad_pos]]]
-    if bad_pos.size == 0:
+    data = Y.data
+    cand_entry = ~np.isfinite(data)
+    if logcpm:
+        cand_entry |= data < 0
+    cand_pos = np.flatnonzero(cand_entry)
+    if cand_pos.size:
+        cand_pos = cand_pos[sel[Y.indices[cand_pos]]]
+    if cand_pos.size == 0:
         return None
-    rows = np.unique(
-        np.searchsorted(Y.indptr, bad_pos, side="right") - 1
+    cand_rows = np.unique(
+        np.searchsorted(Y.indptr, cand_pos, side="right") - 1
     )
-    data = Y.data.copy()
-    for r in rows:
+    bad_rows = []
+    for r in cand_rows:
+        lo, hi = Y.indptr[r], Y.indptr[r + 1]
+        v = data[lo:hi][sel[Y.indices[lo:hi]]]
+        if not np.isfinite(v).all():
+            bad_rows.append(r)
+            continue
+        if logcpm:
+            lib = float(v.sum())
+            if lib == 0.0:
+                lib = 1.0
+            if np.any(v * (1e4 / lib) <= -1.0):
+                bad_rows.append(r)
+    if not bad_rows:
+        return None
+    data = data.copy()
+    for r in bad_rows:
         data[Y.indptr[r]: Y.indptr[r + 1]] = 0.0
     return sparse.csr_matrix((data, Y.indices, Y.indptr), shape=Y.shape)
 
@@ -522,21 +547,34 @@ class FlashDeconv:
                             "its gates passing — native gate drift"
                         )
                     if not np.isfinite(res[1]):
-                        # Degraded path: non-finite counts poisoned the
-                        # YtY reduction (the solver's row guard keeps
+                        # Degraded path: poisoned counts (non-finite, or
+                        # negatives whose log1p goes non-finite) NaN'd
+                        # the YtY reduction. The solver's row guard keeps
                         # beta finite regardless, but the objective
                         # constant must reflect the sanitized problem —
-                        # see core.solver.sanitize_yty). Zero the
-                        # poisoned rows in a data-only CSR copy and
-                        # re-run the feed.
-                        Y_rep = _zero_poisoned_csr_rows(Y, gene_idx)
+                        # see core.solver.sanitize_yty. Zero the poisoned
+                        # rows in a data-only CSR copy and re-run the
+                        # feed.
+                        Y_rep = _zero_poisoned_csr_rows(
+                            Y, gene_idx,
+                            logcpm=self.preprocess == "log_cpm",
+                        )
                         if Y_rep is not None:
-                            res2 = self._fused_xty_feed(
+                            # Release the poisoned streamed (N, K) device
+                            # buffer BEFORE streaming the repaired one —
+                            # holding both transiently doubles HBM for
+                            # the solve's largest operand.
+                            res = None
+                            res = self._fused_xty_feed(
                                 Y_rep, gene_idx, op, X_sketch,
                                 colscale=colscale,
                             )
-                            if res2 is not None:
-                                res = res2
+                            if res is None:
+                                raise RuntimeError(
+                                    "fused xty kernel returned None on "
+                                    "the repaired input — native gate "
+                                    "drift"
+                                )
                     self._fused_xty, self._fused_yty = res
                     Y_sketch = None
                 else:
@@ -982,6 +1020,29 @@ class FlashDeconv:
                         Y_local, gene_idx, colscale, op.buckets, op.weights,
                         op.sketch_dim, X_sketch,
                     )
+            if res is not None and not np.isfinite(res[1]):
+                # Same poisoned-YtY repair as single-process fit (its
+                # absence here would make fit_distributed's objective NaN
+                # where fit()'s is finite, breaking the bit-parity
+                # contract between them): zero this host's poisoned rows
+                # (row-local, so no cross-host coordination needed — a
+                # clean host's repair scan finds nothing) and re-run the
+                # local fused pass.
+                Y_rep = _zero_poisoned_csr_rows(
+                    Y_local, gene_idx,
+                    logcpm=self.preprocess == "log_cpm",
+                )
+                if Y_rep is not None:
+                    if self.preprocess == "log_cpm":
+                        res = native.fused_log1pcpm_xty(
+                            Y_rep, gene_idx, op.buckets, op.weights,
+                            op.sketch_dim, X_sketch,
+                        )
+                    else:
+                        res = native.fused_colscale_xty(
+                            Y_rep, gene_idx, colscale, op.buckets,
+                            op.weights, op.sketch_dim, X_sketch,
+                        )
             if res is not None:
                 xty_local, yty_local = res
             else:
@@ -1186,6 +1247,10 @@ class FlashDeconv:
         self.lambda_used_ = last["lambda"]
         self.beta_ = last["beta"]
         self.proportions_ = last["proportions"]
+        # The beta_/proportions_ setters reset the device-side caches; the
+        # device argmax from a previous device-output fit must go too, or
+        # get_dominant_cell_type() would return the OLD fit's vector.
+        self.dominant_ = None
         self.info_ = last["info"]
         self.timings_ = timer.timings
         self._fitted = True

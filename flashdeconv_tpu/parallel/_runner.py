@@ -38,6 +38,22 @@ def validate_beta_init(beta_init, n_spots: int, n_types: int) -> None:
         )
 
 
+def device_unpermute(obj, beta_d, perm, n_spots: int):
+    """Device-side inverse of a spot permutation: one gather, no host copy.
+
+    The int32 inverse-permutation index array is built once and cached on
+    ``obj._inv_perm_d`` (the prepared problems are long-lived; re-solves
+    reuse it). ONE home for the un-permute so a fix (index dtype,
+    non-fully-addressable gathers) cannot diverge between the halo and
+    strategy-wrapper paths.
+    """
+    if getattr(obj, "_inv_perm_d", None) is None:
+        inv = np.empty(n_spots, dtype=np.int32)
+        inv[perm] = np.arange(n_spots, dtype=np.int32)
+        obj._inv_perm_d = jnp.asarray(inv)
+    return jnp.take(beta_d, obj._inv_perm_d, axis=0)
+
+
 def run_prepared_solve(
     run_chunk: Callable,
     eval_objective: Callable,

@@ -35,6 +35,7 @@ from flashdeconv_tpu.ops.bcd import (
 )
 from flashdeconv_tpu import native
 from flashdeconv_tpu.parallel._runner import (
+    device_unpermute,
     put_addressable,
     run_prepared_solve,
     validate_beta_init,
@@ -250,12 +251,21 @@ def sharded_bcd_solve(
         beta = np.full((n_spots, n_types), 1.0 / max(n_types, 1))
         if n_spots == 0 or n_types == 0:
             beta = np.empty((n_spots, n_types))
+        if n_shards is None:
+            n_shards = (
+                int(mesh.devices.size) if mesh is not None
+                else len(jax.devices())
+            )
+        # Same info-key contract as every non-degenerate sharded return
+        # (a caller logging shard metadata must not KeyError here).
         return beta, {
             "converged": n_spots == 0 or n_types == 0,
             "n_iterations": 0,
             "final_objective": 0.0,
             "objectives": [],
             "final_change": 0.0,
+            "n_shards": int(n_shards),
+            "halo_width": 0,
         }
 
     problem = prepare_sharded_bcd(
@@ -457,13 +467,9 @@ class HaloShardedProblem:
         if return_device:
             # Device-side inverse of plan.scatter: un-permute the Morton
             # row order with a gather (the host copy never materializes).
-            import jax.numpy as jnp
-
-            if getattr(self, "_inv_perm_d", None) is None:
-                inv = np.empty(n_spots, dtype=np.int32)
-                inv[plan.perm] = np.arange(n_spots, dtype=np.int32)
-                self._inv_perm_d = jnp.asarray(inv)
-            beta = jnp.take(beta_pad[:n_spots], self._inv_perm_d, axis=0)
+            beta = device_unpermute(
+                self, beta_pad[:n_spots], plan.perm, n_spots
+            )
         else:
             beta = plan.gather(beta_pad)
 
@@ -523,14 +529,9 @@ class ShardedBCDProblem:
         return_device: bool = False,
     ) -> Tuple[np.ndarray, dict]:
         perm = self._perm
-        if beta_init is not None:
-            if beta_init.shape != (self.n_spots, self.n_types):
-                raise ValueError(
-                    f"beta_init shape {beta_init.shape} does not match "
-                    f"({self.n_spots}, {self.n_types})"
-                )
-            if perm is not None:
-                beta_init = beta_init[perm]
+        validate_beta_init(beta_init, self.n_spots, self.n_types)
+        if beta_init is not None and perm is not None:
+            beta_init = beta_init[perm]
         beta, info = self._inner.solve(
             lambda_=lambda_, rho=rho, max_iter=max_iter, tol=tol,
             verbose=verbose, beta_init=beta_init,
@@ -538,13 +539,7 @@ class ShardedBCDProblem:
         )
         if perm is not None:
             if return_device:
-                import jax.numpy as jnp
-
-                if getattr(self, "_inv_perm_d", None) is None:
-                    inv = np.empty(self.n_spots, dtype=np.int32)
-                    inv[perm] = np.arange(self.n_spots, dtype=np.int32)
-                    self._inv_perm_d = jnp.asarray(inv)
-                beta = jnp.take(beta, self._inv_perm_d, axis=0)
+                beta = device_unpermute(self, beta, perm, self.n_spots)
             else:
                 out = np.empty_like(beta)
                 out[perm] = beta
@@ -588,6 +583,12 @@ def prepare_sharded_bcd(
             "strategy='banded' does not use a ShardPlan; pass plan only "
             "with strategy='halo' (or 'auto', which skips the banded path "
             "when a plan is given)."
+        )
+    if Y_sketch is None and (xty is None or yty is None):
+        raise ValueError(
+            "Y_sketch=None requires both xty and yty precomputed "
+            "(the sharded solvers consume the sketch only through these "
+            "two reductions)."
         )
     n_spots = int(
         Y_sketch.shape[0] if Y_sketch is not None else np.shape(xty)[0]

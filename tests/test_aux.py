@@ -181,6 +181,22 @@ class TestLambdaPath:
                 Y, X, coords, lambdas=np.array([])
             )
 
+    def test_path_resets_stale_dominant(self, synthetic_small):
+        """A previous device-output fit's dominant_ argmax must not
+        survive fit_lambda_path (it would be inconsistent with the new
+        proportions_ — and possibly the wrong length)."""
+        from flashdeconv_tpu import FlashDeconv
+
+        Y, X, coords, _ = synthetic_small
+        model = FlashDeconv(**_FIT_KWARGS)
+        model.dominant_ = np.zeros(3, dtype=np.int64)  # stale stand-in
+        model.fit_lambda_path(Y, X, coords, lambdas=np.array([1.0]))
+        assert model.dominant_ is None
+        dom = model.get_dominant_cell_type()
+        np.testing.assert_array_equal(
+            dom, np.argmax(model.proportions_, axis=1)
+        )
+
 
 class TestReviewRegressions:
     def test_one_column_coords_large_n_no_crash(self):

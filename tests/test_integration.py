@@ -205,6 +205,12 @@ class TestErrorContracts:
         if sparse_output:
             Ybad = Y.tocsr(copy=True)
             Ybad.data[5] = np.nan
+            # small finite negative count: log1p(v * 1e4/lib) is NaN
+            # (library stays positive) — covered by the fused feed's
+            # exact log_cpm repair criterion, not just the non-finite
+            # scan (the marker-targeted engagement assert lives in
+            # test_parallel.py::test_poisoned_counts_objective_finite)
+            Ybad.data[40] = -1.0
         else:
             Ybad = np.asarray(Y, dtype=float).copy()
             Ybad[3, 11] = np.nan

@@ -732,6 +732,80 @@ class TestFitDistributed:
                 a.beta_, b.beta_, rtol=1e-9, atol=1e-12
             )
 
+    def test_poisoned_counts_objective_finite(self, monkeypatch):
+        """fit_distributed's fused path repairs poisoned rows like fit():
+        a NaN count and a log1p-poisoning negative count (-1: small
+        enough to keep the library size positive, so log1p(v*scale) is
+        NaN — a huge negative flips the library sign and stays finite)
+        both leave final_objective finite and bit-identical to the
+        single-process fit on the same poisoned input. The poisoned
+        column is a MARKER gene (selected from X alone), so it is in the
+        selected set no matter what the poison does to the HVG moments;
+        a spy asserts the repair actually engaged in both fits."""
+        import flashdeconv_tpu.core.deconv as dc
+        from flashdeconv_tpu import FlashDeconv
+        from flashdeconv_tpu.utils.genes import select_markers
+
+        Y, X, coords = self._data()
+        marker_idx, _ = select_markers(X, n_markers=10)
+        mset = set(int(g) for g in marker_idx)
+        pos = next(
+            p for p in range(Y.nnz) if int(Y.indices[p]) in mset
+        )
+        Ybad = Y.copy()
+        Ybad.data[pos] = -1.0
+        Ybad.data[3 if 3 != pos else 4] = np.nan
+        # sanity: the exact criterion flags at least the negative row
+        assert dc._zero_poisoned_csr_rows(
+            Ybad, marker_idx, logcpm=True
+        ) is not None
+
+        repairs = []
+        orig = dc._zero_poisoned_csr_rows
+        monkeypatch.setattr(
+            dc, "_zero_poisoned_csr_rows",
+            lambda *a, **k: repairs.append(1) or orig(*a, **k),
+        )
+        kw = dict(
+            sketch_dim=64, n_hvg=100, n_markers_per_type=10, max_iter=25,
+            solver_dtype=np.float64, random_state=0,
+            n_shards=len(jax.devices()),
+        )
+        ref = FlashDeconv(**kw).fit(Ybad, X, coords)
+        assert len(repairs) == 1  # fit()'s fused feed repaired
+        assert np.isfinite(ref.info_["final_objective"])
+        m = FlashDeconv(**kw)
+        m.fit_distributed(Ybad, X, coords)
+        assert len(repairs) == 2  # fit_distributed repaired too
+        assert np.isfinite(m.info_["final_objective"])
+        np.testing.assert_array_equal(m.beta_, ref.beta_)
+        assert m.info_["final_objective"] == pytest.approx(
+            ref.info_["final_objective"], rel=1e-12
+        )
+
+    def test_degenerate_solve_keeps_info_contract(self):
+        """max_iter=0 early return carries the same info keys as every
+        other sharded return (n_shards / halo_width)."""
+        from flashdeconv_tpu.parallel import sharded_bcd_solve
+
+        rng = np.random.RandomState(0)
+        _, X, coords = self._data(n_side=10)
+        A = build_knn_graph(coords, k=4)
+        Ys = rng.rand(coords.shape[0], 8)
+        Xs = rng.rand(X.shape[0], 8)
+        beta, info = sharded_bcd_solve(Ys, Xs, A, coords=coords, max_iter=0)
+        assert info["n_shards"] >= 1 and info["halo_width"] == 0
+        assert beta.shape == (coords.shape[0], X.shape[0])
+
+    def test_prepare_sharded_requires_xty_yty_with_no_sketch(self):
+        from flashdeconv_tpu.parallel import prepare_sharded_bcd
+
+        Y, X, coords = self._data(n_side=10)
+        A = build_knn_graph(coords, k=4)
+        Xs = np.random.RandomState(0).rand(X.shape[0], 8)
+        with pytest.raises(ValueError, match="requires both xty and yty"):
+            prepare_sharded_bcd(None, Xs, A, coords=coords)
+
     def test_fit_distributed_validation(self):
         from flashdeconv_tpu import FlashDeconv
 
