@@ -1075,7 +1075,7 @@ class FlashDeconv:
                 xty_local = Y_sk @ X_sketch.T
                 from flashdeconv_tpu.core.solver import sanitize_yty
 
-                yty_local = sanitize_yty(native.yty_f64(Y_sk), Y_sk)
+                yty_local = sanitize_yty(None, Y_sk)
             xty = multihost.allgather_rows(
                 np.ascontiguousarray(xty_local, dtype=np.float64)
             )

@@ -85,8 +85,16 @@ def sanitize_xty_rows(Xty: np.ndarray) -> Tuple[np.ndarray, int]:
     return Xty, n_bad
 
 
-def sanitize_yty(yty: float, Y_sketch: Optional[np.ndarray]) -> float:
+def sanitize_yty(
+    yty: Optional[float], Y_sketch: Optional[np.ndarray]
+) -> float:
     """Best-effort YtY of the *sanitized* problem (poisoned rows as zeros).
+
+    ONE home for the whole YtY policy shared by every solver driver
+    (``BCDProblem``, both sharded problems, ``fit_distributed``): pass
+    ``yty=None`` to compute the Frobenius constant from ``Y_sketch``
+    (:func:`flashdeconv_tpu.native.yty_f64`), or a precomputed value to
+    sanitize only.
 
     The row guard (:func:`sanitize_xty_rows` / the device-side equivalent)
     makes the SOLVE treat a poisoned spot as a zero observation, but the
@@ -97,19 +105,41 @@ def sanitize_yty(yty: float, Y_sketch: Optional[np.ndarray]) -> float:
     and the sketch rows are available, recompute it with the non-finite
     rows zeroed — the same shape and block-ordered reduction as the clean
     path, so the result is bit-identical to solving the explicitly-zeroed
-    input. Exact pass-through for finite ``yty`` (the only case parity
-    contracts cover); with no sketch to attribute against (precomputed
-    ``yty`` + ``Y_sketch=None``) the caller must repair upstream (see
+    input. The degraded re-reduction avoids a second full sketch in
+    memory: bad rows are found with a chunked scan (no (N, d) boolean
+    temp) and zeroed IN PLACE with save/restore when the buffer is
+    writable (full copy only as the read-only fallback). Exact
+    pass-through for finite ``yty`` (the only case parity contracts
+    cover); with no sketch to attribute against (precomputed ``yty`` +
+    ``Y_sketch=None``) the caller must repair upstream (see
     ``FlashDeconv._fused_xty_feed``'s poisoned-row re-run).
     """
+    from flashdeconv_tpu import native
+
+    if yty is None:
+        yty = native.yty_f64(Y_sketch)
     if np.isfinite(yty) or Y_sketch is None:
         return float(yty)
     Y_sketch = np.asarray(Y_sketch)
-    bad = ~np.isfinite(Y_sketch).all(axis=1)
-    if not bad.any():
+    n, d = Y_sketch.shape
+    step = max(1, (1 << 22) // max(d, 1))  # ~4M elements per scan chunk
+    bad_parts = [
+        np.flatnonzero(~np.isfinite(Y_sketch[a: a + step]).all(axis=1)) + a
+        for a in range(0, n, step)
+    ]
+    bad = (
+        np.concatenate(bad_parts) if bad_parts
+        else np.zeros(0, dtype=np.int64)
+    )
+    if bad.size == 0:
         return float(yty)  # reduction overflow, not row poison: keep honest
-    from flashdeconv_tpu import native
-
+    if Y_sketch.flags.writeable:
+        saved = Y_sketch[bad].copy()
+        try:
+            Y_sketch[bad] = 0.0
+            return native.yty_f64(Y_sketch)
+        finally:
+            Y_sketch[bad] = saved
     Yz = np.array(Y_sketch, copy=True)
     Yz[bad] = 0.0
     return native.yty_f64(Yz)
@@ -545,12 +575,7 @@ class BCDProblem:
         # reduction takes over at atlas scale (different last-ULP
         # association than einsum — it only feeds the objective constant);
         # small problems keep einsum's exact sequential accumulation.
-        if yty is not None:
-            self.YtY = sanitize_yty(float(yty), Y_sketch)
-        else:
-            from flashdeconv_tpu import native
-
-            self.YtY = sanitize_yty(native.yty_f64(Y_sketch), Y_sketch)
+        self.YtY = sanitize_yty(yty, Y_sketch)
         self.YtY_d = jnp.asarray(self.YtY, dtype=self.dtype)
 
     @property

@@ -41,7 +41,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from flashdeconv_tpu import native
 from flashdeconv_tpu.parallel._runner import (
     put_addressable,
     run_prepared_solve,
@@ -400,10 +399,7 @@ class GspmdBandedProblem:
         )
 
         XtX = precompute_gram_matrix(np.asarray(X_sketch, np.float64))
-        YtY = sanitize_yty(
-            float(yty) if yty is not None else native.yty_f64(Y_sketch),
-            Y_sketch,
-        )
+        YtY = sanitize_yty(yty, Y_sketch)
         self.rho_scale = float(np.mean(np.diag(XtX)))
 
         if xty is not None:

@@ -33,7 +33,6 @@ from flashdeconv_tpu.ops.bcd import (
     neighbor_sum,
     sweep_stats,
 )
-from flashdeconv_tpu import native
 from flashdeconv_tpu.parallel._runner import (
     device_unpermute,
     put_addressable,
@@ -362,10 +361,7 @@ class HaloShardedProblem:
         )
 
         XtX64 = precompute_gram_matrix(np.asarray(X_sketch, np.float64))
-        YtY = sanitize_yty(
-            float(yty) if yty is not None else native.yty_f64(Y_sketch),
-            Y_sketch,
-        )
+        YtY = sanitize_yty(yty, Y_sketch)
         self.rho_scale = float(np.mean(np.diag(XtX64)))
 
         if xty is not None:

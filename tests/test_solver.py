@@ -340,6 +340,28 @@ class TestNonFiniteGuards:
             normalize_proportions(beta0)[7], np.full(K, 1.0 / K)
         )
 
+    def test_sanitize_yty_restores_input(self, simple_problem):
+        """The degraded re-reduction zeroes bad rows IN PLACE with
+        save/restore (no second full sketch in memory) — the caller's
+        buffer must come back byte-identical; read-only buffers take the
+        copy fallback."""
+        from flashdeconv_tpu.core.solver import sanitize_yty
+
+        Y, _, _, _ = simple_problem
+        Ybad = np.asarray(Y, dtype=np.float64).copy()
+        Ybad[4, 2] = np.nan
+        snapshot = Ybad.copy()
+        got = sanitize_yty(None, Ybad)
+        Yzero = snapshot.copy()
+        Yzero[4] = 0.0
+        from flashdeconv_tpu import native
+
+        assert got == native.yty_f64(Yzero)
+        np.testing.assert_array_equal(Ybad, snapshot)  # restored, NaN and all
+        # read-only input: copy fallback, same value
+        Ybad.setflags(write=False)
+        assert sanitize_yty(None, Ybad) == got
+
     def test_n_nonfinite_spots_property(self, simple_problem):
         from flashdeconv_tpu.core.solver import prepare_bcd
 
