@@ -180,3 +180,48 @@ def test_banded_solve_bitwise_deterministic():
                             dtype=np.float64)
         digests.add(hashlib.sha256(np.ascontiguousarray(beta)).hexdigest())
     assert len(digests) == 1
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_cross_tier_fuzz(seed):
+    """Randomized-config agreement across THREE independent solve tiers:
+    banded (grid order), gather (scrambled — banding rejected, no coords
+    hint), and the 4-shard halo solve. K, sketch dim, lambda/rho, and
+    graph flavor (kNN grid vs radius-with-ties) all drawn per seed, so
+    odd K / non-multiple dims / tie-broken adjacencies get standing
+    coverage beyond the hand-picked parity cases above."""
+    from flashdeconv_tpu.core.solver import bcd_solve
+    from flashdeconv_tpu.parallel import sharded_bcd_solve
+    from flashdeconv_tpu.utils.graph import build_radius_graph
+
+    rng = np.random.RandomState(seed)
+    side = int(rng.choice([93, 96]))  # >= 8192 spots: banded path engages
+    k_types = int(rng.choice([1, 3, 7, 13]))
+    d = int(rng.choice([17, 32, 48]))
+    lam = float(10.0 ** rng.uniform(-1.5, 0.7))
+    rho = float(10.0 ** rng.uniform(-2.5, -1.5))
+    A, coords = _grid_graph(side=side)
+    if seed % 2:  # radius graph: degree ties + denser rows
+        A = build_radius_graph(coords, radius=1.5)
+    n = A.shape[0]
+    Xs = rng.randn(k_types, d)
+    Ys = np.abs(rng.randn(n, k_types)) @ Xs + 0.05 * rng.randn(n, d)
+    kw = dict(lambda_=lam, rho=rho, max_iter=15, dtype=np.float64)
+
+    beta_banded, info_b = bcd_solve(Ys, Xs, A, **kw)
+    assert np.isfinite(beta_banded).all()
+
+    perm = rng.permutation(n)
+    inv = np.empty(n, dtype=int)
+    inv[perm] = np.arange(n)
+    beta_gather, info_g = bcd_solve(
+        Ys[perm], Xs, A.tocsr()[perm][:, perm], **kw
+    )
+    np.testing.assert_allclose(beta_gather[inv], beta_banded, atol=1e-9)
+    assert info_b["n_iterations"] == info_g["n_iterations"]
+
+    beta_sh, info_sh = sharded_bcd_solve(
+        Ys, Xs, A, coords=coords, n_shards=4, strategy="halo", **kw
+    )
+    np.testing.assert_allclose(beta_sh, beta_banded, atol=1e-8)
+    assert info_sh["n_iterations"] == info_b["n_iterations"]
