@@ -122,10 +122,15 @@ def mesh_bench(problem, Y_sketch, X_sketch, A, coords, n, solve_kwargs,
             file=sys.stderr,
         )
 
-    # On-device parity vs the single-device solve: identical sweep count
-    # and f32-rounding-level beta agreement (scalar fetch only).
+    # Parity vs the single-device solve: identical sweep count and
+    # f32-rounding-level beta agreement. Fetch both to host before
+    # subtracting — an eager op between a mesh-sharded array and a
+    # single-device-committed one raises "incompatible devices" the
+    # moment the mesh spans more than one chip.
     beta_ref_d, _ = problem.solve(return_device=True, **solve_kwargs)
-    maxdiff = float(jnp.max(jnp.abs(beta_d - beta_ref_d)))
+    maxdiff = float(
+        np.max(np.abs(np.asarray(beta_d) - np.asarray(beta_ref_d)))
+    )
     assert info["n_iterations"] == info_ref["n_iterations"]
     assert maxdiff < 1e-5, maxdiff
     assert info["converged"]
@@ -162,14 +167,26 @@ def main() -> None:
 
     from flashdeconv_tpu.utils.hostmem import reserve_host_arena_async
 
-    # Arena pre-fault in the background (this VM commits fresh pages at
-    # only ~0.33 GB/s): problem generation + graph build run concurrently
-    # with the faulting, and only prepare — the first stage whose big
-    # temporaries should recycle arena pages — waits for it.
-    t_arena = time.perf_counter()
-    arena = reserve_host_arena_async(10)
+    if backend == "tpu":
+        n = N_SPOTS
+    else:
+        # CPU fallback stays quick; honor a SMALLER override but never
+        # balloon past the 100k cap (and say so when clamping).
+        n = min(N_SPOTS, 100_000)
+        if n != N_SPOTS:
+            print(
+                f"# FLASHDECONV_BENCH_SPOTS={N_SPOTS} clamped to {n} on "
+                f"the {backend} fallback", file=sys.stderr,
+            )
 
-    n = N_SPOTS if backend == "tpu" else 100_000  # CPU fallback stays quick
+    # Arena pre-fault in the background (this VM commits fresh pages at
+    # only ~0.33 GB/s), sized to the problem (~10 GB at the 1M headline):
+    # problem generation + graph build run concurrently with the
+    # faulting, and only prepare — the first stage whose big temporaries
+    # should recycle arena pages — waits for it.
+    t_arena = time.perf_counter()
+    arena = reserve_host_arena_async(min(10.0, max(0.5, 10.0 * n / 1e6)))
+
     print(f"# generating {n}-spot problem...", file=sys.stderr)
     Y_sketch, X_sketch, coords = make_problem(n, N_TYPES, SKETCH_DIM)
 
@@ -235,35 +252,22 @@ def main() -> None:
     # (environment honesty). Round-4 lesson: measure the sweeps inside an
     # on-device loop, not as a dispatch chain (protocol note below).
     sweep_ms = sweep_ms_median = None
-    if getattr(problem, "use_fused_banded", False):
-        import jax.numpy as jnp
-
-        from flashdeconv_tpu.ops.bcd import gs_inv_den, to_fused_carry
-
-        lam = jnp.float32(solve_kwargs["lambda_"])
-        rho = jnp.float32(solve_kwargs["rho"] * problem.mean_diag)
-        carry = to_fused_carry(
-            jnp.zeros((problem.n_solve, N_TYPES), jnp.float32),
-            problem.h_blocks, problem.fused_block,
-        )
-        offs, hb, blk = problem.offsets, problem.h_blocks, problem.fused_block
-        inv_den_t = gs_inv_den(problem.XtX_d, problem.nnb_d, lam)
-        touched, slots = problem.rest_touched_d, problem.rest_slots_d
-
+    if getattr(problem, "use_fused_banded", False) and not mesh_mode:
+        # (--mesh emits its own JSON without the sweep fields; running
+        # the 12 windows there would burn minutes of shared-TPU time for
+        # a number that never leaves stderr.)
         # Timing discipline (round-4 lesson, see docs/performance_guide.md
         # "Measuring the sweep" and utils/timing.fused_sweep_timer — the
         # ONE home of the on-device fori-difference protocol shared with
         # benchmarks/largek_probe.py and benchmarks/sweep_ablation.py).
         from flashdeconv_tpu.utils.timing import (
             fori_difference_windows,
-            fused_sweep_timer,
+            fused_sweep_timer_for,
         )
 
         n_short, n_long = 5, 30
-        timed_loop = fused_sweep_timer(
-            carry, problem.Xty_t_d, problem.XtX_d, problem.masks_d,
-            inv_den_t, lam, rho, offs, hb, blk,
-            rest_touched=touched, rest_slots=slots,
+        timed_loop = fused_sweep_timer_for(
+            problem, solve_kwargs["lambda_"], solve_kwargs["rho"]
         )
         windows = fori_difference_windows(
             timed_loop, n_short=n_short, n_long=n_long, windows=12

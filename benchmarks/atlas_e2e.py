@@ -215,10 +215,15 @@ def main() -> None:
               file=sys.stderr)
         if args.cache:
             os.makedirs(args.cache, exist_ok=True)
-            for n, arr in zip(names, (Y.data, Y.indices, Y.indptr, X, coords)):
-                np.save(os.path.join(args.cache, n + ".npy"), arr)
+            # Sidecar FIRST: a run killed mid-save then leaves either a
+            # sidecar with missing .npy files (cache miss, regenerates)
+            # or a truncated .npy (np.load raises loudly) — never a
+            # complete-looking cache that only the weak pre-sidecar
+            # shape check would (wrongly) accept.
             with open(os.path.join(args.cache, "params.json"), "w") as f:
                 json.dump(gen_params, f)
+            for n, arr in zip(names, (Y.data, Y.indices, Y.indptr, X, coords)):
+                np.save(os.path.join(args.cache, n + ".npy"), arr)
 
     # Warm-up: on shared/remote-attached accelerators the process's FIRST
     # sizeable execution can wait minutes for a scheduling slot; absorb that

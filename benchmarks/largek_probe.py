@@ -95,29 +95,17 @@ def main() -> None:
 
         sweep_ms = None
         if problem.use_fused_banded:
-            from flashdeconv_tpu.ops.bcd import gs_inv_den, to_fused_carry
             from flashdeconv_tpu.utils.timing import (
                 fori_difference_windows,
-                fused_sweep_timer,
+                fused_sweep_timer_for,
             )
-
-            lam = jnp.float32(kwargs["lambda_"])
-            rho = jnp.float32(kwargs["rho"] * problem.mean_diag)
-            carry = to_fused_carry(
-                jnp.zeros((problem.n_solve, K), jnp.float32),
-                problem.h_blocks, problem.fused_block,
-            )
-            inv_den_t = gs_inv_den(problem.XtX_d, problem.nnb_d, lam)
 
             # On-device fori difference — the shared protocol home
-            # (utils/timing.fused_sweep_timer; rationale in
+            # (utils/timing.fused_sweep_timer_for wires the production
+            # operands from the prepared problem; rationale in
             # docs/performance_guide.md "Measuring the sweep").
-            timed_loop = fused_sweep_timer(
-                carry, problem.Xty_t_d, problem.XtX_d, problem.masks_d,
-                inv_den_t, lam, rho, problem.offsets, problem.h_blocks,
-                problem.fused_block,
-                rest_touched=problem.rest_touched_d,
-                rest_slots=problem.rest_slots_d,
+            timed_loop = fused_sweep_timer_for(
+                problem, kwargs["lambda_"], kwargs["rho"]
             )
             windows = fori_difference_windows(
                 timed_loop, n_short=3, n_long=13, windows=6

@@ -145,6 +145,14 @@ def run_dataset(name, ddir):
 
 
 def main():
+    # Honor an explicit JAX_PLATFORMS=cpu request: this container's axon
+    # PJRT plugin prepends itself over the env var (sitecustomize), so
+    # without this a "cpu" run lands on the shared remote TPU — whose
+    # first-execution scheduling stall can exceed any sane test timeout.
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", required=True,
                     help="directory of converted Spotless datasets "

@@ -29,6 +29,7 @@ from __future__ import annotations
 import ctypes
 import ctypes.util
 import sys
+import threading
 
 import numpy as np
 
@@ -38,6 +39,11 @@ _M_MMAP_MAX = -4
 
 _reserved_bytes = 0
 _inflight = None  # ArenaReservation of a background fault still running
+# Guards the check-then-act on the two globals above: two threads racing
+# reserve_* could otherwise both see _inflight None and double-allocate
+# arenas (peak RSS = 2 arenas + temporaries — the exact overcommit this
+# module exists to prevent).
+_lock = threading.Lock()
 
 # Dead end, documented so it is not retried: transparent hugepages do NOT
 # fix the fault cost on this VM class. THP is in `madvise` mode and
@@ -86,21 +92,25 @@ def reserve_host_arena(gigabytes: float) -> bool:
     """
     global _reserved_bytes, _inflight
     n = int(gigabytes * (1 << 30))
-    if _inflight is not None:
-        # A background fault is (or was) running for some earlier request:
-        # join it before trusting _reserved_bytes — returning early while
-        # the faulting thread still holds its arena would let the caller's
-        # multi-GB temporaries allocate CONCURRENTLY with the held arena
-        # (no page recycling, peak RSS = arena + temporaries).
-        _inflight.wait()
-        _inflight = None
-    if n <= _reserved_bytes:
+    with _lock:
+        if _inflight is not None:
+            # A background fault is (or was) running for some earlier
+            # request: join it before trusting _reserved_bytes —
+            # returning early while the faulting thread still holds its
+            # arena would let the caller's multi-GB temporaries allocate
+            # CONCURRENTLY with the held arena (no page recycling, peak
+            # RSS = arena + temporaries). (The fault thread never takes
+            # _lock, so waiting under it cannot deadlock; a concurrent
+            # reserver blocking here is the intended serialization.)
+            _inflight.wait()
+            _inflight = None
+        if n <= _reserved_bytes:
+            return True
+        if not _enable_brk_retention():
+            return False
+        _fault_and_release([np.empty(n, dtype=np.uint8)])
+        _reserved_bytes = n
         return True
-    if not _enable_brk_retention():
-        return False
-    _fault_and_release([np.empty(n, dtype=np.uint8)])
-    _reserved_bytes = n
-    return True
 
 
 class ArenaReservation:
@@ -158,29 +168,29 @@ def reserve_host_arena_async(gigabytes: float) -> ArenaReservation:
     the spatial graph or compiling device programs instead of blocking
     on it (round-4 verdict item 8).
     """
-    import threading
-
     global _reserved_bytes, _inflight
     n = int(gigabytes * (1 << 30))
-    if _inflight is not None and not _inflight.done:
+    with _lock:
+        if _inflight is not None and not _inflight.done:
+            if n <= _reserved_bytes:
+                # The running fault already covers this size: hand back
+                # the SAME handle so wait()/done reflect the in-flight
+                # pass (a fresh completed handle would let the caller
+                # allocate while the faulting thread still holds the
+                # arena).
+                return _inflight
+            _inflight.wait()  # need a bigger arena: finish the old first
+        _inflight = None
         if n <= _reserved_bytes:
-            # The running fault already covers this size: hand back the
-            # SAME handle so wait()/done reflect the in-flight pass (a
-            # fresh completed handle would let the caller allocate while
-            # the faulting thread still holds the arena).
-            return _inflight
-        _inflight.wait()  # need a bigger arena: finish the old one first
-    _inflight = None
-    if n <= _reserved_bytes:
-        return ArenaReservation(None, True)
-    if not _enable_brk_retention():
-        return ArenaReservation(None, False)
-    arena_box = [np.empty(n, dtype=np.uint8)]  # caller-thread malloc
-    _reserved_bytes = n
-    t = threading.Thread(
-        target=_fault_and_release, args=(arena_box,),
-        name="flashdeconv-arena", daemon=True,
-    )
-    t.start()
-    _inflight = ArenaReservation(t, True)
-    return _inflight
+            return ArenaReservation(None, True)
+        if not _enable_brk_retention():
+            return ArenaReservation(None, False)
+        arena_box = [np.empty(n, dtype=np.uint8)]  # caller-thread malloc
+        _reserved_bytes = n
+        t = threading.Thread(
+            target=_fault_and_release, args=(arena_box,),
+            name="flashdeconv-arena", daemon=True,
+        )
+        t.start()
+        _inflight = ArenaReservation(t, True)
+        return _inflight

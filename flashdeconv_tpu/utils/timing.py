@@ -123,20 +123,68 @@ def fori_difference_windows(timed, n_short: int = 5, n_long: int = 30,
     """Run the short/long fori-difference protocol; per-sweep seconds.
 
     Warms/compiles both loop lengths first, then alternates short and
-    long timed runs ``windows`` times, returning each window's
-    ``(t_long - t_short) / (n_long - n_short)`` (clamped at 0). Report
-    the min AND the median: if they disagree by >15% the tunnel/scheduler
-    is noisy — rerun. Sanity-check every reading against the streaming
-    floor (bytes-per-sweep / HBM bandwidth) before trusting it.
+    long timed runs, returning ``windows`` POSITIVE per-sweep
+    differences ``(t_long - t_short) / (n_long - n_short)``. A tunnel
+    stall landing on the short run makes a window non-positive; such
+    windows are DISCARDED and resampled (clamping them to 0 would let
+    ``min(windows)`` report a physically-impossible 0.0 as kernel
+    truth), up to a 2x retry budget — if nothing positive survives even
+    that, the tunnel is wedged and this raises rather than fabricating
+    a number. Report the min AND the median: if they disagree by >15%
+    the tunnel/scheduler is noisy — rerun. Sanity-check every reading
+    against the streaming floor (bytes-per-sweep / HBM bandwidth)
+    before trusting it.
     """
     timed(n_short)
     timed(n_long)
     out = []
-    for _ in range(windows):
+    attempts = 0
+    max_attempts = 2 * windows + 4
+    while len(out) < windows and attempts < max_attempts:
+        attempts += 1
         t_short = timed(n_short)
         t_long = timed(n_long)
-        out.append(max(t_long - t_short, 0.0) / (n_long - n_short))
+        diff = (t_long - t_short) / (n_long - n_short)
+        if diff > 0.0:
+            out.append(diff)
+    if not out:
+        raise RuntimeError(
+            f"all {attempts} timing windows were non-positive — the "
+            "device/tunnel is stalled; rerun the measurement"
+        )
     return out
+
+
+def fused_sweep_timer_for(problem, lambda_: float, rho: float):
+    """:func:`fused_sweep_timer` wired from a prepared ``BCDProblem``.
+
+    Builds the zero fused carry, the per-solve ``gs_inv_den`` stream and
+    the scaled rho exactly as ``BCDProblem.solve`` does, so the timed
+    loop is the production sweep of THAT problem — the benchmarks'
+    shared operand-prep (bench.py / largek_probe.py) lives here so a
+    carry-layout or denominator-convention change cannot drift between
+    them. Requires ``problem.use_fused_banded``.
+    """
+    import jax.numpy as jnp
+
+    from flashdeconv_tpu.ops.bcd import gs_inv_den, to_fused_carry
+
+    if not getattr(problem, "use_fused_banded", False):
+        raise ValueError("problem does not run the fused banded kernel")
+    lam = jnp.float32(lambda_)
+    rho_eff = jnp.float32(rho * problem.mean_diag)
+    carry = to_fused_carry(
+        jnp.zeros((problem.n_solve, problem.n_types), jnp.float32),
+        problem.h_blocks, problem.fused_block,
+    )
+    inv_den_t = gs_inv_den(problem.XtX_d, problem.nnb_d, lam)
+    return fused_sweep_timer(
+        carry, problem.Xty_t_d, problem.XtX_d, problem.masks_d,
+        inv_den_t, lam, rho_eff, problem.offsets, problem.h_blocks,
+        problem.fused_block,
+        rest_touched=problem.rest_touched_d,
+        rest_slots=problem.rest_slots_d,
+    )
 
 
 @contextlib.contextmanager
