@@ -9,12 +9,21 @@ environment:
   (identical per-row work, warm pages in both cases, measured in ONE
   process back to back), so any per-nnz rate difference is intrinsic to
   scale (cache/TLB/NUMA), not workload;
+- identical int64 index width in BOTH runs (pinned via direct attribute
+  assignment — the scipy constructor would silently downcast the small
+  case to int32 while the 6B-nnz indptr forces the big case to int64,
+  confounding the per-nnz comparison with a 4 B/nnz stream difference
+  and paying a hidden 48 GiB upcast copy). Production at 10M spots runs
+  the i64 kernels too (scipy canonicalizes by indptr contents); the 1M
+  production case runs i32 and streams 4 B/nnz less — that difference
+  is real but is NOT what this probe measures;
 - a memory-bandwidth probe interleaved between runs, so environment
   drift (this VM's 2-5x swings) is visible in the same log;
 - both fused passes (Xty contraction and the gene-selection moments).
 
 Run on the host (no TPU involvement): ``python benchmarks/hostpass_profile.py``.
-Budget ~60 GB RAM and several minutes for the 10M tiling.
+Budget ~75 GiB RAM (24 GiB f32 data + 48 GiB int64 indices at 6B nnz)
+and several minutes for the 10M tiling.
 """
 
 from __future__ import annotations
@@ -49,7 +58,13 @@ def run(tag, native, indptr, indices, data, gene_idx, buckets, weights,
     from scipy import sparse
 
     n_rows = indptr.size - 1
-    Y = sparse.csr_matrix((data, indices, indptr), shape=(n_rows, G))
+    # Direct attribute assignment: the (data, indices, indptr)
+    # constructor canonicalizes the index dtype by CONTENTS (int32 when
+    # everything fits), which would give the two runs different index
+    # widths — see the module docstring.
+    Y = sparse.csr_matrix((n_rows, G), dtype=data.dtype)
+    Y.data, Y.indices, Y.indptr = data, indices, indptr
+    assert Y.indices.dtype == np.int64 and Y.indptr.dtype == np.int64
     times = []
     for rep in range(REPS):
         t0 = time.perf_counter()
@@ -96,7 +111,7 @@ def main():
     # target new_col is L2-resident either way, and the scan/compress is
     # branchless, so regularity does not flatter the kernel.
     tmpl = np.sort(
-        rng.choice(G, size=NNZ_ROW, replace=False).astype(np.int32)
+        rng.choice(G, size=NNZ_ROW, replace=False).astype(np.int64)
     )
     gene_idx = np.sort(rng.choice(G, size=G_SEL, replace=False))
     buckets = rng.integers(0, D, size=G_SEL).astype(np.int32)
@@ -125,7 +140,8 @@ def main():
     n_big = N_SMALL * TILE
     print(f"# tiling to {n_big} rows "
           f"({n_big * NNZ_ROW / 1e9:.1f}B nnz, "
-          f"{n_big * NNZ_ROW * 8 / 2**30:.0f} GiB)...", file=sys.stderr)
+          f"{n_big * NNZ_ROW * 12 / 2**30:.0f} GiB f32 data + i64 "
+          "indices)...", file=sys.stderr)
     t0 = time.perf_counter()
     indices_b = np.tile(indices_s, TILE)
     data_b = np.tile(data_s, TILE)

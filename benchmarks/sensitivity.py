@@ -36,6 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from spotless_like import (  # noqa: E402
     DESIGNS,
     compose_spots,
+    design_type_freq,
     reference_from_cells,
     simulate_cells,
 )
@@ -60,8 +61,12 @@ def make_dataset(design_name, seed, n_spots, n_genes=4000,
     pattern = cfg.pop("pattern")
     target_depth = cfg.pop("target_depth", None)
     cells_per_spot = cfg.pop("cells_per_spot", (2, 12))
-    cfg.pop("rare_frac", None)
-    cfg.pop("dominant_frac", None)
+    # Same skewed-frequency rules as spotless_like.run_dataset (shared
+    # helper) — silently dropping these would produce a uniform mixture
+    # mislabeled as a rare/dominant design if the grid is ever widened.
+    type_freq = design_type_freq(
+        n_types, cfg.pop("rare_frac", None), cfg.pop("dominant_frac", None)
+    )
 
     rng = np.random.RandomState(seed)
     counts, labels = simulate_cells(n_types, n_genes, cells_per_type, rng)
@@ -69,7 +74,7 @@ def make_dataset(design_name, seed, n_spots, n_genes=4000,
     Y, coords, props = compose_spots(
         counts[:half], labels[:half], n_types, n_spots, rng,
         cells_per_spot=cells_per_spot, pattern=pattern,
-        type_freq=np.ones(n_types) / n_types, target_depth=target_depth,
+        type_freq=type_freq, target_depth=target_depth,
     )
     X = reference_from_cells(counts[half:], labels[half:], n_types)
     return Y, X, coords, props

@@ -140,6 +140,21 @@ DESIGNS = {
 }
 
 
+def design_type_freq(n_types, rare_frac=None, dominant_frac=None):
+    """Per-type sampling frequencies for a design: uniform, or type 0
+    forced rare/dominant — ONE home shared with benchmarks/sensitivity.py
+    so the rare/dominant regimes cannot silently diverge between the
+    accuracy and sensitivity harnesses."""
+    type_freq = np.ones(n_types) / n_types
+    if rare_frac is not None:
+        type_freq = np.full(n_types, (1 - rare_frac) / (n_types - 1))
+        type_freq[0] = rare_frac
+    if dominant_frac is not None:
+        type_freq = np.full(n_types, (1 - dominant_frac) / (n_types - 1))
+        type_freq[0] = dominant_frac
+    return type_freq
+
+
 def _reference_model_cls():
     """The reference implementation's FlashDeconv (numba stubbed to pure
     Python), for same-data head-to-head accuracy comparison."""
@@ -175,15 +190,7 @@ def run_dataset(design_name, seed, n_spots=600, n_genes=5000,
     gen_counts, gen_labels = counts[:half], labels[:half]
     ref_counts, ref_labels = counts[half:], labels[half:]
 
-    type_freq = np.ones(n_types) / n_types
-    if rare_frac is not None:
-        type_freq = np.full(n_types, (1 - rare_frac) / (n_types - 1))
-        type_freq[0] = rare_frac
-    if dominant_frac is not None:
-        type_freq = np.full(
-            n_types, (1 - dominant_frac) / (n_types - 1)
-        )
-        type_freq[0] = dominant_frac
+    type_freq = design_type_freq(n_types, rare_frac, dominant_frac)
 
     Y, coords, props = compose_spots(
         gen_counts, gen_labels, n_types, n_spots, rng,

@@ -98,8 +98,13 @@ def build_operands(n_spots: int, n_types: int, seed: int = 0):
                        jnp.float32(0.1))
     )
 
-    # Capped decomposition (the production path: sparse bands spilled to
-    # the compact rest-stream).
+    # Capped decomposition — the RESCUE path, not the production default
+    # (production never caps on a fully banded grid; cap_sparse_bands
+    # engages only when direct planning fails — see BCDProblem). Timed
+    # here as the A/B that justified that decision. The rest stream adds
+    # a (K, block) input the bare plan's VMEM accounting didn't charge:
+    # verify the capped config still fits (rest=True) and drop the
+    # variant when it doesn't, rather than dying in Mosaic.
     from flashdeconv_tpu.utils.graph import (
         adjacency_to_padded,
         cap_sparse_bands,
@@ -111,13 +116,19 @@ def build_operands(n_spots: int, n_types: int, seed: int = 0):
     masks_c = np.concatenate(
         [masks_c, np.zeros((masks_c.shape[0], pad), np.float32)], axis=1
     )
-    if rest_c.nnz:
+    capped_fits = bcd.fused_banded_vmem_bytes(
+        n_types, int(off_c.size), h, block, rest=rest_c.nnz > 0
+    ) <= bcd.FUSED_VMEM_BUDGET_BYTES
+    if rest_c.nnz and capped_fits:
         rest_tbl, _ = adjacency_to_padded(rest_c)
         touched_np, slots_np = bcd.build_fused_rest_tables(
             rest_tbl, n_spots, h, block
         )
     else:
         touched_np = slots_np = None
+        if not capped_fits:
+            print("# capped variant exceeds the VMEM gate at this "
+                  "(K, block): skipping its rest stream", file=sys.stderr)
 
     carry = np.zeros((n_types, n_pad + 2 * h * block), np.float32)
     carry[:, h * block : h * block + n_pad] = beta0.T
@@ -134,12 +145,16 @@ def build_operands(n_spots: int, n_types: int, seed: int = 0):
                          if touched_np is not None else None),
         "rest_slots": (jnp.asarray(slots_np)
                        if slots_np is not None else None),
+        # False when the capped config (its rest stream charged) exceeds
+        # the VMEM gate — timing it without the rest edges would measure
+        # a DIFFERENT graph, so main() skips the variant instead.
+        "capped_ok": bool(capped_fits or rest_c.nnz == 0),
         "h": h,
         "block": block,
     }
 
 
-def make_timer(ops, offsets, h, block, tag, capped=False):
+def make_timer(ops, offsets, h, block, capped=False):
     """Timed n-sweep loop for one variant via the shared protocol home
     (utils/timing.fused_sweep_timer — returns a FRESH jitted closure per
     call, so jit caching cannot alias two variants' traces and a swapped
@@ -168,8 +183,7 @@ def run_variant(tag, ops, gs_fn=None, offsets=None, capped=False):
     try:
         from flashdeconv_tpu.utils.timing import fori_difference_windows
 
-        timed = make_timer(ops, offs, ops["h"], ops["block"], tag,
-                           capped=capped)
+        timed = make_timer(ops, offs, ops["h"], ops["block"], capped=capped)
         # compile/warm + windows all inside the gs_fn swap (tracing
         # happens on the first timed call)
         windows = fori_difference_windows(
@@ -217,7 +231,12 @@ def main():
                "n_bands": len(ops["offsets"]), "n_spots": N_SPOTS,
                "n_types": N_TYPES}
     results["full"] = run_variant("full", ops)
-    results["full_capped"] = run_variant("full_capped", ops, capped=True)
+    if ops["capped_ok"]:
+        results["full_capped"] = run_variant("full_capped", ops,
+                                             capped=True)
+    else:
+        print("# full_capped skipped (rest stream exceeds the VMEM gate "
+              "at this K/block)", file=sys.stderr)
     results["gs_noop"] = run_variant("gs_noop", ops, gs_fn=gs_noop)
     results["gs_prologue"] = run_variant("gs_prologue", ops,
                                          gs_fn=gs_prologue_only)

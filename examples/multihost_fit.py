@@ -6,17 +6,22 @@ cannot run at all (it is single-process by construction, reference
 process of a ``jax.distributed`` job loads only its contiguous block of
 global spot rows, and the full count matrix never exists on any host.
 
-Two ways to run it:
+Two ways to use it:
 
-1. **On a TPU pod slice** — run THIS script unchanged on every host
-   (e.g. via ``gcloud compute tpus tpu-vm ssh --worker=all``). JAX
-   auto-discovers the pod topology; each host should load its own slice
-   (here each host synthesizes it deterministically).
+1. **Locally, as a self-test** (what a bare invocation runs) —
+   ``python examples/multihost_fit.py`` forks itself into a 2-process
+   Gloo job over localhost with 4 virtual CPU devices per process
+   (8 global), runs the distributed fit, and checks the result against a
+   single-process ``fit`` on the full data.
 
-2. **Locally, as a self-test** — ``python examples/multihost_fit.py``
-   forks itself into a 2-process Gloo job over localhost with 4 virtual
-   CPU devices per process (8 global), runs the distributed fit, and
-   checks the result against a single-process ``fit`` on the full data.
+2. **On a TPU pod slice** — adapt the body of :func:`worker` into your
+   per-host script: call ``multihost.initialize()`` with NO arguments
+   (JAX auto-discovers the pod topology; the explicit
+   coordinator/process arguments and the CPU-platform override below
+   exist only for the localhost self-test), compute this host's row
+   slice with ``process_row_offsets``, and call ``fit_distributed`` with
+   the local rows. Everything from the slice computation down is
+   identical on a pod. See docs/deployment.md for the full pod recipe.
 
 The result is bit-identical to single-process ``fit`` on the concatenated
 inputs for the canonical CSR + log_cpm pipeline (see
@@ -104,30 +109,40 @@ def main() -> None:
     import numpy as np
 
     n_processes = 2
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = str(s.getsockname()[1])
-
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env["JAX_PLATFORMS"] = "cpu"
 
-    procs = [
-        subprocess.Popen(
-            [sys.executable, __file__, str(pid), str(n_processes), port],
-            env=env,
-        )
-        for pid in range(n_processes)
-    ]
-    try:
-        for p in procs:
-            p.wait(timeout=300)
-    finally:
-        # If one worker died inside the Gloo barrier, its peer would hang;
-        # kill stragglers so the demo always terminates.
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
+    # Ephemeral-port discovery (bind-then-close) races with other
+    # processes claiming the port before the Gloo coordinator binds it —
+    # retry the whole job once on failure rather than hanging a user on
+    # an intermittent flake.
+    for attempt in (1, 2):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = str(s.getsockname()[1])
+
+        procs = [
+            subprocess.Popen(
+                [sys.executable, __file__, str(pid), str(n_processes), port],
+                env=env,
+            )
+            for pid in range(n_processes)
+        ]
+        try:
+            for p in procs:
+                p.wait(timeout=300)
+        finally:
+            # If one worker died inside the Gloo barrier, its peer would
+            # hang; kill stragglers so the demo always terminates.
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        if all(p.returncode == 0 for p in procs):
+            break
+        if attempt == 1:
+            print("# worker failed (possible port race) — retrying once",
+                  file=sys.stderr)
     assert all(p.returncode == 0 for p in procs), "worker failed"
 
     # Cross-check against a plain single-process fit on the full data.

@@ -4,9 +4,11 @@ Runs the same deconvolution problem single-device and spot-sharded over all
 visible devices, verifying the results agree — the core contract of the
 scaling layer. Works on real multi-chip hardware or a virtual CPU mesh:
 
-    # virtual 8-device mesh on CPU:
-    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
-        python examples/sharded_solve_demo.py
+    # virtual 8-device mesh on CPU (--cpu forces the backend in-process;
+    # accelerator plugins such as this container's axon PJRT plugin
+    # override the JAX_PLATFORMS env var, so pass the flag, not the var):
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python examples/sharded_solve_demo.py --cpu
 
     # on a TPU slice (uses every chip JAX can see):
     python examples/sharded_solve_demo.py
