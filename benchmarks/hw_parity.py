@@ -26,7 +26,10 @@ multi-block grids and real band structure, small enough to stay quick):
    on the MXU at precision=HIGHEST);
 6. rest-stream (round 5): a banded-dominant graph with a small native
    remainder runs the fused kernel + compact rest scatter, bitwise ==
-   the unfused banded+rest path.
+   the unfused banded+rest path;
+7. GSPMD halo-overlap split (round 5): the interior/boundary sub-call
+   decomposition with the aliased in-place recompose, Mosaic-COMPILED
+   (CI pins it in interpret mode only), bitwise == the unsplit sweep.
 
 Usage: python benchmarks/hw_parity.py
 """
@@ -260,6 +263,30 @@ def main() -> int:
         "same_iterations": info_rf["n_iterations"] == int(it_ru),
         "ok": rest_fused and rest_present and d_rest == 0.0
               and info_rf["n_iterations"] == int(it_ru),
+    }
+
+    # 7: GSPMD halo-overlap split, Mosaic-compiled: forcing the
+    # interior/boundary sub-calls (+ aliased recompose) must reproduce
+    # the unsplit sweep bitwise ON CHIP, not just in interpret mode.
+    from flashdeconv_tpu.parallel.gspmd import _gspmd_iterate_fused
+
+    gp = sp_prob._inner
+    assert getattr(gp, "use_fused", False)
+    outs = {}
+    for overlap in (False, True):
+        b_o, it_o, _rel_o = _gspmd_iterate_fused(
+            gp._beta0_default(), gp.Xty_t_d, gp.XtX_d, gp.masks_d,
+            gp.nnb_d, jnp.float32(0.4), jnp.float32(0.05),
+            jnp.float32(1e-30), jnp.int32(3),
+            offsets=gp.offsets, h=gp._fused_h, block=gp._fused_block,
+            max_iter=3, mesh=gp.mesh, overlap=overlap,
+        )
+        outs[overlap] = (np.asarray(b_o), int(it_o))
+    d_ov = float(np.max(np.abs(outs[True][0] - outs[False][0])))
+    results["overlap_split_compiled"] = {
+        "max_abs_diff": d_ov,
+        "same_iterations": outs[True][1] == outs[False][1],
+        "ok": d_ov == 0.0 and outs[True][1] == outs[False][1],
     }
 
     ok = all(r["ok"] for r in results.values())
