@@ -7,12 +7,19 @@ against numpy references are meaningful.
 """
 
 import os
+import re
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force EXACTLY 8 virtual devices: a pre-existing flag with another count
+# (e.g. from a different JAX project's shell profile) would silently run
+# the 8/16-shard mesh tests on the wrong device count.
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if "xla_force_host_platform_device_count=8" not in flags:
+    flags = re.sub(
+        r"--xla_force_host_platform_device_count=\d+", "", flags
+    )
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+        flags.strip() + " --xla_force_host_platform_device_count=8"
     ).strip()
 
 import jax  # noqa: E402
@@ -49,9 +56,15 @@ def make_synthetic(
     X = rng.gamma(2.0, 1.0, size=(n_types, n_genes))
     X *= rng.rand(n_types, n_genes) < 0.3
     # Give each type a few exclusive marker genes so types are identifiable.
+    # One global draw WITHOUT replacement: independent per-type draws can
+    # collide, and the later type's `X[:, cols] = 0` would silently wipe an
+    # earlier type's "exclusive" markers.
     markers_per_type = max(3, n_genes // (n_types * 10))
+    all_marks = rng.choice(
+        n_genes, size=markers_per_type * n_types, replace=False
+    )
     for k in range(n_types):
-        cols = rng.choice(n_genes, size=markers_per_type, replace=False)
+        cols = all_marks[k * markers_per_type:(k + 1) * markers_per_type]
         X[:, cols] = 0.0
         X[k, cols] = rng.gamma(5.0, 2.0, size=markers_per_type)
 

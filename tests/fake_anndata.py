@@ -22,10 +22,17 @@ class FakeAnnData:
         self.X = X
         n = X.shape[0]
         if obs is None:
-            obs = pd.DataFrame(index=[f"cell_{i}" for i in range(n)])
+            obs = pd.DataFrame(index=[str(i) for i in range(n)])
         elif not isinstance(obs, pd.DataFrame):
             obs = pd.DataFrame(obs)
-            obs.index = [f"cell_{i}" for i in range(n)]
+            obs.index = [str(i) for i in range(n)]
+        else:
+            obs = obs.copy()
+            # Real AnnData coerces the obs index to STRINGS ('0','1',...);
+            # mirror it so anndata_or_fake tests behave identically in
+            # both environments (an int RangeIndex here would let
+            # string-vs-int obs_names code pass against the fake only).
+            obs.index = obs.index.map(str)
         self.obs = obs
         if var is None:
             var = pd.DataFrame(index=[f"gene_{j}" for j in range(X.shape[1])])

@@ -43,9 +43,36 @@ def import_reference():
         numba_stub.prange = range
         sys.modules["numba"] = numba_stub
 
-    if str(REFERENCE_PATH) not in sys.path:
-        sys.path.insert(0, str(REFERENCE_PATH))
+    already = "flashdeconv" in sys.modules
+    sys.path.insert(0, str(REFERENCE_PATH))
+    try:
+        import flashdeconv  # noqa: F401
 
-    import flashdeconv  # noqa: F401
+        if not already:
+            # Eagerly import the whole reference tree so the path entry
+            # can be dropped IMMEDIATELY below: /root/reference contains
+            # a regular `tests` package (tests/__init__.py), and a
+            # regular package anywhere on sys.path beats this repo's
+            # namespace `tests` package regardless of path order — with
+            # the entry left installed, any later
+            # `from tests.fake_anndata import ...` resolves into the
+            # reference checkout and fails (reproduced: parity test
+            # before test_integration broke its imports). Best-effort
+            # per submodule: optional deps (anndata) may be absent.
+            import importlib
+            import pkgutil
+
+            for m in pkgutil.walk_packages(
+                flashdeconv.__path__, prefix="flashdeconv."
+            ):
+                try:
+                    importlib.import_module(m.name)
+                except Exception:
+                    pass
+    finally:
+        try:
+            sys.path.remove(str(REFERENCE_PATH))
+        except ValueError:
+            pass
 
     return sys.modules["flashdeconv"]

@@ -138,8 +138,10 @@ def test_fused_pad_blocks_stay_zero():
 
 def test_fused_uint8_masks_bit_identical():
     """uint8 masks (the production residency) must produce the exact same
-    sweep as float32 masks — the kernel widens in-VMEM and derives the
-    degree as the masks' column sum."""
+    sweep as float32 masks — what is under test is the in-VMEM widening
+    in the neighbor-sum FMAs. (The denominator no longer derives from the
+    masks' column sum inside the kernel: since round 5 both calls consume
+    the same precomputed gs_inv_den stream.)"""
     p = _fused_problem(seed=5)
     carry0 = to_fused_carry(p["beta0"], p["h"], BLOCK)
     kw = dict(block=BLOCK, interpret=True)
@@ -280,6 +282,10 @@ class TestFusedMeshPath:
             tol=jax.device_put(np.float32(1e-30), repl),
             iter_cap=jax.device_put(np.int32(3), repl),
         )
+        # The split engages only when each shard has >= 2h+1 blocks —
+        # assert that holds, or the overlap=True arm silently degrades
+        # to the unsplit sweep and this test passes vacuously.
+        assert (n_pad // 4) // block >= 2 * h + 1, (n_pad, block, h)
         outs = {}
         for overlap in (False, True):
             beta, it, rel = _gspmd_iterate_fused(
@@ -651,9 +657,15 @@ def test_fused_solve_program_matches_decomposed():
     obj_ref = objective_terms_banded_fused(
         carry, p["Xty"].T, p["XtX"], yty, p["offsets"], p["masks"],
         lam, rho, p["h"], BLOCK,
+        # Match the program's call exactly (it always passes nnb=): the
+        # default column-sum path happens to agree here only because this
+        # fixture's nnb IS the masks' column sum — keep the comparison
+        # structural, not coincidental.
+        nnb=p["nnb"],
     )
-    beta_ref = np.asarray(from_fused_carry(carry, p["h"], BLOCK))[:n_spots]
-    beta_ref = beta_ref[inv]
+    beta_solve = np.asarray(
+        from_fused_carry(carry, p["h"], BLOCK)
+    )[:n_spots]
 
     for init in (None, beta0):
         beta, it, rel, obj = fused_solve_program(
@@ -664,7 +676,13 @@ def test_fused_solve_program_matches_decomposed():
         )
         assert beta.shape == (n_spots, K)
         assert int(it) == int(it_ref)
-        np.testing.assert_array_equal(np.asarray(beta), beta_ref)
+        # Convention check from the OTHER side: original row perm[p] must
+        # hold solve-order row p (BCDProblem builds inv via
+        # inv[perm] = arange and the program gathers with inv). Asserting
+        # through `perm` — not the same `inv` gather the program itself
+        # applies — catches a perm-vs-inv convention swap that a shared
+        # self-referential gather would hide.
+        np.testing.assert_array_equal(np.asarray(beta)[perm], beta_solve)
         np.testing.assert_array_equal(float(rel), float(rel_ref))
         np.testing.assert_array_equal(float(obj), float(obj_ref))
 
@@ -758,9 +776,13 @@ def test_large_k_fused_matches_unfused_iterate():
 
 def test_plan_fused_banded_blocks_single_device():
     """The single-device candidate list leads with 4096 (measured ~5%
-    faster per sweep than 2048); the VMEM gate hands K > 40 back to the
-    shared 2048-led tail. The 4096 x 16-band boundary combos (K = 28-40)
-    are Mosaic-compile-verified on hardware (2026-08-20)."""
+    faster per sweep than 2048); the VMEM gate hands K > 32 back to the
+    shared 2048-led tail (sublane padding rounds K up to the next
+    multiple of 8, so K = 33 already budgets as 40). The 4096-block
+    configs the gate admits were Mosaic-compile-verified on hardware
+    (2026-08-20); the 32/33 boundary is pinned here so a gate-margin
+    change cannot silently widen 4096 service into Mosaic-reject
+    territory."""
     from flashdeconv_tpu.ops.bcd import (
         FUSED_BLOCK_CANDIDATES_1D,
         plan_fused_banded,
@@ -773,6 +795,8 @@ def test_plan_fused_banded_blocks_single_device():
 
     assert f(8) == (4096, 1)
     assert f(20) == (4096, 1)
+    assert f(32) == (4096, 1)   # the hand-back boundary...
+    assert f(33) == (2048, 1)   # ...K=33 pads to 40 sublanes: over budget
     assert f(40) == (2048, 1)
     assert f(44) == (2048, 1)
     assert f(64) == (2048, 1)
