@@ -20,6 +20,20 @@ def ref():
     return import_reference()
 
 
+def test_harness_path_hygiene(ref):
+    """import_reference must leave /root/reference OFF sys.path: its
+    regular `tests` package (tests/__init__.py) beats this repo's
+    namespace `tests` package from ANY path position, so a lingering
+    entry broke `from tests.fake_anndata import ...` for every test that
+    ran after a parity test (reproduced before the fix)."""
+    import importlib
+    import sys
+
+    assert "/root/reference" not in sys.path
+    mod = importlib.import_module("tests.fake_anndata")
+    assert "reference" not in (mod.__file__ or "")
+
+
 def _problem(seed=0, n_spots=60, n_types=6, d=32):
     rng = np.random.RandomState(seed)
     X = rng.randn(n_types, d)
