@@ -26,7 +26,8 @@ def _require_mpl():
     except ImportError as e:  # pragma: no cover
         raise ImportError(
             "flashdeconv_tpu.pl requires matplotlib. "
-            "Install it with: pip install matplotlib"
+            "Install it with: pip install 'flashdeconv-tpu[plot]' "
+            "(or pip install matplotlib)"
         ) from e
     return matplotlib
 
