@@ -47,12 +47,11 @@ TOL = 1e-4
 
 def make_problem(n_spots: int, n_types: int, d: int, seed: int = 0):
     """Synthetic sketch-space problem with spatially smooth ground truth."""
+    from flashdeconv_tpu.utils.graph import grid_coords
+
     rng = np.random.default_rng(seed)  # PCG64: fast f32 draws at 1M x 512
     side = int(np.ceil(np.sqrt(n_spots)))
-    xs, ys = np.meshgrid(
-        np.arange(side, dtype=np.float64), np.arange(side, dtype=np.float64)
-    )
-    coords = np.column_stack([xs.ravel(), ys.ravel()])[:n_spots]
+    coords = grid_coords(n_spots)
 
     X_sketch = rng.standard_normal((n_types, d), dtype=np.float32)
 

@@ -34,6 +34,8 @@ def make_sparse_counts(n_spots: int, n_genes: int, nnz_per_spot: int, n_types: i
     coordinates instead of a grid — the kNN graph then has no banded
     structure in any row order, so the solver takes the padded-gather path
     (Morton/halo plan when sharded)."""
+    from flashdeconv_tpu.utils.graph import grid_coords
+
     rng = np.random.default_rng(seed)
 
     # Type-dependent gene pools so gene selection has real structure to find.
@@ -44,9 +46,7 @@ def make_sparse_counts(n_spots: int, n_genes: int, nnz_per_spot: int, n_types: i
     if irregular:
         coords = rng.random((n_spots, 2)) * side
     else:
-        xs, ys = np.meshgrid(np.arange(side, dtype=np.float64),
-                             np.arange(side, dtype=np.float64))
-        coords = np.column_stack([xs.ravel(), ys.ravel()])[:n_spots]
+        coords = grid_coords(n_spots)
 
     # Dominant type varies smoothly over space (block pattern).
     block = max(side // 8, 1)
@@ -231,7 +231,7 @@ def main() -> None:
     print("# warm-up solve...", file=sys.stderr)
     t0 = time.perf_counter()
     from flashdeconv_tpu.core.solver import bcd_solve
-    from flashdeconv_tpu.utils.graph import build_knn_graph
+    from flashdeconv_tpu.utils.graph import build_knn_graph, grid_coords
 
     rng = np.random.default_rng(1)
     wn = 20_000

@@ -55,7 +55,7 @@ def main() -> int:
 
     from flashdeconv_tpu.core.solver import prepare_bcd
     from flashdeconv_tpu.parallel.solver import prepare_sharded_bcd
-    from flashdeconv_tpu.utils.graph import build_knn_graph
+    from flashdeconv_tpu.utils.graph import build_knn_graph, grid_coords
 
     backend = jax.default_backend()
     print(f"# backend={backend} devices={jax.devices()}", file=sys.stderr)
@@ -64,8 +64,7 @@ def main() -> int:
               "checks run in CI via interpret mode", file=sys.stderr)
 
     rng = np.random.RandomState(0)
-    xs, ys = np.meshgrid(np.arange(N_SIDE), np.arange(N_SIDE))
-    coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(np.float64)
+    coords = grid_coords(side=N_SIDE)
     n = coords.shape[0]
     A = build_knn_graph(coords, k=6)
     X_sketch = rng.randn(K, D).astype(np.float32)

@@ -39,16 +39,14 @@ def main() -> None:
     import jax.numpy as jnp
 
     from flashdeconv_tpu.core.solver import prepare_bcd
-    from flashdeconv_tpu.utils.graph import build_knn_graph
+    from flashdeconv_tpu.utils.graph import build_knn_graph, grid_coords
 
     ks = [int(a) for a in sys.argv[1:]] or [96, 128, 160, 256]
     print(f"# backend={jax.default_backend()} devices={jax.devices()}",
           file=sys.stderr)
 
     n = N_SPOTS
-    side = int(np.ceil(np.sqrt(n)))
-    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
-    coords = np.column_stack([xs.ravel(), ys.ravel()])[:n].astype(float)
+    coords = grid_coords(n)
     t0 = time.perf_counter()
     A = build_knn_graph(coords, k=6)
     print(f"# graph built in {time.perf_counter() - t0:.1f}s",

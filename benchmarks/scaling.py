@@ -47,7 +47,7 @@ def main() -> None:
     from jax.sharding import Mesh
 
     from flashdeconv_tpu.parallel import prepare_sharded_bcd
-    from flashdeconv_tpu.utils.graph import build_knn_graph
+    from flashdeconv_tpu.utils.graph import build_knn_graph, grid_coords
 
     devices = jax.devices()
     shard_counts = sorted({s for s in (1, 2, 4, 8, 16, 32, len(devices))
@@ -57,10 +57,7 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     n, k, d = args.spots, args.types, args.sketch_dim
-    side = int(np.ceil(np.sqrt(n)))
-    xs, ys = np.meshgrid(np.arange(side, dtype=np.float64),
-                         np.arange(side, dtype=np.float64))
-    coords = np.column_stack([xs.ravel(), ys.ravel()])[:n]
+    coords = grid_coords(n)
     X_sketch = rng.standard_normal((k, d)).astype(np.float32)
     beta_true = np.abs(rng.standard_normal((n, k))).astype(np.float32)
     Y_sketch = beta_true @ X_sketch

@@ -43,6 +43,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from flashdeconv_tpu.utils.graph import grid_coords
 
 
 def simulate_cells(n_types, n_genes, cells_per_type, rng,
@@ -82,8 +83,7 @@ def compose_spots(counts, labels, n_types, n_spots, rng,
     fractions per spot)).
     """
     side = int(np.ceil(np.sqrt(n_spots)))
-    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
-    coords = np.column_stack([xs.ravel(), ys.ravel()])[:n_spots].astype(float)
+    coords = grid_coords(n_spots)
 
     if type_freq is None:
         type_freq = np.ones(n_types) / n_types

@@ -58,14 +58,10 @@ def build_operands(n_spots: int, n_types: int, seed: int = 0):
     """Banded operands with the bench grid's real band structure but
     fabricated values — the sweep touches Xty/XtX/masks/beta only through
     dense streams, so random values time identically to the real problem."""
-    from flashdeconv_tpu.utils.graph import banded_split, build_knn_graph
+    from flashdeconv_tpu.utils.graph import banded_split, build_knn_graph, grid_coords
 
     rng = np.random.default_rng(seed)
-    side = int(np.ceil(np.sqrt(n_spots)))
-    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
-    coords = np.column_stack([xs.ravel(), ys.ravel()])[:n_spots].astype(
-        np.float64
-    )
+    coords = grid_coords(n_spots)
     A = build_knn_graph(coords, k=K_NEIGHBORS)
     offsets_np, masks_np, A_rest = banded_split(A, max_offsets=32)
     assert A_rest.nnz == 0, "bench grid must be fully banded"

@@ -34,6 +34,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from flashdeconv_tpu.utils.graph import grid_coords
 
 
 def make_data(n_side: int = 32, n_genes: int = 500, n_types: int = 8):
@@ -42,8 +43,7 @@ def make_data(n_side: int = 32, n_genes: int = 500, n_types: int = 8):
     from scipy import sparse
 
     rng = np.random.RandomState(0)
-    xs, ys = np.meshgrid(np.arange(n_side), np.arange(n_side))
-    coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+    coords = grid_coords(side=n_side)
     n = coords.shape[0]
     X = rng.gamma(2.0, 1.0, size=(n_types, n_genes))
     X *= rng.rand(n_types, n_genes) < 0.3

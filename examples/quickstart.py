@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from flashdeconv_tpu import FlashDeconv
 from flashdeconv_tpu.utils.metrics import evaluate_deconvolution
+from flashdeconv_tpu.utils.graph import grid_coords
 
 
 def generate_synthetic_data(
@@ -44,8 +45,7 @@ def generate_synthetic_data(
 
     # Spot grid + smooth ground-truth proportions.
     side = int(np.ceil(np.sqrt(n_spots)))
-    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
-    coords = np.column_stack([xs.ravel(), ys.ravel()])[:n_spots].astype(float)
+    coords = grid_coords(n_spots)
     centers = rng.rand(n_types, 2) * side
     d2 = ((coords[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
     logits = -d2 / (2 * (0.25 * side) ** 2)

@@ -36,7 +36,7 @@ if "--cpu" in sys.argv:
 
 from flashdeconv_tpu.core.solver import bcd_solve
 from flashdeconv_tpu.parallel import halo_fraction, plan_shards, sharded_bcd_solve
-from flashdeconv_tpu.utils.graph import banded_split, build_knn_graph
+from flashdeconv_tpu.utils.graph import banded_split, build_knn_graph, grid_coords
 
 
 def main() -> None:
@@ -46,9 +46,7 @@ def main() -> None:
     # Synthetic sketched problem on a grid (what the pipeline produces).
     rng = np.random.default_rng(0)
     n_spots, n_types, d = 40_000, 12, 256
-    side = int(np.ceil(np.sqrt(n_spots)))
-    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
-    coords = np.column_stack([xs.ravel(), ys.ravel()])[:n_spots].astype(float)
+    coords = grid_coords(n_spots)
     X_sketch = rng.standard_normal((n_types, d))
     beta_true = np.abs(rng.standard_normal((n_spots, n_types)))
     Y_sketch = beta_true @ X_sketch + 0.05 * rng.standard_normal((n_spots, d))

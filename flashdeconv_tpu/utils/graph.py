@@ -129,6 +129,29 @@ def coords_to_adjacency(
     raise ValueError(f"Unknown method: {method}")
 
 
+def grid_coords(
+    n_spots: Optional[int] = None, side: Optional[int] = None
+) -> np.ndarray:
+    """Row-major (x, y) float64 coordinates of a square grid.
+
+    The synthetic-layout every benchmark/example/test shares (ONE home so
+    the grid convention cannot drift): ``side=`` gives the full
+    side x side lattice; ``n_spots=`` gives the first n rows of the
+    ceil-sqrt lattice. Bit-identical to the historical inline pattern
+    ``np.meshgrid(arange(side), arange(side))`` +
+    ``column_stack([xs.ravel(), ys.ravel()]).astype(float)``.
+    """
+    if side is None:
+        if n_spots is None:
+            raise ValueError("pass n_spots= or side=")
+        side = int(np.ceil(np.sqrt(n_spots)))
+    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+    coords = np.column_stack([xs.ravel(), ys.ravel()])
+    if n_spots is not None:
+        coords = coords[:n_spots]
+    return coords.astype(float)
+
+
 def _csr_row_positions(
     A_csr: sparse.csr_matrix, counts: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray]:

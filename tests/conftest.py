@@ -32,6 +32,7 @@ jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+from flashdeconv_tpu.utils.graph import grid_coords
 
 
 def make_synthetic(
@@ -69,9 +70,7 @@ def make_synthetic(
         X[k, cols] = rng.gamma(5.0, 2.0, size=markers_per_type)
 
     if grid:
-        side = int(np.ceil(np.sqrt(n_spots)))
-        xs, ys = np.meshgrid(np.arange(side), np.arange(side))
-        coords = np.column_stack([xs.ravel(), ys.ravel()])[:n_spots].astype(float)
+        coords = grid_coords(n_spots)
     else:
         coords = rng.rand(n_spots, 2) * 50
 

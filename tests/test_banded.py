@@ -11,12 +11,12 @@ from flashdeconv_tpu.utils.graph import (
     adjacency_to_padded,
     banded_split,
     build_knn_graph,
+    grid_coords,
 )
 
 
 def _grid_graph(side=40, k=6):
-    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
-    coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+    coords = grid_coords(side=side)
     return build_knn_graph(coords, k=k), coords
 
 

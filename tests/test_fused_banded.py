@@ -23,7 +23,7 @@ from flashdeconv_tpu.ops.bcd import (
     objective_terms_banded_fused,
     to_fused_carry,
 )
-from flashdeconv_tpu.utils.graph import banded_split, build_knn_graph
+from flashdeconv_tpu.utils.graph import banded_split, build_knn_graph, grid_coords
 
 BLOCK = 256  # small block so interpret mode stays fast; 2048 in production
 
@@ -35,8 +35,7 @@ def _fused_problem(side=64, k=6, n_types=6, seed=0):
     graph, so the banded decomposition covers the graph exactly — the fused
     kernel's eligibility condition (A_rest.nnz == 0 in BCDProblem).
     """
-    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
-    coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+    coords = grid_coords(side=side)
     A = build_knn_graph(coords, k=k)
     n = A.shape[0]
     assert n % BLOCK == 0
@@ -197,8 +196,7 @@ class TestFusedMeshPath:
     def _problem(self, side=96, k_types=6, d=48, seed=7):
         import jax
 
-        xs, ys = np.meshgrid(np.arange(side), np.arange(side))
-        coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+        coords = grid_coords(side=side)
         n = coords.shape[0]
         rng = np.random.RandomState(seed)
         X_sketch = rng.randn(k_types, d)
@@ -378,8 +376,7 @@ def _capped_problem(side=64, k=6, n_types=6, seed=0):
         cap_sparse_bands,
     )
 
-    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
-    coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+    coords = grid_coords(side=side)
     A = build_knn_graph(coords, k=k)
     n = A.shape[0]
     assert n % BLOCK == 0
@@ -490,8 +487,7 @@ def test_bcd_problem_fused_with_native_rest(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 
     side = 96
-    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
-    coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+    coords = grid_coords(side=side)
     A = build_knn_graph(coords, k=6)
     n = A.shape[0]
     rng = np.random.RandomState(0)
@@ -529,8 +525,7 @@ def test_bcd_problem_fused_plan_rescue(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 
     side = 512                            # big enough that the junk
-    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
-    coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+    coords = grid_coords(side=side)
     A = build_knn_graph(coords, k=6)
     n = A.shape[0]
     rng = np.random.RandomState(1)
@@ -838,8 +833,7 @@ def test_bcd_problem_plans_large_k_fused(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 
     side = 96  # 9216 spots >= the banded-analysis gate (8192)
-    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
-    coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+    coords = grid_coords(side=side)
     A = build_knn_graph(coords, k=6)
     n = A.shape[0]
     rng = np.random.RandomState(0)

@@ -16,6 +16,7 @@ import pytest
 from scipy import sparse
 
 from flashdeconv_tpu import native
+from flashdeconv_tpu.utils.graph import grid_coords
 
 
 def _random_csr(n_rows=300, n_cols=500, density=0.05, seed=0, dtype=np.float64):
@@ -217,8 +218,7 @@ class TestNativeColumnSubset:
             )
         )
         side = int(np.ceil(np.sqrt(N)))
-        xs, ys = np.meshgrid(np.arange(side), np.arange(side))
-        coords = np.column_stack([xs.ravel(), ys.ravel()])[:N].astype(float)
+        coords = grid_coords(N)
 
         kw = dict(sketch_dim=128, n_hvg=150, max_iter=25, random_state=0)
         P_native = FlashDeconv(**kw).fit_transform(Y, X, coords)

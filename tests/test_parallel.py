@@ -22,14 +22,13 @@ from flashdeconv_tpu.parallel import (
     plan_shards,
     sharded_bcd_solve,
 )
-from flashdeconv_tpu.utils.graph import build_knn_graph
+from flashdeconv_tpu.utils.graph import build_knn_graph, grid_coords
 
 
 def _problem(n_spots=600, n_types=7, d=64, seed=3):
     rng = np.random.RandomState(seed)
     side = int(np.ceil(np.sqrt(n_spots)))
-    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
-    coords = np.column_stack([xs.ravel(), ys.ravel()])[:n_spots].astype(float)
+    coords = grid_coords(n_spots)
     X_sketch = rng.randn(n_types, d)
     beta_true = np.abs(rng.randn(n_spots, n_types))
     Y_sketch = beta_true @ X_sketch + 0.05 * rng.randn(n_spots, d)
@@ -46,8 +45,7 @@ class TestOrdering:
 
     def test_morton_locality(self):
         # consecutive Morton positions should be spatially close on a grid
-        xs, ys = np.meshgrid(np.arange(32), np.arange(32))
-        coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+        coords = grid_coords(side=32)
         perm = morton_order(coords)
         ordered = coords[perm]
         jumps = np.linalg.norm(np.diff(ordered, axis=0), axis=1)
@@ -102,8 +100,7 @@ class TestShardPlan:
         )
 
     def test_halo_small_on_grid(self):
-        xs, ys = np.meshgrid(np.arange(40), np.arange(40))
-        coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+        coords = grid_coords(side=40)
         A = build_knn_graph(coords, k=6)
         plan = plan_shards(A, 8, coords=coords)
         # locality ordering keeps boundary rows a small fraction of all rows
@@ -299,8 +296,7 @@ class TestMultihost:
 
 class TestGspmdBanded:
     def _grid_problem(self, side=40, k_types=6, d=48, seed=5):
-        xs, ys = np.meshgrid(np.arange(side), np.arange(side))
-        coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+        coords = grid_coords(side=side)
         n = coords.shape[0]
         rng = np.random.RandomState(seed)
         X_sketch = rng.randn(k_types, d)
@@ -379,8 +375,7 @@ class TestShardedDispatch:
         assert beta.shape == (10, 0)
         assert info["n_iterations"] == 0
         # max_iter=0 keeps the info contract (final_change == 0.0)
-        xs, ys = np.meshgrid(np.arange(5), np.arange(5))
-        coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+        coords = grid_coords(side=5)
         A = build_knn_graph(coords, k=3)
         rng = np.random.RandomState(0)
         beta, info = sharded_bcd_solve(
@@ -449,8 +444,7 @@ class TestScrambledGridResort:
     scale (mirrors the single-device driver's (y, x) re-sort)."""
 
     def _scrambled_grid(self, side=24, k_types=5, d=32, seed=9):
-        xs, ys = np.meshgrid(np.arange(side), np.arange(side))
-        coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+        coords = grid_coords(side=side)
         n = coords.shape[0]
         rng = np.random.RandomState(seed)
         perm = rng.permutation(n)
@@ -618,8 +612,7 @@ class TestFitDistributed:
 
         rng = np.random.RandomState(seed)
         if grid:
-            xs, ys = np.meshgrid(np.arange(n_side), np.arange(n_side))
-            coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+            coords = grid_coords(side=n_side)
         else:
             coords = rng.rand(n_side * n_side, 2) * n_side
         n = coords.shape[0]
@@ -834,13 +827,12 @@ import numpy as np
 
 from flashdeconv_tpu.core.solver import bcd_solve
 from flashdeconv_tpu.parallel import sharded_bcd_solve
-from flashdeconv_tpu.utils.graph import build_knn_graph
+from flashdeconv_tpu.utils.graph import build_knn_graph, grid_coords
 
 assert len(jax.devices()) == 16, jax.devices()
 
 side = 48                                  # 2304 spots, 16 shards of 144
-xs, ys = np.meshgrid(np.arange(side), np.arange(side))
-coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+coords = grid_coords(side=side)
 n = coords.shape[0]
 rng = np.random.RandomState(7)
 K, d = 9, 48

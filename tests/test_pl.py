@@ -9,6 +9,7 @@ import matplotlib.pyplot as plt  # noqa: E402
 
 import flashdeconv_tpu as fd  # noqa: E402
 from tests.fake_anndata import make_reference_adata, make_spatial_adata  # noqa: E402
+from flashdeconv_tpu.utils.graph import grid_coords
 
 
 @pytest.fixture(scope="module")
@@ -20,9 +21,7 @@ def fitted_adata():
     props = rng.dirichlet(np.ones(K), size=N)
     mean = props @ X
     mean = mean / (mean.sum(1, keepdims=True) + 1e-12) * 1200
-    side = int(np.ceil(np.sqrt(N)))
-    xs, ys = np.meshgrid(np.arange(side), np.arange(side))
-    coords = np.column_stack([xs.ravel(), ys.ravel()])[:N].astype(float)
+    coords = grid_coords(N)
     st = make_spatial_adata(
         rng.poisson(mean).astype(float), coords, gene_names=genes
     )

@@ -14,6 +14,7 @@ from flashdeconv_tpu.utils.graph import (
     adjacency_to_padded,
     adjacency_to_padded_capped,
     build_knn_graph,
+    grid_coords,
 )
 
 
@@ -178,8 +179,7 @@ class TestSolveProgram:
         # fused kernel stays off on the CPU test backend, so this is the
         # unfused banded tier
         side = 96
-        xs, ys = np.meshgrid(np.arange(side), np.arange(side))
-        coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+        coords = grid_coords(side=side)
         A = build_knn_graph(coords, k=4)
         n = A.shape[0]
         rng = np.random.RandomState(3)
@@ -265,8 +265,7 @@ class TestPreparedSharded:
     def _grid_problem(self, side=20, k_types=5, d=32, seed=11,
                       scramble=False):
         rng = np.random.RandomState(seed)
-        xs, ys = np.meshgrid(np.arange(side), np.arange(side))
-        coords = np.column_stack([xs.ravel(), ys.ravel()]).astype(float)
+        coords = grid_coords(side=side)
         n = coords.shape[0]
         if scramble:
             coords = coords[rng.permutation(n)]
